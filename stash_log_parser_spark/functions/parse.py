@@ -1,0 +1,223 @@
+"""Decode + grok: tokenized byte sequences → typed LogEntry columns.
+
+The ONLY JVM↔Python boundary in the whole pipeline is
+:func:`decode_tokens` — one Arrow-vectorized pandas UDF that turns
+``tokens:array<int32>`` (UTF-8 byte values) into a string column using
+Arrow buffer surgery (zero per-row Python in the common no-null case).
+Everything downstream is native Catalyst expressions (split /
+regexp_extract / try_cast / array ops), so the grok stays inside
+whole-stage codegen.
+
+Semantics reproduce the reference parser (juretta/stash-log-parser,
+logparser/src/Stash/Log/Parser.hs:~25–110 [K], SURVEY.md §1.1/§3.2):
+ten `` | ``-separated fields; comma-millis timestamps; request ids
+``[io]<minuteOfDay>x<counter>x<concurrent>``; ``-`` as the null marker;
+labels split on ``", "``; HTTP vs SSH action grammars; git-op
+classification precedence (shallow clone before clone) per
+GitOpsAnalyser.hs:~70–135 [K].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# P1: token decode — one vectorized pandas/Arrow UDF
+# ---------------------------------------------------------------------------
+
+
+def _decode_list_array(arr: pa.Array) -> pa.Array:
+    """list<int>(byte values) → string, via direct Arrow buffer reuse.
+
+    A BinaryArray is (validity, int32 offsets, data); a ListArray whose
+    elements each become exactly one byte has the SAME offsets. So we
+    reinterpret the list offsets as binary offsets and the int values
+    (narrowed to uint8) as the data buffer — fully vectorized.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        # Rare path (contract says tokens are non-null); keep it correct.
+        return pa.array(
+            [None if v is None else bytes(bytearray(v)).decode("utf-8", "replace") for v in arr.to_pylist()],
+            type=pa.string(),
+        )
+    offsets = arr.offsets.to_numpy().astype(np.int32)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    binary = pa.Array.from_buffers(
+        pa.binary(),
+        len(arr),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+    try:
+        return binary.cast(pa.string())
+    except pa.ArrowInvalid:
+        # Corrupt rows (non-UTF-8 byte streams, out-of-range token values)
+        # must NOT kill a 10^12-row job: decode the batch lossily; rows
+        # that then fail the grok are counted as malformed downstream.
+        return pa.array(
+            (b.decode("utf-8", "replace") for b in binary.to_pylist()),
+            type=pa.string(),
+        )
+
+
+@F.pandas_udf(T.StringType())
+def _decode_tokens_udf(tokens: pd.Series) -> pd.Series:
+    arr = pa.Array.from_pandas(tokens, type=pa.list_(pa.int32()))
+    return _decode_list_array(arr).to_pandas()
+
+
+def decode_tokens(tokens: Column) -> Column:
+    """Arrow-vectorized UDF: array<int32> of UTF-8 byte values → string."""
+    return _decode_tokens_udf(tokens)
+
+
+def decode_tokens_sql(tokens: Column) -> Column:
+    """Pure-JVM alternative decode (no Python worker at all): bytes → hex
+    → unhex → UTF-8. Used as a cross-check in tests and as a fallback
+    when a cluster forbids Python workers. Stays in codegen but does more
+    per-byte string work than the Arrow path — benchmark before choosing.
+    """
+    hexed = F.array_join(F.transform(tokens, lambda x: F.lpad(F.hex(x), 2, "0")), "")
+    return F.decode(F.unhex(hexed), "UTF-8")
+
+
+# ---------------------------------------------------------------------------
+# P2–P10: grok — native Catalyst expressions only
+# ---------------------------------------------------------------------------
+
+_REQ_ID_RE = r"^([io])(\d+)x(\d+)x(\d+)$"
+_HTTP_ACTION_RE = r'^"(\S+) (\S+)'
+_SSH_ACTION_RE = r"^(git-[a-z-]+) '([^']+)'"
+_REPO_SLUG_RE = r"^(?:/scm)?/([^/]+/[^/]+?)\.git(?:/|$)"
+
+PARSED_COLUMNS = [
+    "doc_id", "tokens", "n_tok", "source",
+    "client_ip", "remote_ips", "protocol",
+    "req_dir", "req_minute", "req_counter", "req_concurrent",
+    "username", "ts", "ts_raw", "method", "path", "repo_slug",
+    "labels", "duration_ms", "session_id",
+    "is_parsed", "op_type", "cache_hit", "hour", "day",
+]
+
+
+def _nullify_dash(col: Column) -> Column:
+    return F.when(col == "-", F.lit(None).cast("string")).otherwise(col)
+
+
+def op_type_expr(labels: Column, action: Column, method: Column, path: Column) -> Column:
+    """Git-op classification (F3). Precedence: shallow clone before clone
+    (label substring containment, GitOpsAnalyser.hs:~70–130 [K]); push also
+    recognized from git-receive-pack actions; ref advertisement from the
+    `refs` label or a GET of .../info/refs."""
+    return (
+        F.when(F.array_contains(labels, "shallow clone"), "shallow_clone")
+        .when(F.array_contains(labels, "clone"), "clone")
+        .when(F.array_contains(labels, "fetch"), "fetch")
+        .when(
+            F.array_contains(labels, "push") | action.contains("git-receive-pack"),
+            "push",
+        )
+        .when(
+            F.array_contains(labels, "refs")
+            | ((method == "GET") & path.endswith("/info/refs")),
+            "ref_advertisement",
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Grok a decoded ``line`` column into the full LogEntry schema.
+
+    Malformed lines are NOT dropped: they get ``is_parsed = false`` and are
+    counted into the metrics sink (SURVEY.md §3.3 F5) — callers filter.
+    All extraction is codegen'd Catalyst; `F.get` (never `element_at`)
+    keeps short splits null-safe under ANSI mode.
+    """
+    line = F.col(line_col)
+    # strip the trailing " |" so field 10 splits clean, then split on " | "
+    fields = F.split(F.regexp_replace(line, r" \|$", ""), r" \| ")
+    df = df.withColumn("_f", fields)
+    f = lambda i: F.get(F.col("_f"), i)  # noqa: E731  0-based, null out-of-bounds
+
+    req_id = f(2)
+    action = f(5)
+    is_http_action = action.startswith('"')
+    method = F.when(is_http_action, F.regexp_extract(action, _HTTP_ACTION_RE, 1)).otherwise(
+        F.regexp_extract(action, _SSH_ACTION_RE, 1)
+    )
+    raw_path = F.when(is_http_action, F.regexp_extract(action, _HTTP_ACTION_RE, 2)).otherwise(
+        F.regexp_extract(action, _SSH_ACTION_RE, 2)
+    )
+    path = F.substring_index(raw_path, "?", 1)  # strip query string (P5)
+    labels_raw = f(7)
+    labels = F.when(
+        labels_raw.isNull() | (labels_raw == "-"), F.array().cast("array<string>")
+    ).otherwise(F.split(labels_raw, ", "))
+    ts_raw = f(4)
+    # comma millis → dot millis, then a strict pattern parse (P3)
+    ts = F.try_to_timestamp(
+        F.regexp_replace(ts_raw, ",", "."), F.lit("yyyy-MM-dd HH:mm:ss.SSS")
+    )
+    req_counter = F.regexp_extract(req_id, _REQ_ID_RE, 3).try_cast("long")
+
+    out = (
+        df.withColumn("remote_ips", F.split(f(0), ","))
+        .withColumn("client_ip", F.get(F.col("remote_ips"), 0))
+        .withColumn("protocol", f(1))
+        .withColumn("req_dir", _nullify_dash(F.regexp_extract(req_id, _REQ_ID_RE, 1)))
+        .withColumn("req_minute", F.regexp_extract(req_id, _REQ_ID_RE, 2).try_cast("int"))
+        .withColumn("req_counter", req_counter)
+        .withColumn(
+            "req_concurrent", F.regexp_extract(req_id, _REQ_ID_RE, 4).try_cast("int")
+        )
+        .withColumn("username", _nullify_dash(f(3)))
+        .withColumn("ts", ts)
+        .withColumn("ts_raw", ts_raw)
+        .withColumn("method", _nullify_dash(method))
+        .withColumn("path", _nullify_dash(path))
+        .withColumn(
+            "repo_slug", F.lower(_nullify_dash(F.regexp_extract(path, _REPO_SLUG_RE, 1)))
+        )
+        .withColumn("labels", labels)
+        .withColumn("duration_ms", _nullify_dash(f(8)).try_cast("long"))
+        .withColumn("session_id", _nullify_dash(f(9)))
+    )
+    out = (
+        out.withColumn(
+            "is_parsed",
+            F.col("ts").isNotNull()
+            & F.col("req_counter").isNotNull()
+            & (F.size("_f") == 10),
+        )
+        .withColumn(
+            "op_type",
+            F.when(
+                F.col("req_dir") == "o",
+                op_type_expr(F.col("labels"), action, F.col("method"), F.col("path")),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn("cache_hit", F.array_contains("labels", "cache:hit"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("day", F.to_date("ts"))
+        .drop("_f")
+    )
+    return out
+
+
+def parse_corpus(df: DataFrame, use_sql_decode: bool = False) -> DataFrame:
+    """Full P-layer: tokenized corpus → parsed LogEntry DataFrame.
+
+    Reads ONLY the contract columns (doc_id, tokens, n_tok, source);
+    `tokens` rides along untouched so every routed raw-row sink can prove
+    token-array equality against the input (BASELINE.json:15).
+    """
+    df = df.select("doc_id", "tokens", "n_tok", "source")
+    decode = decode_tokens_sql if use_sql_decode else decode_tokens
+    return parse_lines(df.withColumn("line", decode(F.col("tokens")))).drop("line")

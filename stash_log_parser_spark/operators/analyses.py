@@ -1,0 +1,298 @@
+"""The reference's analyses as Spark SQL group-bys / window aggregates.
+
+Each function takes the parsed LogEntry DataFrame (functions/parse.py)
+and returns a result DataFrame. Inventory mapping (SURVEY.md §3.5):
+
+* A1 count_requests      — Analyser.hs:~30  countLines [K]
+* A2 max_concurrent      — Analyser.hs:~60  maxConcurrent fold [K]
+* A3 concurrency_by_hour — Analyser.hs:~80  plotDataConcurrentConn [K]
+* A4 protocol_counts / protocol_by_hour
+                          — Analyser.hs:~100 protocolCount,
+                            GitOpsAnalyser.hs:~150 protocolStatsByHour [K]
+* A5 git_operations      — GitOpsAnalyser.hs:~160 analyseGitOperations [K]
+* A6 repository_stats    — GitOpsAnalyser.hs:~200 repositoryStats [K]
+* A7 request_durations / duration_percentiles
+                          — GitOpsAnalyser.hs:~180 gitRequestDuration [K]
+* J1/J2 pair_requests / pairing_stats — the in|out request-id pairing the
+  reference performs implicitly in stream order.
+
+Scale notes (the 100 TB design):
+
+* Group-bys are plain hash aggregates → Spark's partial (map-side)
+  aggregation bounds shuffle volume by |groups|, not |rows|, so even the
+  skewed hot-repo key ships at most one partial row per input partition.
+  ``repository_stats(salt_partitions=...)`` additionally demonstrates the
+  explicit two-phase salted form for aggregations where map-side partials
+  can't save you (kept for parity with BASELINE.json:14).
+* The ONLY ordered analysis (A2/A3) uses a window partitioned by ``day``
+  — never a global single-partition window. Days are independent because
+  the gauge resets daily (reference processes one day-file at a time);
+  at 10^12 rows each day partition is further bounded by hour if needed.
+* Pairing (J1) is expressed as ONE hash aggregation on
+  ``(day, req_counter)`` instead of a self-join: half the shuffles, no
+  skewed build side. A join formulation is kept for comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_TYPES = ["clone", "fetch", "shallow_clone", "push", "ref_advertisement"]
+
+# Plural column names used by repositoryStats output (reference prints
+# `project/repo,clones,fetches,...`).
+_OP_PLURAL = {
+    "clone": "clones",
+    "fetch": "fetches",
+    "shallow_clone": "shallow_clones",
+    "push": "pushes",
+    "ref_advertisement": "ref_advertisements",
+}
+
+
+def _parsed(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("is_parsed"))
+
+
+# ---------------------------------------------------------------------------
+# A1
+# ---------------------------------------------------------------------------
+
+
+def count_requests(parsed: DataFrame) -> DataFrame:
+    """Total / parsed / malformed line counts (malformed lines are counted,
+    never silently dropped — SURVEY.md §3.3 F5)."""
+    return parsed.agg(
+        F.count("*").alias("total_lines"),
+        F.sum(F.col("is_parsed").cast("long")).alias("parsed_lines"),
+        F.sum((~F.col("is_parsed")).cast("long")).alias("malformed_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 / A3 — the ordered analysis
+# ---------------------------------------------------------------------------
+
+
+def concurrency_timeline(parsed: DataFrame) -> DataFrame:
+    """Running concurrent-connection gauge, reconstructed from event order.
+
+    The reference folds +1 on ``i`` / −1 on ``o`` in stream order
+    (Analyser.hs:~60 [K]). A DataFrame has no global order, so the fold
+    becomes a prefix sum over a window partitioned by day (the gauge
+    resets at day boundaries — one log file per day) and ordered by
+    ``(ts, req_dir, req_counter)``; ``'i' < 'o'`` lexically, so at equal
+    timestamps the incoming event is counted first (zero-duration
+    requests still register — SURVEY.md §8.3 tie-break).
+    """
+    events = _parsed(parsed).filter(F.col("req_dir").isin("i", "o"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "req_dir", "req_counter")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delta = F.when(F.col("req_dir") == "i", 1).otherwise(-1)
+    return events.withColumn("concurrent", F.sum(delta).over(w))
+
+
+def max_concurrent(parsed: DataFrame) -> DataFrame:
+    """A2 maxConn: peak concurrent connections across the corpus."""
+    return concurrency_timeline(parsed).agg(
+        F.max("concurrent").alias("max_concurrent")
+    )
+
+
+def concurrency_by_hour(parsed: DataFrame, bucket: str = "hour") -> DataFrame:
+    """A3: per-hour (or per-minute) peak of the running gauge."""
+    tl = concurrency_timeline(parsed)
+    bucket_col = F.date_trunc(bucket, "ts").alias(bucket)
+    return (
+        tl.groupBy(bucket_col)
+        .agg(F.max("concurrent").alias("max_concurrent"))
+        .orderBy(bucket)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4
+# ---------------------------------------------------------------------------
+
+
+def protocol_counts(parsed: DataFrame) -> DataFrame:
+    """Counts per raw protocol value over all parsed lines."""
+    return _parsed(parsed).groupBy("protocol").agg(F.count("*").alias("n")).orderBy("protocol")
+
+
+def protocol_by_hour(parsed: DataFrame) -> DataFrame:
+    """Per-hour ssh-vs-http split of classified git-op responses
+    (GitOpsAnalyser.hs:~150 protocolStatsByHour [K]; http ∪ https → http)."""
+    ops = _parsed(parsed).filter(F.col("op_type").isNotNull())
+    return (
+        ops.groupBy(F.date_format("hour", "yyyy-MM-dd HH").alias("hour"))
+        .agg(
+            F.sum((F.col("protocol") == "ssh").cast("long")).alias("ssh"),
+            F.sum(F.col("protocol").isin("http", "https").cast("long")).alias("http"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5
+# ---------------------------------------------------------------------------
+
+
+def git_operations(parsed: DataFrame) -> DataFrame:
+    """Per-hour counts of the five git-op types split cache-hit / cache-miss.
+
+    Fixed op set → ten conditional sums, NOT ``pivot`` (pivot launches an
+    extra distinct-values job and here the columns are statically known).
+    Non-``cache:hit`` responses bucket as miss, matching the reference's
+    hit/else accounting (GitOpsAnalyser.hs:~135 [K], FIXTURES.md §4 A5).
+    """
+    ops = _parsed(parsed).filter(F.col("op_type").isNotNull())
+    aggs = []
+    for op in OP_TYPES:
+        is_op = F.col("op_type") == op
+        aggs.append(F.sum((is_op & F.col("cache_hit")).cast("long")).alias(f"{op}_hit"))
+        aggs.append(F.sum((is_op & ~F.col("cache_hit")).cast("long")).alias(f"{op}_miss"))
+    return (
+        ops.groupBy(F.date_format("hour", "yyyy-MM-dd HH").alias("hour"))
+        .agg(*aggs)
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6
+# ---------------------------------------------------------------------------
+
+
+def repository_stats(parsed: DataFrame, salt_partitions: int = 0) -> DataFrame:
+    """Per-repository op counts sorted by clones desc (then slug asc).
+
+    ``salt_partitions > 0`` demonstrates the explicit two-phase salted
+    aggregation for hot keys (BASELINE.json:14): phase 1 groups by
+    ``(repo_slug, salt)`` so a hot repo's rows spread over N reducers,
+    phase 2 merges the partials. For pure sums Spark's map-side partial
+    aggregation already bounds skew, so both forms return identical
+    results (asserted in tests); the salted form is the template for
+    skewed aggregates that lack partials (distincts, large collects).
+    """
+    ops = _parsed(parsed).filter(
+        F.col("op_type").isNotNull() & F.col("repo_slug").isNotNull()
+    )
+    aggs = [
+        F.sum((F.col("op_type") == op).cast("long")).alias(plural)
+        for op, plural in _OP_PLURAL.items()
+    ]
+    if salt_partitions > 0:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)).alias("_salt")
+        partial = ops.groupBy(F.col("repo_slug"), salt).agg(*aggs)
+        merged = partial.groupBy("repo_slug").agg(
+            *[F.sum(p).alias(p) for p in _OP_PLURAL.values()]
+        )
+    else:
+        merged = ops.groupBy("repo_slug").agg(*aggs)
+    return merged.orderBy(F.desc("clones"), F.asc("repo_slug"))
+
+
+# ---------------------------------------------------------------------------
+# A7
+# ---------------------------------------------------------------------------
+
+
+def request_durations(parsed: DataFrame, keep_tokens: bool = True) -> DataFrame:
+    """Raw git-op response durations (the reference emits these rows for
+    gnuplot). ``tokens`` ride along so the routed sink satisfies the
+    token-array-equality invariant (BASELINE.json:15)."""
+    cols = ["doc_id", "op_type", "duration_ms", "username", "client_ip", "ts_raw"]
+    if keep_tokens:
+        cols.append("tokens")
+    return (
+        _parsed(parsed)
+        .filter(F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull())
+        .select(*cols)
+    )
+
+
+def duration_percentiles(parsed: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-op-type duration percentiles. Exact (interpolated) at test scale
+    for golden stability; ``approx=True`` switches to the mergeable
+    ``percentile_approx`` sketch for the 10^12-row path (SURVEY.md §3.5 A7).
+    """
+    durs = request_durations(parsed, keep_tokens=False)
+    pcts = [0.5, 0.9, 0.95, 0.99]
+    names = ["p50", "p90", "p95", "p99"]
+    fn = F.percentile_approx if approx else F.percentile
+    agg = fn(F.col("duration_ms"), F.array(*[F.lit(p) for p in pcts]))
+    exploded = [F.get(F.col("_p"), i).cast("double").alias(n) for i, n in enumerate(names)]
+    return (
+        durs.groupBy("op_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.mean("duration_ms").alias("mean_ms"),
+            agg.alias("_p"),
+        )
+        .select("op_type", "n", "mean_ms", *exploded)
+        .orderBy("op_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 / J2 — in|out pairing
+# ---------------------------------------------------------------------------
+
+
+def pair_requests(parsed: DataFrame, use_join: bool = False) -> DataFrame:
+    """Pair each incoming event with its outgoing response.
+
+    The request counter resets daily, so the pairing key is
+    ``(day, req_counter)``. Default formulation: ONE hash aggregation
+    with min_by-style conditional aggregates — a single shuffle, immune
+    to build-side skew. ``use_join=True`` keeps the self-join
+    formulation (SMJ/shuffled-hash under AQE) for plan comparison.
+    """
+    events = _parsed(parsed).filter(F.col("req_dir").isin("i", "o"))
+    if use_join:
+        inc = events.filter(F.col("req_dir") == "i").select(
+            "day", "req_counter", F.col("ts").alias("ts_in")
+        )
+        out = events.filter(F.col("req_dir") == "o").select(
+            "day",
+            "req_counter",
+            F.col("ts").alias("ts_out"),
+            "username",
+            "op_type",
+            "duration_ms",
+        )
+        return inc.join(out, ["day", "req_counter"], "inner").withColumn(
+            "latency_ms",
+            (F.col("ts_out").cast("double") - F.col("ts_in").cast("double")) * 1000.0,
+        )
+    is_i = F.col("req_dir") == "i"
+    is_o = F.col("req_dir") == "o"
+    paired = events.groupBy("day", "req_counter").agg(
+        F.min(F.when(is_i, F.col("ts"))).alias("ts_in"),
+        F.max(F.when(is_o, F.col("ts"))).alias("ts_out"),
+        F.max(F.when(is_o, F.col("username"))).alias("username"),
+        F.max(F.when(is_o, F.col("op_type"))).alias("op_type"),
+        F.max(F.when(is_o, F.col("duration_ms"))).alias("duration_ms"),
+    )
+    return paired.withColumn(
+        "latency_ms",
+        (F.col("ts_out").cast("double") - F.col("ts_in").cast("double")) * 1000.0,
+    )
+
+
+def pairing_stats(parsed: DataFrame) -> DataFrame:
+    """J2 diagnostics: matched pairs and unmatched in/out counts."""
+    p = pair_requests(parsed)
+    return p.agg(
+        F.sum((F.col("ts_in").isNotNull() & F.col("ts_out").isNotNull()).cast("long")).alias(
+            "matched_pairs"
+        ),
+        F.sum(F.col("ts_out").isNull().cast("long")).alias("unmatched_incoming"),
+        F.sum(F.col("ts_in").isNull().cast("long")).alias("unmatched_outgoing"),
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with the scale-tuned config profile.
+
+The same profile is used by tests (small core counts) and the bench /
+scaling runs (local[8] vs local[32]); on a real cluster the identical
+config ships through ``spark-submit --py-files`` (see plans/job.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "stash-log-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the pipeline's config profile.
+
+    * AQE on (coalesce + skew-join) — runtime re-planning for the skewed
+      repo/user aggregations and the in|out pairing join.
+    * Arrow enabled — the decode UDF is a pandas/Arrow UDF; Arrow batch
+      transfer is the only JVM↔Python boundary in the pipeline.
+    * shuffle partitions sized to cores locally; on a cluster this is
+      overridden to ~2-3× total executor cores via spark-submit conf.
+    * UTC session timezone so timestamp goldens are stable everywhere.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size bounds pandas-UDF memory per batch; 10k rows of
+        # ~200-byte token arrays ≈ 8 MB/batch — safe at any executor size.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus and cpus.isdigit():
+            shuffle_partitions = max(int(cpus), 4)
+        elif master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 4)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,119 @@
+"""Aggregation goldens — FIXTURES.md §4, standing in for the reference's
+tasty/HUnit aggregation fixtures (SURVEY.md §6.1)."""
+
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import analyses as A
+
+
+def test_a1_count_requests(parsed):
+    r = A.count_requests(parsed).collect()[0]
+    assert (r.total_lines, r.parsed_lines, r.malformed_lines) == (14, 13, 1)
+
+
+def test_a2_max_concurrent(parsed):
+    assert A.max_concurrent(parsed).collect()[0].max_concurrent == 2
+    # cross-check against the server's own embedded gauge (field 3)
+    embedded = parsed.agg(F.max("req_concurrent")).collect()[0][0]
+    assert embedded == 2
+
+
+def test_a3_concurrency_by_hour(parsed):
+    rows = {
+        r.hour.strftime("%Y-%m-%d %H"): r.max_concurrent
+        for r in A.concurrency_by_hour(parsed).collect()
+    }
+    assert rows == {"2012-09-08 00": 2, "2012-09-08 01": 1}
+
+
+def test_a4_protocol_counts(parsed):
+    rows = {r.protocol: r.n for r in A.protocol_counts(parsed).collect()}
+    assert rows == {"https": 7, "http": 2, "ssh": 4}
+
+
+def test_a4b_protocol_by_hour(parsed):
+    rows = {r.hour: (r.ssh, r.http) for r in A.protocol_by_hour(parsed).collect()}
+    assert rows == {"2012-09-08 00": (1, 3), "2012-09-08 01": (1, 1)}
+
+
+def test_a5_git_operations(parsed):
+    rows = {r.hour: r.asDict() for r in A.git_operations(parsed).collect()}
+    h0, h1 = rows["2012-09-08 00"], rows["2012-09-08 01"]
+    assert h0["clone_hit"] == 1 and h0["clone_miss"] == 1
+    assert h0["fetch_miss"] == 1 and h0["fetch_hit"] == 0
+    assert h0["ref_advertisement_hit"] == 1 and h0["ref_advertisement_miss"] == 0
+    assert h0["shallow_clone_hit"] == 0 and h0["shallow_clone_miss"] == 0
+    assert h0["push_hit"] == 0 and h0["push_miss"] == 0
+    assert h1["shallow_clone_miss"] == 1 and h1["push_miss"] == 1
+    assert h1["clone_hit"] == 0 and h1["clone_miss"] == 0 and h1["fetch_miss"] == 0
+
+
+def test_a6_repository_stats(parsed):
+    rows = [r.asDict() for r in A.repository_stats(parsed).collect()]
+    assert [r["repo_slug"] for r in rows] == ["conf/confluence", "conf/teams", "teams/website"]
+    conf = rows[0]
+    # L14 is an unpaired INCOMING info/refs GET → not counted (FIXTURES §4 A6)
+    assert (conf["clones"], conf["fetches"], conf["shallow_clones"], conf["pushes"],
+            conf["ref_advertisements"]) == (1, 0, 1, 0, 1)
+    teams = rows[1]
+    assert (teams["clones"], teams["pushes"]) == (1, 1)
+    web = rows[2]
+    assert (web["fetches"], web["clones"]) == (1, 0)
+
+
+def test_a6_salted_equals_unsalted(parsed):
+    plain = A.repository_stats(parsed).collect()
+    salted = A.repository_stats(parsed, salt_partitions=7).collect()
+    assert plain == salted
+
+
+def test_a7_request_durations_raw(parsed):
+    rows = {(r.op_type, r.duration_ms, r.username, r.client_ip)
+            for r in A.request_durations(parsed).collect()}
+    assert rows == {
+        ("ref_advertisement", 170, "ssaasen", "172.16.1.187"),
+        ("clone", 4500, "ssaasen", "172.16.1.187"),
+        ("clone", 4000, "jdoe", "10.0.0.5"),
+        ("fetch", 2000, "mkent", "63.246.22.196"),
+        ("push", 3000, "jdoe", "10.0.0.5"),
+        ("shallow_clone", 1500, "ssaasen", "172.16.1.200"),
+    }
+
+
+def test_a7_exact_percentiles(parsed):
+    rows = {r.op_type: r for r in A.duration_percentiles(parsed).collect()}
+    assert rows["clone"].p50 == 4250.0  # interpolated between 4000 and 4500
+    assert rows["fetch"].p50 == 2000.0
+    assert rows["clone"].n == 2
+
+
+def test_a7_raw_sink_token_equality(parsed, fixture_corpus):
+    """Routed-row invariant: the A7 raw sink carries the ORIGINAL tokens."""
+    routed = A.request_durations(parsed, keep_tokens=True).alias("r")
+    joined = routed.join(fixture_corpus.alias("c"), "doc_id")
+    assert joined.filter(F.expr("r.tokens != c.tokens")).count() == 0
+    assert routed.count() == 6
+
+
+def test_j1_pairing(parsed):
+    stats = A.pairing_stats(parsed).collect()[0]
+    assert stats.matched_pairs == 6
+    assert stats.unmatched_incoming == 1  # L14, counter 7
+    assert stats.unmatched_outgoing == 0
+
+
+def test_j1_groupby_equals_join_form(parsed):
+    g = A.pair_requests(parsed).filter("ts_in is not null and ts_out is not null")
+    j = A.pair_requests(parsed, use_join=True)
+    cols = ["day", "req_counter", "ts_in", "ts_out", "latency_ms"]
+    assert sorted(map(tuple, g.select(cols).collect())) == sorted(
+        map(tuple, j.select(cols).collect())
+    )
+
+
+def test_j1_latency_vs_server_duration(parsed):
+    """Pair latency (ts_out - ts_in) matches the logged duration for the
+    fixture pairs (generator emits o at i.ts + duration)."""
+    p = A.pair_requests(parsed).filter("duration_ms is not null and ts_in is not null")
+    bad = p.filter(F.abs(F.col("latency_ms") - F.col("duration_ms")) > 1).count()
+    assert bad == 0
