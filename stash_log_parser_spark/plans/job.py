@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the full pipeline.
+
+Usage (cluster):
+
+    spark-submit --py-files pipeline.zip -m stash_log_parser_spark.plans.job \
+        --input <corpus parquet/iceberg> --output <sink root>
+
+Usage (local sandbox):
+
+    python -m stash_log_parser_spark.plans.job \
+        --input /tmp/corpus.parquet --output /tmp/sinks \
+        [--master local[8]] [--gen-requests 50000 --gen-days 3]
+
+Prints ONE JSON line with throughput (sequences/sec) and the per-sink
+summary — the measurement consumed by BENCH/BASELINE.md's N-vs-4N
+scaling evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ..session import build_session
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--sql-decode", action="store_true")
+    ap.add_argument("--gen-requests", type=int, default=0,
+                    help="if >0 and --input missing, generate a corpus first")
+    ap.add_argument("--gen-days", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = build_session(
+        app_name="stash-log-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    if args.gen_requests > 0 and not os.path.exists(args.input):
+        from ..corpus import generate_spark
+
+        gen = generate_spark(spark, args.gen_requests, args.gen_days, seed=args.seed)
+        gen.drop("line", "day").write.mode("overwrite").parquet(args.input)
+
+    from .routing import run_pipeline
+
+    n_rows = spark.read.parquet(args.input).count()
+    t0 = time.perf_counter()
+    summary = run_pipeline(
+        spark, args.input, args.output,
+        run_id=args.run_id, force=args.force, use_sql_decode=args.sql_decode,
+    )
+    elapsed = time.perf_counter() - t0
+    result = {
+        "metric": "pipeline_sequences_per_sec",
+        "value": round(n_rows / elapsed, 1),
+        "unit": "seq/s",
+        "rows": n_rows,
+        "elapsed_sec": round(elapsed, 2),
+        "master": spark.sparkContext.master,
+        "summary": summary,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

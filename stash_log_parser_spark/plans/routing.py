@@ -1,0 +1,219 @@
+"""Fan-out routing: one parse, many per-analysis sinks, resumable.
+
+The reference runs one analysis per CLI invocation over the same files
+(Main.hs mode dispatch [K]); at 10^12 rows re-scanning per analysis is
+the dominant cost, so the rebuild parses ONCE and fans out to every
+sink from the cached parsed frame (SURVEY.md §8.1 M6).
+
+Incremental / resumable semantics mirror the reference's "progressive"
+file-level resume (File.hs:~50 createPredicate [K]) at day granularity:
+the routing day is the date embedded in the source *filename*
+(``atlassian-stash-access-YYYY-MM-DD.N.log`` — File.hs:~30
+sortLogFiles [K]), every sink is day-partitioned, and a restart skips
+(sink, day) partitions already recorded in the ``_lineage`` table.
+Partition writes are whole-day overwrites, so a crash between data and
+lineage commits is repaired by an idempotent rewrite.
+
+Scale design: per-day aggregates are MERGEABLE partials — global
+repositoryStats / protocolStats roll up from the daily sinks without
+touching raw data; exact global percentiles come from the routed
+request_durations raw sink. Lineage row-counts are taken from the
+pre-write cached frame; an Iceberg backend would read them from the
+commit snapshot instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.parse import parse_corpus
+from ..operators import analyses as A
+from ..operators.enrich import enrich
+from ..sources.catalog import SinkCatalog
+
+_FILE_DAY_RE = r"(\d{4}-\d{2}-\d{2})"
+
+
+def _with_day(df: DataFrame, from_hour_string: str | None = None) -> DataFrame:
+    if from_hour_string:
+        return df.withColumn("day", F.substring(F.col(from_hour_string), 1, 10))
+    return df
+
+
+def _sink_git_operations(p: DataFrame) -> DataFrame:
+    return _with_day(A.git_operations(p), "hour")
+
+
+def _sink_protocol_by_hour(p: DataFrame) -> DataFrame:
+    return _with_day(A.protocol_by_hour(p), "hour")
+
+
+def _sink_concurrency_by_hour(p: DataFrame) -> DataFrame:
+    df = A.concurrency_by_hour(p).withColumn(
+        "day", F.date_format("hour", "yyyy-MM-dd")
+    )
+    return df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH"))
+
+
+def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
+    return (
+        p.filter(F.col("is_parsed"))
+        .groupBy("file_day", "protocol")
+        .agg(F.count("*").alias("n"))
+        .withColumnRenamed("file_day", "day")
+    )
+
+
+def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
+    ops = p.filter(F.col("op_type").isNotNull() & F.col("repo_slug").isNotNull())
+    aggs = [
+        F.sum((F.col("op_type") == op).cast("long")).alias(plural)
+        for op, plural in A._OP_PLURAL.items()
+    ]
+    return (
+        ops.groupBy("file_day", "repo_slug").agg(*aggs).withColumnRenamed("file_day", "day")
+    )
+
+
+def _sink_request_durations(p: DataFrame) -> DataFrame:
+    """Routed RAW rows — carries the original tokens (BASELINE.json:15)."""
+    return (
+        p.filter(F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull())
+        .select(
+            "doc_id", "op_type", "duration_ms", "username", "client_ip",
+            "project_key", "datacenter", "ts_raw", "tokens",
+            F.col("file_day").alias("day"),
+        )
+    )
+
+
+def _sink_pairing_daily(p: DataFrame) -> DataFrame:
+    pairs = A.pair_requests(p)
+    return (
+        pairs.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.sum((F.col("ts_in").isNotNull() & F.col("ts_out").isNotNull()).cast("long")).alias("matched_pairs"),
+            F.sum(F.col("ts_out").isNull().cast("long")).alias("unmatched_incoming"),
+            F.sum(F.col("ts_in").isNull().cast("long")).alias("unmatched_outgoing"),
+        )
+    )
+
+
+def _sink_metrics(p: DataFrame) -> DataFrame:
+    """Per-(day, source) parse metrics — malformed lines are counted here,
+    never silently dropped (SURVEY.md §3.3 F5)."""
+    return (
+        p.groupBy(F.col("file_day").alias("day"), "source")
+        .agg(
+            F.count("*").alias("total_lines"),
+            F.sum(F.col("is_parsed").cast("long")).alias("parsed_lines"),
+            F.sum((~F.col("is_parsed")).cast("long")).alias("malformed_lines"),
+        )
+    )
+
+
+SINKS: dict[str, callable] = {
+    "git_operations": _sink_git_operations,
+    "protocol_by_hour": _sink_protocol_by_hour,
+    "concurrency_by_hour": _sink_concurrency_by_hour,
+    "protocol_counts_daily": _sink_protocol_counts_daily,
+    "repository_stats_daily": _sink_repository_stats_daily,
+    "request_durations": _sink_request_durations,
+    "pairing_daily": _sink_pairing_daily,
+    "metrics": _sink_metrics,
+}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    run_id: str = "run-0",
+    force: bool = False,
+    use_sql_decode: bool = False,
+    sinks: dict | None = None,
+) -> dict:
+    """Parse → enrich → route the corpus at ``input_path`` into per-analysis
+    day-partitioned sinks under ``output``. Returns a summary dict.
+
+    Resume: (sink, day) partitions already in ``_lineage`` are skipped
+    (``force=True`` reprocesses everything). Days still pending for ANY
+    sink are parsed once, cached, and fanned out.
+    """
+    sinks = sinks or SINKS
+    catalog = SinkCatalog(spark, output)
+    committed = set() if force else catalog.committed()
+
+    raw = spark.read.parquet(input_path).select("doc_id", "tokens", "n_tok", "source")
+    raw = raw.withColumn("file_day", F.regexp_extract("source", _FILE_DAY_RE, 1))
+    all_days = sorted(r.file_day for r in raw.select("file_day").distinct().collect())
+
+    pending: dict[str, list[str]] = {
+        name: [d for d in all_days if (name, d) not in committed] for name in sinks
+    }
+    days_needed = sorted({d for ds in pending.values() for d in ds})
+    summary = {"run_id": run_id, "days_total": len(all_days), "days_parsed": len(days_needed), "sinks": {}}
+    if not days_needed:
+        return summary
+
+    scoped = raw.filter(F.col("file_day").isin(days_needed))
+    parsed = enrich(parse_corpus(scoped, use_sql_decode=use_sql_decode)).withColumn(
+        "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
+    )
+    parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for name, fn in sinks.items():
+            days = pending[name]
+            if not days:
+                summary["sinks"][name] = {"days_written": 0, "rows": 0}
+                continue
+            df = fn(parsed.filter(F.col("file_day").isin(days)))
+            df = df.filter(F.col("day").isin(days))
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            catalog.write_partitions(df, name)
+            per_day = {r.day: r.n for r in df.groupBy("day").agg(F.count("*").alias("n")).collect()}
+            df.unpersist()
+            entries = [(name, d, int(per_day.get(d, 0))) for d in days]
+            catalog.commit(entries, run_id)
+            summary["sinks"][name] = {
+                "days_written": len(days),
+                "rows": int(sum(per_day.values())),
+            }
+    finally:
+        parsed.unpersist()
+    return summary
+
+
+# -- global rollups from the mergeable daily sinks ---------------------------
+
+
+def repository_stats_global(catalog: SinkCatalog) -> DataFrame:
+    daily = catalog.read("repository_stats_daily")
+    sums = [F.sum(c).alias(c) for c in A._OP_PLURAL.values()]
+    return daily.groupBy("repo_slug").agg(*sums).orderBy(F.desc("clones"), F.asc("repo_slug"))
+
+
+def protocol_counts_global(catalog: SinkCatalog) -> DataFrame:
+    return (
+        catalog.read("protocol_counts_daily")
+        .groupBy("protocol")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("protocol")
+    )
+
+
+def duration_percentiles_global(catalog: SinkCatalog, approx: bool = False) -> DataFrame:
+    durs = catalog.read("request_durations")
+    pcts = [0.5, 0.9, 0.95, 0.99]
+    names = ["p50", "p90", "p95", "p99"]
+    fn = F.percentile_approx if approx else F.percentile
+    agg = fn(F.col("duration_ms"), F.array(*[F.lit(p) for p in pcts]))
+    exploded = [F.get(F.col("_p"), i).cast("double").alias(n) for i, n in enumerate(names)]
+    return (
+        durs.groupBy("op_type")
+        .agg(F.count("*").alias("n"), agg.alias("_p"))
+        .select("op_type", "n", *exploded)
+        .orderBy("op_type")
+    )

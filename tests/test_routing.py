@@ -1,0 +1,117 @@
+"""Fan-out routing, lineage, idempotent resume (SURVEY.md §8.1 M6)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark import corpus
+from stash_log_parser_spark.plans.routing import (
+    SINKS,
+    duration_percentiles_global,
+    protocol_counts_global,
+    repository_stats_global,
+    run_pipeline,
+)
+from stash_log_parser_spark.sources.catalog import SinkCatalog
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("route") / "corpus.parquet")
+    corpus.write_corpus(p, n_requests_per_day=400, n_days=3, seed=11)
+    return p
+
+
+def test_full_run_writes_all_sinks(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "sinks")
+    summary = run_pipeline(spark, corpus_path, out, run_id="r1")
+    assert summary["days_parsed"] == 3
+    cat = SinkCatalog(spark, out)
+    for name in SINKS:
+        assert cat.exists(name), name
+        assert summary["sinks"][name]["days_written"] == 3
+    # lineage has one row per (sink, day)
+    assert len(cat.committed()) == len(SINKS) * 3
+
+
+def test_rerun_is_noop(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    s2 = run_pipeline(spark, corpus_path, out, run_id="r2")
+    assert s2["days_parsed"] == 0
+    assert all(v["days_written"] == 0 for v in s2["sinks"].values())
+
+
+def test_resume_after_partial_failure_is_identical(spark, corpus_path, tmp_path):
+    """Kill-after-sink-k simulation: a run that only committed some sinks
+    resumes to a final state identical to an uninterrupted run."""
+    out_full = str(tmp_path / "full")
+    run_pipeline(spark, corpus_path, out_full, run_id="full")
+
+    # partial run: only the first three sinks "survive the crash"
+    out_part = str(tmp_path / "part")
+    first3 = dict(list(SINKS.items())[:3])
+    run_pipeline(spark, corpus_path, out_part, run_id="crashed", sinks=first3)
+    # resume with the full sink set
+    s = run_pipeline(spark, corpus_path, out_part, run_id="resume")
+    assert s["sinks"]["git_operations"]["days_written"] == 0  # already committed
+    assert s["sinks"]["request_durations"]["days_written"] == 3  # recovered
+
+    cat_full, cat_part = SinkCatalog(spark, out_full), SinkCatalog(spark, out_part)
+    for name in SINKS:
+        a = sorted(map(tuple, cat_full.read(name).collect()))
+        b = sorted(map(tuple, cat_part.read(name).collect()))
+        assert a == b, f"sink {name} differs after resume"
+
+
+def test_interrupted_partition_rewrite_is_idempotent(spark, corpus_path, tmp_path):
+    """Crash BETWEEN data write and lineage commit: the partition is
+    rewritten on resume with no duplicates (whole-day overwrite)."""
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    before = sorted(map(tuple, cat.read("repository_stats_daily").collect()))
+
+    # simulate: lineage lost for one sink (data still on disk)
+    lineage = cat.read("_lineage").filter(F.col("sink") != "repository_stats_daily")
+    rows = lineage.collect()
+    shutil.rmtree(f"{out}/_lineage")
+    spark.createDataFrame(rows, lineage.schema).coalesce(1).write.mode("overwrite").parquet(f"{out}/_lineage")
+
+    s = run_pipeline(spark, corpus_path, out, run_id="r2")
+    assert s["sinks"]["repository_stats_daily"]["days_written"] == 3
+    after = sorted(map(tuple, cat.read("repository_stats_daily").collect()))
+    assert before == after
+
+
+def test_routed_raw_sink_token_equality(spark, corpus_path, tmp_path):
+    """BASELINE.json:15 invariant on the on-disk routed rows."""
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    routed = SinkCatalog(spark, out).read("request_durations").alias("r")
+    src = spark.read.parquet(corpus_path).alias("c")
+    j = routed.join(src, "doc_id")
+    assert j.count() == routed.count() > 0
+    assert j.filter(F.expr("r.tokens != c.tokens")).count() == 0
+
+
+def test_global_rollups_match_direct_aggregation(spark, corpus_path, tmp_path):
+    """Daily partials merge to exactly the single-pass global answers."""
+    from stash_log_parser_spark.functions.parse import parse_corpus
+    from stash_log_parser_spark.operators import analyses as A
+
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    parsed = parse_corpus(spark.read.parquet(corpus_path))
+
+    assert sorted(map(tuple, repository_stats_global(cat).collect())) == sorted(
+        map(tuple, A.repository_stats(parsed).collect())
+    )
+    assert sorted(map(tuple, protocol_counts_global(cat).collect())) == sorted(
+        map(tuple, A.protocol_counts(parsed).collect())
+    )
+    got = {r.op_type: (r.n, r.p50, r.p99) for r in duration_percentiles_global(cat).collect()}
+    want = {r.op_type: (r.n, r.p50, r.p99) for r in A.duration_percentiles(parsed).collect()}
+    assert got == want
