@@ -1,0 +1,253 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+All variants are shuffle-conscious DataFrame compositions:
+
+* exact: one hash aggregation on md5(text) — map-side partials make the
+  duplicate-heavy case cheap (hot text hashes to ONE group row per
+  partition before the shuffle).
+* MinHash+LSH: shingle → k minhashes (JVM xxhash64, no UDF) → band →
+  bucket self-join restricted to same-bucket pairs; candidate pairs then
+  verified with exact shingle-set Jaccard. Cost is O(candidates), never
+  O(n²); bucket width (bands × rows) tunes recall/cost.
+* SimHash: 64-bit signature from word-level xxhash64 bit votes —
+  implemented as 64 conditional aggregates over the exploded words
+  (whole-stage codegen, no Python), near-dups via 16-bit chunk banding +
+  hamming ≤ threshold.
+* n-gram Jaccard: exact pairwise similarity on candidate pairs only.
+
+At 10^12 docs: shingling/minhash are embarrassingly parallel; the only
+shuffles are the bucket join (bounded by bucket size — cap giant
+buckets, they're boilerplate/spam anyway) and the group-by on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 16  # minhash permutations
+DEFAULT_BANDS = 4  # LSH bands (rows = K / BANDS)
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts; keep the smallest doc_id as representative."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    return (
+        docs.groupBy(h)
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .withColumn("is_duplicated", F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The deduplicated corpus itself: one row per distinct text."""
+    w_min = exact_dedup(docs, text_col).select("keep_doc_id")
+    return docs.join(
+        w_min, docs["doc_id"] == w_min["keep_doc_id"], "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / LSH
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (array<string>)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return docs.withColumn("shingles", F.array_distinct(shingles))
+
+
+def with_minhash(docs_with_shingles: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """k-permutation MinHash signature, all JVM-side: permutation i is
+    ``xxhash64(i, shingle)``; the signature element is the min over the
+    document's shingles."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(k)
+        ]
+    )
+    return docs_with_shingles.withColumn("minhash", sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, Jaccard-verified.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard ≥ threshold. Buckets larger than ``max_bucket`` are dropped
+    (logged into the `_capped` count by callers if needed) — at corpus
+    scale such buckets are degenerate boilerplate and would otherwise
+    produce quadratic joins.
+    """
+    rows = k // bands
+    sigs = with_minhash(with_shingles(docs, n, text_col), k).select(
+        "doc_id", "shingles", "minhash"
+    )
+    band_entries = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.get("minhash", b * rows + r) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("be"),
+    ).select("doc_id", "shingles", "be.band", "be.bucket")
+
+    # cap degenerate buckets before the self-join
+    sizes = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("_bs"))
+    band_entries = band_entries.join(
+        sizes.filter(F.col("_bs") <= max_bucket).drop("_bs"), ["band", "bucket"], "inner"
+    )
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_bruteforce(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (reference/oracle path; O(n²) —
+    small inputs only, the scale path is minhash_lsh_pairs)."""
+    s = with_shingles(docs, n, text_col).select("doc_id", "shingles")
+    a, b = s.alias("a"), s.alias("b")
+    cand = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: each word votes ±1 on every bit of xxhash64(word);
+    the signature bit is 1 where the vote sum is positive. Pure JVM:
+    explode words → 64 conditional sums → bit reassembly."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << j).cast("long") if j < 63 else F.when(
+            F.col(f"b{j}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs via 16-bit chunk banding on the SimHash (any pair
+    within hamming ≤ 3 of 64 bits shares at least one of 4 chunks),
+    then exact hamming verification."""
+    sigs = simhash(docs, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

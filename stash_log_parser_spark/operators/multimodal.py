@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with
+a metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages. The decode itself is STUBBED
+(no image/audio libraries in this container): ``fake_decoder`` is a
+deterministic stand-in keyed on the payload bytes, and ``real`` decode
+raises ``NotImplementedError`` with the library it would use. The
+Spark-side plumbing — schema, batch shape, partition sizing — is real
+and tested; swapping in PIL/torchaudio is a one-function change.
+
+Scale notes: binary payloads dominate row width, so stages (a) never
+shuffle the payload (features are extracted before any groupBy), and
+(b) bound Arrow batch memory via maxRecordsPerBatch (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # 16-dim
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def fake_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for image/audio decode: a 16-dim feature
+    derived from byte statistics. Replace with a real decoder when the
+    media libraries exist (PIL.Image.open / soundfile.read)."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    chunks = np.array_split(arr, FEATURE_DIM)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+
+
+def real_decoder(payload: bytes, kind: str):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "media decode requires PIL (image) / soundfile (audio) / av (video); "
+        "not available in this environment — wire it here."
+    )
+
+
+def extract_features(
+    media: DataFrame, thumb: tuple[int, int] = (32, 32), use_real_decoder: bool = False
+) -> DataFrame:
+    """Decode + featurize + 'resize' each payload, Arrow-batched.
+
+    The payload column is consumed here and NOT carried forward — features
+    leave the heavy bytes behind before any shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                nbytes.append(len(b))
+                if use_real_decoder:
+                    real_decoder(b, kind)  # raises NotImplementedError
+                feats.append(fake_decoder(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(nbytes, dtype="int32"),
+                    "feature": [f.tolist() for f in feats],
+                    "thumb_w": np.minimum(pdf["width"].fillna(0), thumb[0]).astype("int32"),
+                    "thumb_h": np.minimum(pdf["height"].fillna(0), thumb[1]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits one row per sampled
+    frame index (the decode of the actual frame is the stubbed part)."""
+    video = media.filter(F.col("kind") == "video")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+    )
+    return video.select(
+        "media_id", F.explode(idx).alias("frame_index"), "width", "height"
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + int(rng.randint(0, 256)))
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                bytearray(payload),
+                int(rng.randint(16, 512)),
+                int(rng.randint(16, 512)),
+                int(rng.randint(1, 300)) if kind == "video" else 0,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

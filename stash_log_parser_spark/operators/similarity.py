@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force exact top-k: JVM-side dot products
+  (zip_with + aggregate, codegen'd), broadcast query set, per-query
+  window top-k. The correctness baseline; O(n·q) but embarrassingly
+  parallel and shuffle-free until the final top-k.
+* :func:`lsh_topk` — the scale path: random-hyperplane (sign) LSH
+  bucketing; candidates = rows sharing a bucket with the query in any of
+  ``tables`` independent hash tables, exact cosine re-rank on candidates
+  only. Recall tunes with tables × hyperplanes.
+* :func:`embedding_near_dup_pairs` — near-duplicate detection by cosine
+  over LSH-bucketed candidate pairs.
+
+Hyperplanes are seeded numpy constants baked into the plan as literal
+arrays — deterministic across runs and engines, no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (broadcast the queries)."""
+    from pyspark.sql import Window
+
+    j = embeddings.join(F.broadcast(queries))
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach (table, bucket) LSH keys — exploded, one row per table."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return embeddings.select("*", F.explode(entries).alias("_lsh")).select(
+        "*", "_lsh.table", "_lsh.bucket"
+    ).drop("_lsh")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query in
+    at least one table; exact cosine re-rank on candidates only."""
+    from pyspark.sql import Window
+
+    e = with_lsh_buckets(embeddings, dim, n_planes, tables, seed, vec_col)
+    q = with_lsh_buckets(
+        queries.withColumnRenamed(query_vec_col, "_qv"), dim, n_planes, tables, seed, "_qv"
+    )
+    cand = e.join(
+        F.broadcast(q), on=["table", "bucket"], how="inner"
+    ).dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates."""
+    e = with_lsh_buckets(embeddings, dim, n_planes, tables, seed, vec_col).select(
+        "table", "bucket", F.col(id_col), F.col(vec_col)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

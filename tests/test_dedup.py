@@ -1,0 +1,80 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, Jaccard — with planted
+duplicates so recall is actually asserted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("warm", "cold")          # 1-word change → near-dup
+    near2 = BASE + " at dusk"                     # suffix change → near-dup
+    far = (
+        "completely different content about spark shuffles partitions and "
+        "catalyst optimizer rules rewriting logical plans into physical ones"
+    )
+    rows = [
+        (1, BASE), (2, BASE),                     # exact dups
+        (3, near), (4, near2),
+        (5, far),
+        (6, "tiny"),                              # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    d = D.exact_dedup(docs)
+    dup = d.filter("is_duplicated").collect()
+    assert len(dup) == 1 and dup[0].n_copies == 2 and dup[0].keep_doc_id == 1
+    assert D.exact_dedup_keep_first(docs).count() == 5  # 6 rows, 1 dup removed
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0    # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0     # near dup found
+    assert (2, 3) in pairs
+    assert not any({a, b} & {5} for a, b in pairs)     # far doc never pairs
+
+
+def test_lsh_pairs_subset_of_bruteforce(docs):
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    brute = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs_bruteforce(docs, threshold=0.5).collect()}
+    assert lsh <= brute
+    assert (1, 2) in brute
+    # jaccard values agree between the two paths on common pairs
+    lv = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    bv = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs_bruteforce(docs, threshold=0.5).collect()}
+    for p in lsh:
+        assert lv[p] == bv[p]
+
+
+def test_simhash_deterministic_and_near(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    sigs2 = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sigs == sigs2
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs  # one-word change stays within hamming 6
+
+
+def test_bucket_cap_prevents_quadratic_join(spark):
+    """A degenerate corpus (one identical text repeated) must not explode:
+    with max_bucket=10 the pair count is capped, not ~n²/2."""
+    rows = [(i, BASE) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = D.minhash_lsh_pairs(df, max_bucket=10).count()
+    assert n == 0  # every bucket has 50 > 10 entries → all capped
+    n_ok = D.minhash_lsh_pairs(df, max_bucket=100).count()
+    assert n_ok == 50 * 49 / 2

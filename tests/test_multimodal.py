@@ -1,0 +1,54 @@
+"""Multimodal plumbing: schema, batch shape, deterministic fake decode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.synth_media(spark, n=30, seed=42).cache()
+
+
+def test_feature_extraction_schema_and_counts(media):
+    feats = M.extract_features(media)
+    assert feats.schema == M.FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.feature) == M.FEATURE_DIM
+        assert r.n_bytes > 0
+        assert r.thumb_w <= 32 and r.thumb_h <= 32
+
+
+def test_fake_decoder_deterministic(media):
+    a = {r.media_id: tuple(r.feature) for r in M.extract_features(media).collect()}
+    b = {r.media_id: tuple(r.feature) for r in M.extract_features(media).collect()}
+    assert a == b
+    # and matches the local function on the same payload
+    row = media.filter(F.col("media_id") == "m00000").collect()[0]
+    expect = M.fake_decoder(bytes(row.payload))
+    assert np.allclose(a["m00000"], expect, atol=1e-6)
+
+
+def test_real_decoder_is_explicit_stub(media):
+    with pytest.raises(Exception) as e:
+        M.extract_features(media, use_real_decoder=True).collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_frame_sampling(media):
+    frames = M.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    assert all(r.frame_index % 10 == 0 for r in rows)
+    vid = media.filter("kind = 'video' and n_frames >= 11").count()
+    multi = frames.groupBy("media_id").count().filter("count > 1").count()
+    assert multi == vid
+
+
+def test_payload_not_carried_past_feature_stage(media):
+    assert "payload" not in M.extract_features(media).columns

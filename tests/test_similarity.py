@@ -1,0 +1,96 @@
+"""ANN / similarity-search operators over the embeddings table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return q.cache()
+
+
+def test_bruteforce_topk_self_is_rank1(emb, queries):
+    top = S.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert rows[0].vec_id == qid and rows[0].cosine == pytest.approx(1.0)
+        scores = [r.cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, emb, queries):
+    """The ANN contract that matters at scale: genuinely-similar vectors
+    (cos ≳ 0.98, e.g. near-duplicate training docs) are recalled. Random
+    vectors have no structure for LSH to exploit, so we plant neighbors:
+    3 slightly-perturbed copies of each query vector."""
+    import numpy as np
+
+    qrows = queries.collect()
+    rng = np.random.RandomState(0)
+    planted = []
+    for r in qrows:
+        v = np.array(r.query_vec, dtype=np.float64)
+        for j in range(3):
+            p = v + rng.normal(scale=0.02 * np.abs(v).mean(), size=v.shape)
+            planted.append((int(1_000_000 + r.query_id * 10 + j), [float(x) for x in p], 0))
+    aug = emb.unionByName(spark.createDataFrame(planted, emb.schema))
+    approx = S.lsh_topk(aug, queries, k=4, tables=8, n_planes=4).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in qrows:
+        want = {r.query_id} | {1_000_000 + r.query_id * 10 + j for j in range(3)}
+        got = by_q[r.query_id]
+        assert len(want & got) >= 3  # self + at least 2 of 3 planted copies
+
+
+def test_lsh_topk_scores_match_exact(emb, queries):
+    """LSH never invents scores: every (query, candidate) cosine equals
+    the brute-force value, and recall on unstructured data stays above
+    the wide-bucket floor."""
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    approx = S.lsh_topk(emb, queries, k=5, tables=8, n_planes=4).collect()
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.cosine == exact_scores[(r.query_id, r.vec_id)]
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3
+    for q, ids in ap.items():
+        assert q in ids  # self-match always in its own bucket
+
+
+def test_near_dup_pairs_on_planted_duplicates(spark, emb):
+    """Duplicate an embedding under a new id → the pair must be found."""
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(dup)
+    pairs = S.embedding_near_dup_pairs(aug, cosine_threshold=0.999).collect()
+    assert any(
+        r.id_b == r.id_a + 1_000_000 and r.cosine == pytest.approx(1.0) for r in pairs
+    )
+
+
+def test_lsh_bucket_determinism(emb):
+    a = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
+    b = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,72 @@
+"""Text-analysis operators: token counts, quality, langid, fingerprint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat and the dog sat with a friend; that is not unusual."),
+        (2, "le chat est avec un ami et la souris, ce n'est pas un souci"),
+        (3, "der Hund ist nicht mit der Katze und das ist ein Problem"),
+        (4, "el perro es un amigo y la gata no es que sea un problema con el sol"),
+        (5, "!!! ??? ### $$$ %%%"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_counts(docs):
+    r = {x.doc_id: x for x in TS.text_stats(docs).collect()}
+    one = r[1]
+    assert one.n_ws_tokens == 13
+    # BPE-ish: letter runs + punct; "unusual." → 2 tokens, "friend;" → 2
+    assert one.n_bpe_tokens == 15
+    assert one.n_punct == 2
+    assert r[5].quality_score < 0.3  # punctuation soup scores low
+    assert r[1].quality_score > r[5].quality_score
+
+
+def test_quality_monotonic_in_stopwords(docs):
+    r = {x.doc_id: x for x in TS.text_stats(docs).collect()}
+    assert r[1].stopword_ratio > 0.3  # English text hits English markers
+    assert r[2].stopword_ratio < r[1].stopword_ratio
+
+
+def test_langid(docs):
+    pred = {x.doc_id: x.lang_pred for x in TS.lang_scores(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[2] == "fr"
+    assert pred[3] == "de"
+    assert pred[4] == "es"
+    assert pred[5] == "de"  # all-zero scores → lexicographic first
+
+
+def test_fingerprint_properties(docs, spark):
+    fp = {x.doc_id: x.fingerprint for x in TS.fingerprint(docs).collect()}
+    assert fp[1] != fp[2]
+    # normalization: case and whitespace-runs don't change the fingerprint
+    variants = spark.createDataFrame(
+        [(10, "Hello   World"), (11, "hello world"), (12, "hello  WORLD ")],
+        "doc_id long, text string",
+    )
+    vf = {x.doc_id: x.fingerprint for x in TS.fingerprint(variants).collect()}
+    assert vf[10] == vf[11]
+    assert vf[11] != vf[12]  # trailing space IS significant (only runs collapse)
+    # python reference implementation agrees
+    def py_fp(s):
+        import re
+        h = 0
+        for ch in re.sub(r"\s+", " ", s.lower()):
+            h = (h * TS.FP_BASE + ord(ch)) % TS.FP_MOD
+        return h
+    assert vf[11] == py_fp("hello world")
+
+
+def test_empty_text_safe(docs):
+    stats = {x.doc_id: x for x in TS.text_stats(docs).collect()}
+    assert stats[6].n_ws_tokens in (0, 1)  # split('') edge
+    assert stats[6].quality_score is not None
