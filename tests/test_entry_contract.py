@@ -1,0 +1,63 @@
+"""Driver-contract conformance: entry() smoke + queries↔oracle parity on a
+representative subset at sf0.001 (the full 34-query sweep runs via
+tools/check_contract.py at sf0.01, mirroring the driver)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tools.check_contract import df_multiset
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF = "/root/testdata/sf0.001"
+
+# fast representative subset: every operator family is covered
+SUBSET = [
+    "log_count_requests",
+    "log_git_operations",
+    "log_max_concurrent",
+    "log_duration_percentiles",
+    "log_enrich_project",
+    "events_sessionize",
+    "tpch_pricing_summary",
+    "docs_text_stats",
+    "docs_fingerprint",
+    "emb_knn_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"hour", "n_events", "clicks", "views", "n_users", "n_segments"}
+
+
+def test_every_oracle_has_a_query():
+    qs, os_ = set(E.queries()), set(E.oracle_sql())
+    assert os_ <= qs
+    assert len(os_) >= 25  # the vast majority of operators are oracle-checked
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = E.queries()[name](spark, SF).toPandas()
+    odf = duck.sql(E.oracle_sql()[name]).df()
+    sc, sr = df_multiset(sdf)
+    oc, orr = df_multiset(odf)
+    assert sc == oc
+    assert sr == orr
+
+
+def test_rows_only_queries_execute(spark):
+    for name in sorted(set(E.queries()) - set(E.oracle_sql())):
+        df = E.queries()[name](spark, SF)
+        assert df.count() >= 0, name
