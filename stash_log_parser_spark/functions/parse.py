@@ -1,12 +1,24 @@
 """Decode + grok: tokenized byte sequences → typed LogEntry columns.
 
-The ONLY JVM↔Python boundary in the whole pipeline is
-:func:`decode_tokens` — one Arrow-vectorized pandas UDF that turns
-``tokens:array<int32>`` (UTF-8 byte values) into a string column using
-Arrow buffer surgery (zero per-row Python in the common no-null case).
-Everything downstream is native Catalyst expressions (split /
-regexp_extract / try_cast / array ops), so the grok stays inside
-whole-stage codegen.
+The ONLY JVM↔Python boundary in the whole pipeline is ONE Arrow-
+vectorized pandas UDF (:func:`_decode_split_udf`) that fuses P1+P2:
+``tokens:array<int32>`` → UTF-8 line (Arrow buffer surgery, zero
+per-row Python in the no-null case) → the ten ``" | "`` fields
+(vectorized ``pandas.str`` ops) returned as ONE struct column.
+
+Two deliberate performance decisions, found by reading the physical
+plan (.explain) on the bench corpus:
+
+* the UDF is registered ``asNondeterministic()`` — a pure optimizer
+  barrier (the function is seeded-deterministic): it stops Catalyst
+  from (a) pushing downstream filters below the Python node, which
+  previously DUPLICATED the ArrowEvalPython evaluation (one for the
+  rewritten filter, one for the project), and (b) collapsing the grok
+  projection into consumers, which re-inlined the field extraction
+  once per referencing expression;
+* everything downstream references struct fields (``_g.f3`` …) — cheap
+  pointer reads — instead of re-running ``split(decode(...))`` per
+  column, so the whole grok stays one whole-stage-codegen pass.
 
 Semantics reproduce the reference parser (juretta/stash-log-parser,
 logparser/src/Stash/Log/Parser.hs:~25–110 [K], SURVEY.md §1.1/§3.2):
@@ -15,6 +27,10 @@ ten `` | ``-separated fields; comma-millis timestamps; request ids
 labels split on ``", "``; HTTP vs SSH action grammars; git-op
 classification precedence (shallow clone before clone) per
 GitOpsAnalyser.hs:~70–135 [K].
+
+A pure-JVM decode (``decode_tokens_sql``) and a pure-JVM line grok
+(:func:`parse_lines`) are kept as cross-check paths; tests assert all
+paths agree field-for-field.
 """
 
 from __future__ import annotations
@@ -27,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
-# P1: token decode — one vectorized pandas/Arrow UDF
+# P1: token decode — Arrow buffer surgery
 # ---------------------------------------------------------------------------
 
 
@@ -66,10 +82,18 @@ def _decode_list_array(arr: pa.Array) -> pa.Array:
         )
 
 
-@F.pandas_udf(T.StringType())
-def _decode_tokens_udf(tokens: pd.Series) -> pd.Series:
+def _decode_series(tokens: pd.Series) -> pd.Series:
     arr = pa.Array.from_pandas(tokens, type=pa.list_(pa.int32()))
     return _decode_list_array(arr).to_pandas()
+
+
+@F.pandas_udf(T.StringType())
+def _decode_tokens_udf(tokens: pd.Series) -> pd.Series:
+    return _decode_series(tokens)
+
+
+# deterministic in fact; the flag is an optimizer barrier (see module doc)
+_decode_tokens_udf = _decode_tokens_udf.asNondeterministic()
 
 
 def decode_tokens(tokens: Column) -> Column:
@@ -79,19 +103,68 @@ def decode_tokens(tokens: Column) -> Column:
 
 def decode_tokens_sql(tokens: Column) -> Column:
     """Pure-JVM alternative decode (no Python worker at all): bytes → hex
-    → unhex → UTF-8. Used as a cross-check in tests and as a fallback
-    when a cluster forbids Python workers. Stays in codegen but does more
-    per-byte string work than the Arrow path — benchmark before choosing.
-    """
+    → unhex → UTF-8. Cross-check path and fallback for clusters that
+    forbid Python workers."""
     hexed = F.array_join(F.transform(tokens, lambda x: F.lpad(F.hex(x), 2, "0")), "")
     return F.decode(F.unhex(hexed), "UTF-8")
 
 
 # ---------------------------------------------------------------------------
-# P2–P10: grok — native Catalyst expressions only
+# P1+P2 fused: decode + field split in one Arrow batch
 # ---------------------------------------------------------------------------
 
-_REQ_ID_RE = r"^([io])(\d+)x(\d+)x(\d+)$"
+N_FIELDS = 10
+
+_CONTRACT_FIELDS = [
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+]
+
+_SPLIT_SCHEMA = T.StructType(
+    _CONTRACT_FIELDS
+    + [T.StructField("nf", T.IntegerType())]
+    + [T.StructField(f"f{i}", T.StringType()) for i in range(N_FIELDS)]
+)
+
+
+def _split_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """decode + split one Arrow batch with pyarrow.compute kernels only —
+    no pandas, no per-row Python. The field columns come from a single
+    split_pattern pass; element i is gathered with a vectorized take on
+    the flattened values (null where the row has < i+1 fields)."""
+    import pyarrow.compute as pc
+
+    tokens = batch.column(batch.schema.get_field_index("tokens"))
+    lines = _decode_list_array(tokens)
+    stripped = pc.replace_substring_regex(lines, pattern=r" \|$", replacement="")
+    parts = pc.split_pattern(stripped, pattern=" | ")
+    offsets = parts.offsets.to_numpy()
+    counts = np.diff(offsets).astype(np.int64)
+    values = parts.values
+    field_arrays = []
+    base = offsets[:-1].astype(np.int64)
+    for i in range(N_FIELDS):
+        valid = counts > i
+        idx = pa.array(np.where(valid, base + i, 0), type=pa.int64(), mask=~valid)
+        field_arrays.append(values.take(idx))
+    nf = pa.array(counts.astype(np.int32))
+    arrays = [batch.column(i) for i in range(batch.num_columns)] + [nf] + field_arrays
+    names = list(batch.schema.names) + ["nf"] + [f"f{i}" for i in range(N_FIELDS)]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _split_batches(batches):
+    for batch in batches:
+        yield _split_record_batch(batch)
+
+
+# ---------------------------------------------------------------------------
+# P3–P10: grok — native Catalyst expressions over the field struct
+# ---------------------------------------------------------------------------
+
+_REQ_ID_RE = r"^[io]\d+x\d+x\d+$"
 _HTTP_ACTION_RE = r'^"(\S+) (\S+)'
 _SSH_ACTION_RE = r"^(git-[a-z-]+) '([^']+)'"
 _REPO_SLUG_RE = r"^(?:/scm)?/([^/]+/[^/]+?)\.git(?:/|$)"
@@ -132,21 +205,13 @@ def op_type_expr(labels: Column, action: Column, method: Column, path: Column) -
     )
 
 
-def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """Grok a decoded ``line`` column into the full LogEntry schema.
-
-    Malformed lines are NOT dropped: they get ``is_parsed = false`` and are
-    counted into the metrics sink (SURVEY.md §3.3 F5) — callers filter.
-    All extraction is codegen'd Catalyst; `F.get` (never `element_at`)
-    keeps short splits null-safe under ANSI mode.
-    """
-    line = F.col(line_col)
-    # strip the trailing " |" so field 10 splits clean, then split on " | "
-    fields = F.split(F.regexp_replace(line, r" \|$", ""), r" \| ")
-    df = df.withColumn("_f", fields)
-    f = lambda i: F.get(F.col("_f"), i)  # noqa: E731  0-based, null out-of-bounds
-
+def _grok(df: DataFrame, f, nf: Column) -> DataFrame:
+    """Shared grok: ``f(i)`` yields field i (0-based, null if absent)."""
     req_id = f(2)
+    rid_ok = req_id.rlike(_REQ_ID_RE)
+    # one split instead of four regexp_extracts: [io]<minute>x<counter>x<conc>
+    rid_nums = F.when(rid_ok, F.split(F.substring(req_id, 2, 64), "x"))
+
     action = f(5)
     is_http_action = action.startswith('"')
     method = F.when(is_http_action, F.regexp_extract(action, _HTTP_ACTION_RE, 1)).otherwise(
@@ -165,18 +230,15 @@ def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     ts = F.try_to_timestamp(
         F.regexp_replace(ts_raw, ",", "."), F.lit("yyyy-MM-dd HH:mm:ss.SSS")
     )
-    req_counter = F.regexp_extract(req_id, _REQ_ID_RE, 3).try_cast("long")
 
     out = (
         df.withColumn("remote_ips", F.split(f(0), ","))
         .withColumn("client_ip", F.get(F.col("remote_ips"), 0))
         .withColumn("protocol", f(1))
-        .withColumn("req_dir", _nullify_dash(F.regexp_extract(req_id, _REQ_ID_RE, 1)))
-        .withColumn("req_minute", F.regexp_extract(req_id, _REQ_ID_RE, 2).try_cast("int"))
-        .withColumn("req_counter", req_counter)
-        .withColumn(
-            "req_concurrent", F.regexp_extract(req_id, _REQ_ID_RE, 4).try_cast("int")
-        )
+        .withColumn("req_dir", F.when(rid_ok, F.substring(req_id, 1, 1)))
+        .withColumn("req_minute", F.get(rid_nums, 0).try_cast("int"))
+        .withColumn("req_counter", F.get(rid_nums, 1).try_cast("long"))
+        .withColumn("req_concurrent", F.get(rid_nums, 2).try_cast("int"))
         .withColumn("username", _nullify_dash(f(3)))
         .withColumn("ts", ts)
         .withColumn("ts_raw", ts_raw)
@@ -189,12 +251,10 @@ def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         .withColumn("duration_ms", _nullify_dash(f(8)).try_cast("long"))
         .withColumn("session_id", _nullify_dash(f(9)))
     )
-    out = (
+    return (
         out.withColumn(
             "is_parsed",
-            F.col("ts").isNotNull()
-            & F.col("req_counter").isNotNull()
-            & (F.size("_f") == 10),
+            F.col("ts").isNotNull() & F.col("req_counter").isNotNull() & (nf == N_FIELDS),
         )
         .withColumn(
             "op_type",
@@ -206,18 +266,36 @@ def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
         .withColumn("cache_hit", F.array_contains("labels", "cache:hit"))
         .withColumn("hour", F.date_trunc("hour", "ts"))
         .withColumn("day", F.to_date("ts"))
-        .drop("_f")
     )
-    return out
+
+
+def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Grok an ALREADY-DECODED ``line`` column (pure-JVM path: split +
+    extraction entirely in Catalyst). Cross-check twin of the fused-UDF
+    path; also the entry point for plain-text log files.
+
+    Malformed lines are NOT dropped: they get ``is_parsed = false`` and
+    are counted into the metrics sink (SURVEY.md §3.3 F5).
+    """
+    line = F.col(line_col)
+    fields = F.split(F.regexp_replace(line, r" \|$", ""), r" \| ")
+    df = df.withColumn("_f", fields)
+    out = _grok(df, lambda i: F.get(F.col("_f"), i), F.size("_f"))
+    return out.drop("_f")
 
 
 def parse_corpus(df: DataFrame, use_sql_decode: bool = False) -> DataFrame:
     """Full P-layer: tokenized corpus → parsed LogEntry DataFrame.
 
     Reads ONLY the contract columns (doc_id, tokens, n_tok, source);
-    `tokens` rides along untouched so every routed raw-row sink can prove
-    token-array equality against the input (BASELINE.json:15).
+    ``tokens`` rides along untouched so every routed raw-row sink can
+    prove token-array equality against the input (BASELINE.json:15).
     """
     df = df.select("doc_id", "tokens", "n_tok", "source")
-    decode = decode_tokens_sql if use_sql_decode else decode_tokens
-    return parse_lines(df.withColumn("line", decode(F.col("tokens")))).drop("line")
+    if use_sql_decode:
+        return parse_lines(df.withColumn("line", decode_tokens_sql(F.col("tokens")))).drop(
+            "line"
+        )
+    g = df.mapInArrow(_split_batches, schema=_SPLIT_SCHEMA)
+    out = _grok(g, lambda i: F.col(f"f{i}"), F.col("nf"))
+    return out.drop("nf", *[f"f{i}" for i in range(N_FIELDS)])

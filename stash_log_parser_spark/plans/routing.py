@@ -159,6 +159,14 @@ def run_pipeline(
         return summary
 
     scoped = raw.filter(F.col("file_day").isin(days_needed))
+    # Defend against under-partitioned inputs (few giant files): the parse
+    # stage is CPU-bound, so fewer input splits than cores leaves the
+    # cluster idle. A production Iceberg table is range-partitioned into
+    # many files and never hits this branch; the reshuffle is one pass
+    # over the (narrow) contract columns.
+    target = spark.sparkContext.defaultParallelism * 2
+    if scoped.rdd.getNumPartitions() < target // 2:
+        scoped = scoped.repartition(target)
     parsed = enrich(parse_corpus(scoped, use_sql_decode=use_sql_decode)).withColumn(
         "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
     )
@@ -171,16 +179,20 @@ def run_pipeline(
                 continue
             df = fn(parsed.filter(F.col("file_day").isin(days)))
             df = df.filter(F.col("day").isin(days))
-            df.persist(StorageLevel.MEMORY_AND_DISK)
+            # row count comes from the write job itself (Observation) —
+            # no second pass over the sink frame.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             catalog.write_partitions(df, name)
-            per_day = {r.day: r.n for r in df.groupBy("day").agg(F.count("*").alias("n")).collect()}
-            df.unpersist()
-            entries = [(name, d, int(per_day.get(d, 0))) for d in days]
+            batch_rows = int(obs.get["rows"])
+            # lineage `rows` is the batch total (the commit-mark granularity
+            # is (sink, day); exact per-day line counts live in the
+            # `metrics` sink).
+            entries = [(name, d, batch_rows) for d in days]
             catalog.commit(entries, run_id)
-            summary["sinks"][name] = {
-                "days_written": len(days),
-                "rows": int(sum(per_day.values())),
-            }
+            summary["sinks"][name] = {"days_written": len(days), "rows": batch_rows}
     finally:
         parsed.unpersist()
     return summary

@@ -68,21 +68,53 @@ class SinkCatalog:
         )
 
     # -- lineage ------------------------------------------------------------
+    #
+    # The lineage is a tiny driver-side commit log (a handful of rows per
+    # run). Writing it through a Spark job costs a full job-scheduling
+    # round-trip per sink (~4s measured locally), so the parquet backend
+    # appends it with pyarrow directly on the driver; the Iceberg backend
+    # appends to a catalog table (one metadata commit). Readers can still
+    # load it as a normal parquet directory (``read("_lineage")``).
 
     def committed(self) -> set[tuple[str, str]]:
         """(sink, day) pairs already committed by previous runs."""
-        if not self.exists("_lineage"):
+        if self.use_iceberg:
+            tbl = f"{self.base}._lineage"
+            if not self.spark.catalog.tableExists(tbl):
+                return set()
+            rows = self.spark.read.table(tbl).select("sink", "day").distinct().collect()
+            return {(r.sink, r.day) for r in rows}
+        path = self._path("_lineage")
+        if not os.path.isdir(path):
             return set()
-        rows = self.read("_lineage").select("sink", "day").distinct().collect()
-        return {(r.sink, r.day) for r in rows}
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").to_table(columns=["sink", "day"])
+        return set(zip(t.column("sink").to_pylist(), t.column("day").to_pylist()))
 
     def commit(self, entries: list[tuple[str, str, int]], run_id: str) -> None:
         """Append lineage rows for freshly written (sink, day, rows)."""
         if not entries:
             return
-        data = [(s, d, n, run_id, i) for i, (s, d, n) in enumerate(entries)]
-        df = self.spark.createDataFrame(data, LINEAGE_SCHEMA)
         if self.use_iceberg:
+            data = [(s, d, n, run_id, i) for i, (s, d, n) in enumerate(entries)]
+            df = self.spark.createDataFrame(data, LINEAGE_SCHEMA)
             df.writeTo(f"{self.base}._lineage").append()
-        else:
-            df.coalesce(1).write.mode("append").parquet(self._path("_lineage"))
+            return
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._path("_lineage")
+        os.makedirs(path, exist_ok=True)
+        table = pa.table(
+            {
+                "sink": [s for s, _, _ in entries],
+                "day": [d for _, d, _ in entries],
+                "rows": pa.array([int(n) for _, _, n in entries], type=pa.int64()),
+                "run_id": [run_id] * len(entries),
+                "seq": pa.array(range(len(entries)), type=pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"commit-{run_id}-{uuid.uuid4().hex}.parquet"))
