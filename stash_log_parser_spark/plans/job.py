@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--gen-days", type=int, default=3)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=1,
+                    help=">1: first run is a warmup, median of the rest is reported")
     args = ap.parse_args(argv)
 
     spark = build_session(
@@ -56,18 +58,26 @@ def main(argv: list[str] | None = None) -> dict:
     from .routing import run_pipeline
 
     n_rows = spark.read.parquet(args.input).count()
-    t0 = time.perf_counter()
-    summary = run_pipeline(
-        spark, args.input, args.output,
-        run_id=args.run_id, force=args.force, use_sql_decode=args.sql_decode,
-    )
-    elapsed = time.perf_counter() - t0
+    elapsed_all = []
+    summary = None
+    for rep in range(max(args.reps, 1)):
+        t0 = time.perf_counter()
+        summary = run_pipeline(
+            spark, args.input, args.output,
+            run_id=f"{args.run_id}-{rep}",
+            force=args.force or args.reps > 1,
+            use_sql_decode=args.sql_decode,
+        )
+        elapsed_all.append(time.perf_counter() - t0)
+    measured = elapsed_all[1:] if len(elapsed_all) > 1 else elapsed_all
+    elapsed = sorted(measured)[len(measured) // 2]
     result = {
         "metric": "pipeline_sequences_per_sec",
         "value": round(n_rows / elapsed, 1),
         "unit": "seq/s",
         "rows": n_rows,
         "elapsed_sec": round(elapsed, 2),
+        "elapsed_all_sec": [round(e, 2) for e in elapsed_all],
         "master": spark.sparkContext.master,
         "summary": summary,
     }
