@@ -1,24 +1,25 @@
 """Decode + grok: tokenized byte sequences → typed LogEntry columns.
 
-The ONLY JVM↔Python boundary in the whole pipeline is ONE Arrow-
-vectorized pandas UDF (:func:`_decode_split_udf`) that fuses P1+P2:
-``tokens:array<int32>`` → UTF-8 line (Arrow buffer surgery, zero
-per-row Python in the no-null case) → the ten ``" | "`` fields
-(vectorized ``pandas.str`` ops) returned as ONE struct column.
+The ONLY JVM↔Python boundary in the whole pipeline is ONE
+``mapInArrow`` stage that fuses P1+P2 on raw Arrow RecordBatches:
+``tokens:array<int32>`` → UTF-8 line (Arrow buffer surgery: the list
+offsets are reinterpreted as binary-array offsets) → the ten ``" | "``
+fields via one ``pyarrow.compute.split_pattern`` pass + vectorized
+takes. No pandas, no per-row Python anywhere.
 
-Two deliberate performance decisions, found by reading the physical
-plan (.explain) on the bench corpus:
+Performance decisions, each made by reading the physical plan
+(.explain) and re-benchmarking on the bench corpus:
 
-* the UDF is registered ``asNondeterministic()`` — a pure optimizer
-  barrier (the function is seeded-deterministic): it stops Catalyst
-  from (a) pushing downstream filters below the Python node, which
-  previously DUPLICATED the ArrowEvalPython evaluation (one for the
-  rewritten filter, one for the project), and (b) collapsing the grok
-  projection into consumers, which re-inlined the field extraction
-  once per referencing expression;
-* everything downstream references struct fields (``_g.f3`` …) — cheap
-  pointer reads — instead of re-running ``split(decode(...))`` per
-  column, so the whole grok stays one whole-stage-codegen pass.
+* mapInArrow is a natural optimizer barrier: downstream filters can't
+  be pushed into it, which previously (with a column pandas-UDF)
+  DUPLICATED the Python stage — one evaluation for the rewritten
+  filter, one for the project;
+* everything downstream references the flat field columns (``f3`` …) —
+  cheap reads — instead of re-running ``split(decode(...))`` per
+  referencing expression, so the grok stays one codegen pass;
+* ``slim=True`` drops the heavy ``tokens`` payload INSIDE the Arrow
+  stage for aggregate-only plans (measured ~3× on repositoryStats);
+  the full mode carries tokens through for routed-row equality.
 
 Semantics reproduce the reference parser (juretta/stash-log-parser,
 logparser/src/Stash/Log/Parser.hs:~25–110 [K], SURVEY.md §1.1/§3.2):
@@ -122,18 +123,13 @@ _CONTRACT_FIELDS = [
     T.StructField("source", T.StringType()),
 ]
 
-_SPLIT_SCHEMA = T.StructType(
-    _CONTRACT_FIELDS
-    + [T.StructField("nf", T.IntegerType())]
-    + [T.StructField(f"f{i}", T.StringType()) for i in range(N_FIELDS)]
-)
-
-
-def _split_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+def _split_record_batch(batch: pa.RecordBatch, keep: tuple[str, ...]) -> pa.RecordBatch:
     """decode + split one Arrow batch with pyarrow.compute kernels only —
     no pandas, no per-row Python. The field columns come from a single
     split_pattern pass; element i is gathered with a vectorized take on
-    the flattened values (null where the row has < i+1 fields)."""
+    the flattened values (null where the row has < i+1 fields). Only the
+    ``keep`` passenger columns survive — slim mode drops the heavy
+    ``tokens`` array right here, before the Arrow→row conversion."""
     import pyarrow.compute as pc
 
     tokens = batch.column(batch.schema.get_field_index("tokens"))
@@ -150,14 +146,18 @@ def _split_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         idx = pa.array(np.where(valid, base + i, 0), type=pa.int64(), mask=~valid)
         field_arrays.append(values.take(idx))
     nf = pa.array(counts.astype(np.int32))
-    arrays = [batch.column(i) for i in range(batch.num_columns)] + [nf] + field_arrays
-    names = list(batch.schema.names) + ["nf"] + [f"f{i}" for i in range(N_FIELDS)]
+    passengers = [batch.column(batch.schema.get_field_index(c)) for c in keep]
+    arrays = passengers + [nf] + field_arrays
+    names = list(keep) + ["nf"] + [f"f{i}" for i in range(N_FIELDS)]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _split_batches(batches):
-    for batch in batches:
-        yield _split_record_batch(batch)
+def _make_split_batches(keep: tuple[str, ...]):
+    def _split_batches(batches):
+        for batch in batches:
+            yield _split_record_batch(batch, keep)
+
+    return _split_batches
 
 
 # ---------------------------------------------------------------------------
@@ -284,18 +284,33 @@ def parse_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     return out.drop("_f")
 
 
-def parse_corpus(df: DataFrame, use_sql_decode: bool = False) -> DataFrame:
+def parse_corpus(
+    df: DataFrame, use_sql_decode: bool = False, slim: bool = False
+) -> DataFrame:
     """Full P-layer: tokenized corpus → parsed LogEntry DataFrame.
 
     Reads ONLY the contract columns (doc_id, tokens, n_tok, source);
     ``tokens`` rides along untouched so every routed raw-row sink can
     prove token-array equality against the input (BASELINE.json:15).
+
+    ``slim=True`` is the aggregate-only projection (SURVEY.md §5.1
+    "column pruning"): the heavy ``tokens`` payload (and doc_id/n_tok)
+    is dropped INSIDE the Arrow stage, so downstream operators and the
+    Arrow→row conversion never touch it. Use for analyses that don't
+    route raw rows.
     """
-    df = df.select("doc_id", "tokens", "n_tok", "source")
     if use_sql_decode:
+        df = df.select("doc_id", "tokens", "n_tok", "source")
         return parse_lines(df.withColumn("line", decode_tokens_sql(F.col("tokens")))).drop(
             "line"
         )
-    g = df.mapInArrow(_split_batches, schema=_SPLIT_SCHEMA)
+    keep = ("source",) if slim else ("doc_id", "tokens", "n_tok", "source")
+    in_cols = list(dict.fromkeys(keep + ("tokens",)))
+    schema = T.StructType(
+        [f for f in _CONTRACT_FIELDS if f.name in keep]
+        + [T.StructField("nf", T.IntegerType())]
+        + [T.StructField(f"f{i}", T.StringType()) for i in range(N_FIELDS)]
+    )
+    g = df.select(*in_cols).mapInArrow(_make_split_batches(keep), schema=schema)
     out = _grok(g, lambda i: F.col(f"f{i}"), F.col("nf"))
     return out.drop("nf", *[f"f{i}" for i in range(N_FIELDS)])
