@@ -207,8 +207,10 @@ def request_durations(parsed: DataFrame, keep_tokens: bool = True) -> DataFrame:
     """Raw git-op response durations (the reference emits these rows for
     gnuplot). ``tokens`` ride along so the routed sink satisfies the
     token-array-equality invariant (BASELINE.json:15)."""
-    cols = ["doc_id", "op_type", "duration_ms", "username", "client_ip", "ts_raw"]
-    if keep_tokens:
+    cols = ["op_type", "duration_ms", "username", "client_ip", "ts_raw"]
+    if "doc_id" in parsed.columns:  # absent on slim-parsed frames
+        cols.insert(0, "doc_id")
+    if keep_tokens and "tokens" in parsed.columns:
         cols.append("tokens")
     return (
         _parsed(parsed)
