@@ -1,0 +1,106 @@
+"""Custom join operators Spark lacks as built-ins (SURVEY.md §3.4 J5).
+
+* :func:`asof_join` — "most recent right row at or before the left
+  row's time". Implemented as the scalable union+window composition:
+  tag sides, union, ONE shuffle on the by-key, sort within partition,
+  ``last(value, ignorenulls=True)`` forward-fill, keep left rows.
+  O(n log n) per key group, no theta/BroadcastNestedLoopJoin, no
+  row explosion — this is the canonical distributed as-of join shape
+  (same idea as pandas merge_asof, re-expressed for shuffles).
+* :func:`range_join_buckets` — point-in-interval join via grid-cell
+  bucketing: intervals explode to the cells they overlap, points map to
+  one cell, equi-join on the cell then exact-filter. Turns an
+  unbounded theta join into a shuffle join whose cost tracks the
+  number of true matches (cell width = tuning knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` of the most recent right
+    row with the same by-key and ``on_right <= on_left`` (backward
+    as-of). Right rows at exactly ``on_left`` ARE matched.
+
+    ``tolerance_seconds`` optionally voids matches older than the
+    tolerance (values become null), like pandas merge_asof(tolerance).
+    """
+    lcols = left.columns
+    lt = left.select(
+        *lcols,
+        F.col(by_left).alias("_by"),
+        F.col(on_left).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(by_right).alias("_by"),
+        F.col(on_right).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_t", "_is_left")  # right row sorts before left at equal t
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_rt"),
+    ).filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_rt").isNotNull()
+            & (
+                F.col("_t").cast("timestamp_ltz").cast("long")
+                - F.col("_rt").cast("timestamp_ltz").cast("long")
+                <= tolerance_seconds
+            )
+        )
+        sel = [F.when(in_tol, F.col(f"_f_{c}")).alias(c_out) for c, c_out in zip(value_cols, value_cols)]
+    else:
+        sel = [F.col(f"_f_{c}").alias(c) for c in value_cols]
+    return filled.select(*lcols, *sel)
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    cell_width: float,
+) -> DataFrame:
+    """All (point, interval) pairs with ``lo <= point <= hi``.
+
+    Each interval is exploded to ceil(span/width)+1 grid cells; each
+    point hashes to exactly one cell, so every true pair meets in one
+    cell and appears exactly once — no dedup pass needed.
+    """
+    cell = lambda c: F.floor(c / F.lit(float(cell_width))).cast("long")  # noqa: E731
+    p = points.withColumn("_cell", cell(F.col(point_col)))
+    i = intervals.withColumn(
+        "_cell",
+        F.explode(F.sequence(cell(F.col(lo_col)), cell(F.col(hi_col)))),
+    )
+    joined = p.join(i, "_cell").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop("_cell")

@@ -43,6 +43,11 @@ def build_session(
         # ~200-byte token arrays ≈ 8 MB/batch — safe at any executor size.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # Fresh Python worker per task: a reused daemon worker was observed
+        # wedged mid-write on its data socket after repeated pipeline runs,
+        # deadlocking the next AQE stage. Fork-per-task (COW from the
+        # daemon) costs little and removes the shared-state failure mode.
+        .config("spark.python.worker.reuse", os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if shuffle_partitions is None:

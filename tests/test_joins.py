@@ -1,0 +1,101 @@
+"""asof_join and range_join_buckets vs brute-force reference results."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators.joins import asof_join, range_join_buckets
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    TS = dt.datetime
+    quotes = spark.createDataFrame(
+        [
+            ("A", TS(2024, 1, 1, 10, 0, 0), 100.0),
+            ("A", TS(2024, 1, 1, 10, 0, 5), 101.0),
+            ("A", TS(2024, 1, 1, 10, 1, 0), 102.0),
+            ("B", TS(2024, 1, 1, 10, 0, 3), 50.0),
+        ],
+        "sym string, qts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, "A", TS(2024, 1, 1, 10, 0, 4)),   # → 100.0
+            (2, "A", TS(2024, 1, 1, 10, 0, 5)),   # equal ts → 101.0
+            (3, "A", TS(2024, 1, 1, 10, 5, 0)),   # → 102.0
+            (4, "B", TS(2024, 1, 1, 10, 0, 0)),   # before any quote → null
+            (5, "B", TS(2024, 1, 1, 10, 0, 30)),  # → 50.0
+            (6, "C", TS(2024, 1, 1, 10, 0, 0)),   # no quotes at all → null
+        ],
+        "trade_id long, sym string, tts timestamp",
+    )
+    return quotes, trades
+
+
+def test_asof_join_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, "tts", "qts", "sym", "sym", ["price"])
+    got = {r.trade_id: r.price for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None, 5: 50.0, 6: None}
+    assert out.count() == trades.count()  # left-preserving
+
+
+def test_asof_join_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, "tts", "qts", "sym", "sym", ["price"],
+                    tolerance_seconds=10)
+    got = {r.trade_id: r.price for r in out.collect()}
+    assert got[3] is None  # 4 minutes stale > 10s tolerance
+    assert got[1] == 100.0 and got[2] == 101.0
+
+
+def test_asof_join_matches_bruteforce_on_real_tables(spark):
+    """events × orders as-of by customer: equals the correlated-subquery
+    answer computed the O(n²) way on a small slice."""
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter("user_id < 40").select(
+        "event_id", "user_id", F.col("ts").alias("ets")
+    )
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("tp"))
+    )
+    fast = asof_join(ev, orders, "ets", "o_orderdate", "user_id", "o_custkey", ["tp"])
+    slow = (
+        ev.join(orders, (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ets), "left")
+        .groupBy("event_id")
+        .agg(F.max_by("tp", "o_orderdate").alias("tp"))
+    )
+    a = {r.event_id: r.tp for r in fast.collect()}
+    b = {r.event_id: r.tp for r in slow.collect()}
+    assert a == b and len(a) > 50
+
+
+def test_asof_plan_has_single_shuffle_no_nested_loop(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    plan = asof_join(trades, quotes, "tts", "qts", "sym", "sym", ["price"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_buckets(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(100)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(1, 5.0, 10.0), (2, 9.5, 12.5), (3, 90.0, 200.0), (4, -5.0, -1.0)],
+        "iid long, lo double, hi double",
+    )
+    for width in (1.0, 3.7, 50.0):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join_buckets(points, intervals, "x", "lo", "hi", width).collect()
+        }
+        want = {
+            (p, i)
+            for p in range(100)
+            for i, lo, hi in [(1, 5, 10), (2, 9.5, 12.5), (3, 90, 200), (4, -5, -1)]
+            if lo <= p <= hi
+        }
+        assert got == want, f"width={width}"
