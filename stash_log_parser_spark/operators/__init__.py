@@ -19,3 +19,18 @@ from .enrich import (  # noqa: F401
     enrich,
     ip_prefix_expr,
 )
+from .joins import asof_join, range_join_buckets  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_keep_first,
+    jaccard_pairs_bruteforce,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from .textstats import fingerprint, lang_scores, text_stats  # noqa: F401
