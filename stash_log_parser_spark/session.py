@@ -38,6 +38,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The routed-sink token re-attach is a unique-key join with a wide
+        # array payload: sorting the payload side (SMJ) costs far more than
+        # hash-building the narrow side — prefer shuffled hash joins.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds pandas-UDF memory per batch; 10k rows of
         # ~200-byte token arrays ≈ 8 MB/batch — safe at any executor size.

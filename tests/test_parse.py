@@ -76,11 +76,13 @@ def test_repo_slug_lowered(parsed):
     assert row(parsed, "L05").repo_slug == "conf/confluence"
 
 
-def test_tokens_roundtrip_equality(parsed, fixture_corpus):
-    """Token-array equality: decode→parse never mutates the token payload."""
+def test_parse_preserves_keys_for_token_reattach(parsed, fixture_corpus):
+    """The parsed frame keeps (doc_id, n_tok) so routed sinks re-attach the
+    original tokens by key; the join must be loss- and duplicate-free and
+    n_tok must match the actual array length."""
     joined = parsed.alias("p").join(fixture_corpus.alias("c"), "doc_id")
-    diff = joined.filter(F.expr("p.tokens != c.tokens")).count()
-    assert diff == 0
+    assert joined.count() == parsed.count() == 14
+    assert joined.filter(F.expr("p.n_tok != size(c.tokens)")).count() == 0
 
 
 def test_sql_decode_path_matches_udf_path(fixture_corpus):
