@@ -28,12 +28,18 @@ def build_session(
       overridden to ~2-3× total executor cores via spark-submit conf.
     * UTC session timezone so timestamp goldens are stable everywhere.
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
-        os.environ.get("SPARK_GRAFT_CPUS", "*")
-    )
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        # Under spark-submit the gateway JVM already carries the submitted
+        # master (PYSPARK_GATEWAY_PORT is set); respect it instead of
+        # forcing a local one.
+        if "PYSPARK_GATEWAY_PORT" not in os.environ:
+            master = "local[{}]".format(os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -58,7 +64,7 @@ def build_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus and cpus.isdigit():
             shuffle_partitions = max(int(cpus), 4)
-        elif master.startswith("local[") and master[6:-1].isdigit():
+        elif master and master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = max(int(master[6:-1]), 4)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
