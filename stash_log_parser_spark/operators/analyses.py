@@ -75,7 +75,7 @@ def count_requests(parsed: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def concurrency_timeline(parsed: DataFrame) -> DataFrame:
+def concurrency_timeline(parsed: DataFrame, two_level: bool = False) -> DataFrame:
     """Running concurrent-connection gauge, reconstructed from event order.
 
     The reference folds +1 on ``i`` / −1 on ``o`` in stream order
@@ -85,27 +85,58 @@ def concurrency_timeline(parsed: DataFrame) -> DataFrame:
     ``(ts, req_dir, req_counter)``; ``'i' < 'o'`` lexically, so at equal
     timestamps the incoming event is counted first (zero-duration
     requests still register — SURVEY.md §8.3 tie-break).
+
+    ``two_level=True`` is the scale path: the classic parallel scan.
+    A single day's window is otherwise ONE task; instead, (1) sum the
+    deltas per (day, hour) block, (2) prefix-scan the per-block sums
+    over the tiny blocks frame, (3) broadcast the block offsets back and
+    prefix-scan WITHIN each block. Identical results (tested), but the
+    heavy windows parallelize over days × 24 blocks instead of days.
     """
     events = _parsed(parsed).filter(F.col("req_dir").isin("i", "o"))
-    w = (
+    delta = F.when(F.col("req_dir") == "i", 1).otherwise(-1)
+    if not two_level:
+        w = (
+            Window.partitionBy("day")
+            .orderBy("ts", "req_dir", "req_counter")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return events.withColumn("concurrent", F.sum(delta).over(w))
+
+    events = events.withColumn("_blk", F.date_trunc("hour", "ts"))
+    block_sums = events.groupBy("day", "_blk").agg(F.sum(delta).alias("_bsum"))
+    w_blocks = (
         Window.partitionBy("day")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_sums.select(
+        "day", "_blk", F.coalesce(F.sum("_bsum").over(w_blocks), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("day", "_blk")
         .orderBy("ts", "req_dir", "req_counter")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    delta = F.when(F.col("req_dir") == "i", 1).otherwise(-1)
-    return events.withColumn("concurrent", F.sum(delta).over(w))
+    return (
+        events.join(F.broadcast(offsets), ["day", "_blk"])
+        .withColumn("concurrent", F.col("_off") + F.sum(delta).over(w_in))
+        .drop("_blk", "_off")
+    )
 
 
-def max_concurrent(parsed: DataFrame) -> DataFrame:
+def max_concurrent(parsed: DataFrame, two_level: bool = False) -> DataFrame:
     """A2 maxConn: peak concurrent connections across the corpus."""
-    return concurrency_timeline(parsed).agg(
+    return concurrency_timeline(parsed, two_level=two_level).agg(
         F.max("concurrent").alias("max_concurrent")
     )
 
 
-def concurrency_by_hour(parsed: DataFrame, bucket: str = "hour") -> DataFrame:
+def concurrency_by_hour(
+    parsed: DataFrame, bucket: str = "hour", two_level: bool = False
+) -> DataFrame:
     """A3: per-hour (or per-minute) peak of the running gauge."""
-    tl = concurrency_timeline(parsed)
+    tl = concurrency_timeline(parsed, two_level=two_level)
     bucket_col = F.date_trunc(bucket, "ts").alias(bucket)
     return (
         tl.groupBy(bucket_col)

@@ -51,7 +51,7 @@ def _sink_protocol_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
 
 
 def _sink_concurrency_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
-    df = A.concurrency_by_hour(p).withColumn(
+    df = A.concurrency_by_hour(p, two_level=True).withColumn(
         "day", F.date_format("hour", "yyyy-MM-dd")
     )
     return df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH"))
