@@ -169,8 +169,10 @@ _HTTP_ACTION_RE = r'^"(\S+) (\S+)'
 _SSH_ACTION_RE = r"^(git-[a-z-]+) '([^']+)'"
 _REPO_SLUG_RE = r"^(?:/scm)?/([^/]+/[^/]+?)\.git(?:/|$)"
 
+# tokens deliberately absent: payloads never pass the Python stage; routed
+# sinks re-attach them by doc_id (plans/routing.py _sink_request_durations).
 PARSED_COLUMNS = [
-    "doc_id", "tokens", "n_tok", "source",
+    "doc_id", "n_tok", "source",
     "client_ip", "remote_ips", "protocol",
     "req_dir", "req_minute", "req_counter", "req_concurrent",
     "username", "ts", "ts_raw", "method", "path", "repo_slug",
