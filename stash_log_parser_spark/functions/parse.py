@@ -17,9 +17,9 @@ Performance decisions, each made by reading the physical plan
 * everything downstream references the flat field columns (``f3`` …) —
   cheap reads — instead of re-running ``split(decode(...))`` per
   referencing expression, so the grok stays one codegen pass;
-* ``slim=True`` drops the heavy ``tokens`` payload INSIDE the Arrow
-  stage for aggregate-only plans (measured ~3× on repositoryStats);
-  the full mode carries tokens through for routed-row equality.
+* the token payload never leaves the Arrow stage at all — only split
+  fields and light keys come out (``slim=True`` drops even
+  doc_id/n_tok); routed sinks re-attach tokens by a doc_id join.
 
 Semantics reproduce the reference parser (juretta/stash-log-parser,
 logparser/src/Stash/Log/Parser.hs:~25–110 [K], SURVEY.md §1.1/§3.2):
