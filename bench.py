@@ -50,9 +50,15 @@ def main() -> dict:
     if not os.path.exists(BENCH_CORPUS):
         from stash_log_parser_spark.corpus import generate_spark
 
+        from pyspark.sql import functions as F
+
         gen = generate_spark(spark, BENCH_REQ_PER_DAY, BENCH_DAYS, seed=42)
-        # shard so the scan parallelizes (a real ingest table is pre-sharded)
-        gen.drop("line", "day").repartition(64).write.mode("overwrite").parquet(BENCH_CORPUS)
+        # day-aligned shards so the scan parallelizes AND write tasks map
+        # to single day-partitions (a real ingest table is range-partitioned)
+        gen = gen.repartition(
+            BENCH_DAYS * 21, "day", F.pmod(F.xxhash64("doc_id"), F.lit(21))
+        )
+        gen.drop("line", "day").write.mode("overwrite").parquet(BENCH_CORPUS)
 
     import __spark_entry__ as E
     from stash_log_parser_spark.functions.parse import parse_corpus

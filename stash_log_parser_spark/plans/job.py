@@ -43,10 +43,14 @@ def main(argv: list[str] | None = None) -> dict:
                     help=">1: first run is a warmup, median of the rest is reported")
     args = ap.parse_args(argv)
 
+    # make the package importable in separate-JVM executors' Python
+    # workers (local-cluster / standalone without --py-files)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     spark = build_session(
         app_name="stash-log-pipeline",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.executorEnv.PYTHONPATH": repo_root},
     )
 
     if args.gen_requests > 0 and not os.path.exists(args.input):

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from ..functions.parse import parse_corpus
 from ..operators import analyses as A
 from ..operators.enrich import enrich
@@ -42,22 +40,22 @@ def _with_day(df: DataFrame, from_hour_string: str | None = None) -> DataFrame:
     return df
 
 
-def _sink_git_operations(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_git_operations(p: DataFrame) -> DataFrame:
     return _with_day(A.git_operations(p), "hour")
 
 
-def _sink_protocol_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_protocol_by_hour(p: DataFrame) -> DataFrame:
     return _with_day(A.protocol_by_hour(p), "hour")
 
 
-def _sink_concurrency_by_hour(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_concurrency_by_hour(p: DataFrame) -> DataFrame:
     df = A.concurrency_by_hour(p, two_level=True).withColumn(
         "day", F.date_format("hour", "yyyy-MM-dd")
     )
     return df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH"))
 
 
-def _sink_protocol_counts_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
     return (
         p.filter(F.col("is_parsed"))
         .groupBy("file_day", "protocol")
@@ -66,7 +64,7 @@ def _sink_protocol_counts_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     )
 
 
-def _sink_repository_stats_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
     ops = p.filter(F.col("op_type").isNotNull() & F.col("repo_slug").isNotNull())
     aggs = [
         F.sum((F.col("op_type") == op).cast("long")).alias(plural)
@@ -77,25 +75,21 @@ def _sink_repository_stats_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     )
 
 
-def _sink_request_durations(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_request_durations(p: DataFrame) -> DataFrame:
     """Routed RAW rows — carries the original tokens (BASELINE.json:15).
 
-    Tokens never pass through the Python parse stage; they are
-    re-attached here by joining the raw table on doc_id, so the heavy
-    payload crosses exactly one shuffle, and only for the routed subset.
-    At 10^12 scale both sides are bucketed by doc_id → co-partitioned,
-    shuffle-free join."""
-    routed = p.filter(
+    The stage table stores tokens alongside the parsed columns, so this
+    sink is a pure pruned scan + filter + write: no join, no shuffle."""
+    return p.filter(
         F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull()
     ).select(
-        "doc_id", "op_type", "duration_ms", "username", "client_ip",
+        "doc_id", "tokens", "op_type", "duration_ms", "username", "client_ip",
         "project_key", "datacenter", "ts_raw",
         F.col("file_day").alias("day"),
     )
-    return routed.join(raw.select("doc_id", "tokens"), "doc_id", "inner")
 
 
-def _sink_pairing_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_pairing_daily(p: DataFrame) -> DataFrame:
     pairs = A.pair_requests(p)
     return (
         pairs.groupBy(F.col("day").cast("string").alias("day"))
@@ -107,7 +101,7 @@ def _sink_pairing_daily(p: DataFrame, raw: DataFrame) -> DataFrame:
     )
 
 
-def _sink_metrics(p: DataFrame, raw: DataFrame) -> DataFrame:
+def _sink_metrics(p: DataFrame) -> DataFrame:
     """Per-(day, source) parse metrics — malformed lines are counted here,
     never silently dropped (SURVEY.md §3.3 F5)."""
     return (
@@ -146,7 +140,7 @@ def run_pipeline(
 
     Resume: (sink, day) partitions already in ``_lineage`` are skipped
     (``force=True`` reprocesses everything). Days still pending for ANY
-    sink are parsed once, cached, and fanned out.
+    sink are parsed once into the stage table and fanned out.
     """
     import time
 
@@ -174,58 +168,76 @@ def run_pipeline(
     if not days_needed:
         return summary
 
-    scoped = raw.filter(F.col("file_day").isin(days_needed))
-    # Defend against under-partitioned inputs (few giant files): the parse
-    # stage is CPU-bound, so fewer input splits than cores leaves the
-    # cluster idle. A production Iceberg table is range-partitioned into
-    # many files and never hits this branch; the reshuffle is one pass
-    # over the (narrow) contract columns.
-    target = spark.sparkContext.defaultParallelism * 2
-    if scoped.rdd.getNumPartitions() < target // 2:
-        scoped = scoped.repartition(target)
-    parsed = enrich(parse_corpus(scoped, use_sql_decode=use_sql_decode)).withColumn(
-        "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
-    )
-    # Cache only what the sinks consume: the array columns (labels,
-    # remote_ips) and unused extractions are dropped — columnar cache
-    # build for array types measured ~3× the parse cost itself.
-    parsed = parsed.select(
-        "doc_id", "n_tok", "source", "file_day", "is_parsed",
-        "protocol", "req_dir", "req_counter", "username", "client_ip",
-        "ts", "ts_raw", "repo_slug", "duration_ms", "op_type", "cache_hit",
-        "hour", "day", "project_key", "datacenter",
-    )
-    t0 = time.perf_counter()
-    parsed.persist(StorageLevel.MEMORY_AND_DISK)
-    parsed.count()  # materialize once so per-sink timings are pure sink cost
-    mark("parse_enrich_persist", t0)
-    try:
-        for name, fn in sinks.items():
-            t0 = time.perf_counter()
-            days = pending[name]
-            if not days:
-                summary["sinks"][name] = {"days_written": 0, "rows": 0}
-                continue
-            df = fn(parsed.filter(F.col("file_day").isin(days)),
-                    scoped.filter(F.col("file_day").isin(days)))
-            df = df.filter(F.col("day").isin(days))
-            # row count comes from the write job itself (Observation) —
-            # no second pass over the sink frame.
-            from pyspark.sql import Observation
+    # ---- phase 1: the parsed STAGE table --------------------------------
+    # One full parse materialized as a day-partitioned parquet/Iceberg
+    # table (tokens included, array intermediates dropped). Chosen over
+    # DataFrame caching after measurement: the columnar cache build cost
+    # ~3x the parse itself and did not scale with cores, while a parquet
+    # stage writes in parallel and gives every sink a column-PRUNED scan
+    # (the heavy tokens column is only read by the routed raw-row sink).
+    # The stage is lineage-committed per day, so a resume never re-parses
+    # committed days - the parsed table is itself a useful artifact.
+    from pyspark.sql import Observation
 
-            obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            catalog.write_partitions(df, name)
-            batch_rows = int(obs.get["rows"])
-            # lineage `rows` is the batch total (the commit-mark granularity
-            # is (sink, day); exact per-day line counts live in the
-            # `metrics` sink).
-            entries = [(name, d, batch_rows) for d in days]
-            catalog.commit(entries, run_id)
-            summary["sinks"][name] = {"days_written": len(days), "rows": batch_rows}
-            mark(f"sink_{name}", t0)
-    finally:
-        parsed.unpersist()
+    stage_days = [d for d in days_needed if ("parsed_stage", d) not in committed]
+    t0 = time.perf_counter()
+    if stage_days:
+        scoped = raw.filter(F.col("file_day").isin(stage_days))
+        # Defend against under-partitioned inputs (few giant files): the
+        # parse stage is CPU-bound, so fewer input splits than cores
+        # leaves the cluster idle. A production Iceberg table is
+        # range-partitioned into many files and never hits this branch.
+        target = spark.sparkContext.defaultParallelism * 2
+        if scoped.rdd.getNumPartitions() < target // 2:
+            scoped = scoped.repartition(target)
+        parsed = enrich(
+            parse_corpus(scoped, use_sql_decode=use_sql_decode, with_tokens=True)
+        ).withColumn("file_day", F.regexp_extract("source", _FILE_DAY_RE, 1))
+        stage_df = parsed.select(
+            "doc_id", "tokens", "n_tok", "source", "is_parsed",
+            "protocol", "req_dir", "req_counter", "username", "client_ip",
+            "ts", "ts_raw", "repo_slug", "duration_ms", "op_type", "cache_hit",
+            "hour", F.col("file_day").alias("day"), "project_key", "datacenter",
+        )
+        # File-count note: input shards are expected day-aligned (a real
+        # ingest table is range-partitioned by date — SURVEY.md S3), so
+        # each write task emits into ONE day-partition and the commit
+        # moves O(tasks) files. A round-robin-sharded input instead
+        # yields tasks×days files; we accept that rather than paying a
+        # full-payload reshuffle here.
+        obs = Observation()
+        stage_df = stage_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        catalog.write_partitions(stage_df, "parsed_stage")
+        catalog.commit(
+            [("parsed_stage", d, int(obs.get["rows"])) for d in stage_days], run_id
+        )
+    mark("parse_stage", t0)
+    summary["stage_days_written"] = len(stage_days)
+
+    stage = catalog.read("parsed_stage").withColumn("file_day", F.col("day"))
+
+    # ---- phase 2: fan-out over pruned stage scans ------------------------
+    for name, fn in sinks.items():
+        t0 = time.perf_counter()
+        days = pending[name]
+        if not days:
+            summary["sinks"][name] = {"days_written": 0, "rows": 0}
+            continue
+        df = fn(stage.filter(F.col("file_day").isin(days)))
+        df = df.filter(F.col("day").isin(days))
+        # row count comes from the write job itself (Observation) -
+        # no second pass over the sink frame.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        catalog.write_partitions(df, name)
+        batch_rows = int(obs.get["rows"])
+        # lineage rows is the batch total (the commit-mark granularity
+        # is (sink, day); exact per-day line counts live in the
+        # metrics sink).
+        entries = [(name, d, batch_rows) for d in days]
+        catalog.commit(entries, run_id)
+        summary["sinks"][name] = {"days_written": len(days), "rows": batch_rows}
+        mark(f"sink_{name}", t0)
     timings["total"] = round(time.perf_counter() - t_start, 2)
     summary["timings"] = timings
     return summary

@@ -49,9 +49,16 @@ def build_session(
         # hash-building the narrow side — prefer shuffled hash joins.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size bounds pandas-UDF memory per batch; 10k rows of
-        # ~200-byte token arrays ≈ 8 MB/batch — safe at any executor size.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Token-sequence rows expand ~4-8× from parquet to in-flight size
+        # (int32 arrays + parquet list-writer state); 16 MB splits keep a
+        # full wave of parse+write tasks well inside executor heaps and
+        # give the Arrow stage enough parallelism on packed small files.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # Small Arrow batches: bounds Python-worker memory AND keeps
+        # JVM↔worker socket flow in small quanta — 10k-row batches of
+        # token arrays (~12 MB) reproducibly stalled the bidirectional
+        # stream at high core counts; 2048-row batches never did.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         # Fresh Python worker per task: a reused daemon worker was observed
         # wedged mid-write on its data socket after repeated pipeline runs,

@@ -31,8 +31,9 @@ def test_full_run_writes_all_sinks(spark, corpus_path, tmp_path):
     for name in SINKS:
         assert cat.exists(name), name
         assert summary["sinks"][name]["days_written"] == 3
-    # lineage has one row per (sink, day)
-    assert len(cat.committed()) == len(SINKS) * 3
+    # lineage has one row per (sink, day), plus the parsed_stage days
+    assert len(cat.committed()) == (len(SINKS) + 1) * 3
+    assert cat.exists("parsed_stage")
 
 
 def test_rerun_is_noop(spark, corpus_path, tmp_path):
