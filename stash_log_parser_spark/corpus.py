@@ -227,8 +227,12 @@ def generate_spark(spark, n_requests_per_day: int, n_days: int, seed: int = 42, 
     days = spark.range(n_days).toDF("day_index").repartition(n_days, "day_index")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 50_000  # bound Arrow batch size (a whole day in one batch
+        # allocated GB-sized direct buffers JVM-side at large day sizes)
         for pdf in batches:
             for d in pdf["day_index"]:
-                yield pd.DataFrame(_day_rows(int(d), n_requests_per_day, seed, **kw))
+                day = pd.DataFrame(_day_rows(int(d), n_requests_per_day, seed, **kw))
+                for lo in range(0, len(day), chunk):
+                    yield day.iloc[lo : lo + chunk]
 
     return days.mapInPandas(gen, schema=schema)
