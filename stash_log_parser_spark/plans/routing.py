@@ -1,9 +1,12 @@
 """Fan-out routing: one parse, many per-analysis sinks, resumable.
 
 The reference runs one analysis per CLI invocation over the same files
-(Main.hs mode dispatch [K]); at 10^12 rows re-scanning per analysis is
-the dominant cost, so the rebuild parses ONCE and fans out to every
-sink from the cached parsed frame (SURVEY.md §8.1 M6).
+(Main.hs mode dispatch [K]); at 10^12 rows re-parsing per analysis is
+the dominant cost, so the rebuild parses ONCE into a day-partitioned
+parsed STAGE table and fans every sink out as a column-pruned scan of
+it (SURVEY.md §8.1 M6). The stage is lineage-committed like any sink,
+so incremental runs never re-parse committed days, and it doubles as a
+queryable artifact (the "parsed logs" table a log platform would keep).
 
 Incremental / resumable semantics mirror the reference's "progressive"
 file-level resume (File.hs:~50 createPredicate [K]) at day granularity:
@@ -17,8 +20,8 @@ lineage commits is repaired by an idempotent rewrite.
 Scale design: per-day aggregates are MERGEABLE partials — global
 repositoryStats / protocolStats roll up from the daily sinks without
 touching raw data; exact global percentiles come from the routed
-request_durations raw sink. Lineage row-counts are taken from the
-pre-write cached frame; an Iceberg backend would read them from the
+request_durations raw sink. Lineage row-counts come from the write
+job itself (Observation); an Iceberg backend would read them from the
 commit snapshot instead.
 """
 
