@@ -302,7 +302,7 @@ def pair_requests(parsed: DataFrame, use_join: bool = False) -> DataFrame:
         )
         return inc.join(out, ["day", "req_counter"], "inner").withColumn(
             "latency_ms",
-            (F.col("ts_out").cast("double") - F.col("ts_in").cast("double")) * 1000.0,
+            (F.unix_micros("ts_out") - F.unix_micros("ts_in")) / 1000.0,
         )
     is_i = F.col("req_dir") == "i"
     is_o = F.col("req_dir") == "o"
@@ -315,7 +315,9 @@ def pair_requests(parsed: DataFrame, use_join: bool = False) -> DataFrame:
     )
     return paired.withColumn(
         "latency_ms",
-        (F.col("ts_out").cast("double") - F.col("ts_in").cast("double")) * 1000.0,
+        # exact integer-microsecond difference (a double-seconds cast
+        # loses precision at ~1e-4 ms and breaks batch/stream equality)
+        (F.unix_micros("ts_out") - F.unix_micros("ts_in")) / 1000.0,
     )
 
 

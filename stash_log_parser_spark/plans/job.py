@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> dict:
         )
         elapsed_all.append(time.perf_counter() - t0)
     measured = elapsed_all[1:] if len(elapsed_all) > 1 else elapsed_all
-    elapsed = sorted(measured)[len(measured) // 2]
+    ms = sorted(measured)
+    # true median (mean of the middle two for even counts)
+    mid = len(ms) // 2
+    elapsed = ms[mid] if len(ms) % 2 else (ms[mid - 1] + ms[mid]) / 2
     result = {
         "metric": "pipeline_sequences_per_sec",
         "value": round(n_rows / elapsed, 1),

@@ -114,3 +114,103 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_pair_requests(
+    parsed_stream: DataFrame,
+    unmatched_after_ms: int = 3_600_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §3.8 T3): pair ``i``/``o``
+    events ACROSS micro-batches with per-key state.
+
+    State is keyed on (day, req_counter) — the reference pairs in stream
+    order within one process (Analyser.hs:~60 [K]); under unbounded
+    streaming the pair may straddle micro-batches, so the incoming
+    timestamp parks in GroupState until the response arrives. Matched
+    pairs emit (ts_in, ts_out, latency_ms, op_type, username); state is
+    dropped on match. Keys idle past ``unmatched_after_ms`` of EVENT
+    time (watermark-driven) emit an unmatched record with null ts_out
+    and clear state — bounded state forever.
+
+    NB two build quirks found while testing: (1) a raising user
+    function wedges the stateful runner protocol instead of failing the
+    task — keep this function exception-free; (2) ProcessingTimeTimeout
+    hangs under trigger(availableNow) in this Spark build, so the
+    event-time timeout (which also replays deterministically) is used.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("req_counter", T.LongType()),
+            T.StructField("ts_in", T.TimestampType()),
+            T.StructField("ts_out", T.TimestampType()),
+            T.StructField("latency_ms", T.DoubleType()),
+            T.StructField("op_type", T.StringType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("matched", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_in_us", T.LongType()),
+            T.StructField("ts_out_us", T.LongType()),
+            T.StructField("op_type", T.StringType()),
+            T.StructField("username", T.StringType()),
+        ]
+    )
+
+    def _us(ts) -> int:
+        return int(ts.value // 1000) if ts is not None else -1
+
+    def pair(key, pdfs, state: GroupState):
+        day, counter = key
+        if state.hasTimedOut:
+            ts_in_us, ts_out_us, op, user = state.get
+            state.remove()
+            ts_in = pd.Timestamp(ts_in_us, unit="us") if ts_in_us >= 0 else None
+            yield pd.DataFrame(
+                [[day, counter, ts_in, None, None, op, user, False]],
+                columns=[f.name for f in out_schema.fields],
+            )
+            return
+        ts_in_us, ts_out_us, op, user = state.get if state.exists else (-1, -1, None, None)
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                if row.req_dir == "i":
+                    ts_in_us = _us(row.ts)
+                else:
+                    ts_out_us = _us(row.ts)
+                    op = row.op_type if row.op_type is not None else op
+                    user = row.username if row.username is not None else user
+        if ts_in_us >= 0 and ts_out_us >= 0:
+            state.remove()
+            ts_in = pd.Timestamp(ts_in_us, unit="us")
+            ts_out = pd.Timestamp(ts_out_us, unit="us")
+            lat = (ts_out_us - ts_in_us) / 1000.0
+            yield pd.DataFrame(
+                [[day, counter, ts_in, ts_out, lat, op, user, True]],
+                columns=[f.name for f in out_schema.fields],
+            )
+        else:
+            state.update((ts_in_us, ts_out_us, op, user))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + int(unmatched_after_ms))
+
+    events = (
+        parsed_stream.filter(F.col("is_parsed") & F.col("req_dir").isin("i", "o"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "req_counter", "req_dir", "ts", "op_type", "username",
+        )
+        .withWatermark("ts", watermark)
+    )
+    return events.groupBy("day", "req_counter").applyInPandasWithState(
+        pair,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -81,3 +81,52 @@ def test_streaming_sessionize_matches_batch_session_count(spark):
         for r in E.queries()["events_sessionize"](spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_stateful_pairing_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState pairing: pairs that straddle micro-batches
+    match exactly the batch pairing result (i events land in file 1,
+    their o events partly in file 2; maxFilesPerTrigger=1 forces
+    sequential micro-batches)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.functions.parse import parse_corpus
+    from stash_log_parser_spark.operators.analyses import pair_requests
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_pair_requests,
+    )
+
+    p = str(tmp_path / "c.parquet")
+    corpus.write_corpus(p, n_requests_per_day=150, n_days=1, seed=31)
+    full = spark.read.parquet(p).select("doc_id", "tokens", "n_tok", "source")
+    # time-ordered halves → many pairs straddle the file boundary
+    rows = full.collect()
+    half = len(rows) // 2
+    d = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows[:half], full.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows[half:], full.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(full.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = run_to_memory(
+        streaming_pair_requests(parse_corpus(stream)), "spairs", output_mode="append"
+    )
+    assert len(q.recentProgress) >= 2  # really multiple micro-batches
+    got = {
+        (r.day, r.req_counter): (r.ts_in, r.ts_out, r.latency_ms)
+        for r in spark.sql("select * from spairs where matched").collect()
+    }
+    want = {
+        (str(r.day), r.req_counter): (r.ts_in, r.ts_out, r.latency_ms)
+        for r in pair_requests(parse_corpus(full))
+        .filter("ts_in is not null and ts_out is not null")
+        .collect()
+    }
+    assert got == want and len(got) > 100
