@@ -219,7 +219,12 @@ def repository_stats(parsed: DataFrame, salt_partitions: int = 0) -> DataFrame:
         for op, plural in _OP_PLURAL.items()
     ]
     if salt_partitions > 0:
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions)).alias("_salt")
+        salt_src = (
+            F.xxhash64("doc_id")
+            if "doc_id" in parsed.columns
+            else F.xxhash64("ts_raw", "req_counter")  # slim frames lack doc_id
+        )
+        salt = F.pmod(salt_src, F.lit(salt_partitions)).alias("_salt")
         partial = ops.groupBy(F.col("repo_slug"), salt).agg(*aggs)
         merged = partial.groupBy("repo_slug").agg(
             *[F.sum(p).alias(p) for p in _OP_PLURAL.values()]

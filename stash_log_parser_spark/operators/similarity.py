@@ -68,16 +68,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim))
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-LSH bucket id: bit j = (vec · plane_j) > 0."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << j)).otherwise(0)
-        bucket = bucket + bit.cast("long")
-    return bucket
-
-
 def with_lsh_buckets(
     embeddings: DataFrame,
     dim: int = 64,
@@ -86,19 +76,32 @@ def with_lsh_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach (table, bucket) LSH keys — exploded, one row per table."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
+    """Attach (table, bucket) LSH keys — exploded, one row per table.
+
+    The hyperplanes are DATA (a tiny broadcast frame), not literals: an
+    earlier literal-expression form embedded tables × planes × dim
+    constants into the plan and spent seconds in codegen compilation.
+    Each row cross-joins the broadcast planes, takes the sign of one dot
+    product per plane, and the bucket id is assembled with one bit-sum
+    aggregation per (row, table).
+    """
+    spark = embeddings.sparkSession
+    rows = [
+        (t, j, [float(x) for x in plane])
+        for t in range(tables)
+        for j, plane in enumerate(_hyperplanes(dim, n_planes, seed + t))
+    ]
+    planes = spark.createDataFrame(rows, "table int, plane_idx int, plane array<double>")
+    cols = embeddings.columns
+    bits = embeddings.join(F.broadcast(planes)).withColumn(
+        "_bit",
+        F.when(_dot(F.col(vec_col).cast("array<double>"), F.col("plane")) > 0,
+               F.pow(F.lit(2.0), F.col("plane_idx")).cast("long")).otherwise(0),
     )
-    return embeddings.select("*", F.explode(entries).alias("_lsh")).select(
-        "*", "_lsh.table", "_lsh.bucket"
-    ).drop("_lsh")
+    return (
+        bits.groupBy(*cols, "table")
+        .agg(F.sum("_bit").alias("bucket"))
+    )
 
 
 def lsh_topk(
