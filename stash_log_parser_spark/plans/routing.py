@@ -154,6 +154,9 @@ def run_pipeline(
         timings[name] = round(time.perf_counter() - t0, 2)
 
     sinks = sinks or SINKS
+    # defensive: callers may bring their own session (driver harness);
+    # small Arrow batches are required for the tokens-through parse
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     catalog = SinkCatalog(spark, output)
     committed = set() if force else catalog.committed()
 
