@@ -128,3 +128,10 @@ def test_corrupt_token_streams_never_kill_the_job(spark):
     df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
     r = count_requests(parse_corpus(df)).collect()[0]
     assert (r.total_lines, r.parsed_lines, r.malformed_lines) == (3, 1, 2)
+
+
+def test_user_agent_extraction(parsed):
+    assert row(parsed, "L02").user_agent == "git/1.7.4.1"
+    assert row(parsed, "L12").user_agent == "git/1.8.0"
+    assert row(parsed, "L06").user_agent is None  # ssh carries no details
+    assert row(parsed, "L13").user_agent is None  # malformed
