@@ -116,3 +116,21 @@ def test_global_rollups_match_direct_aggregation(spark, corpus_path, tmp_path):
     got = {r.op_type: (r.n, r.p50, r.p99) for r in duration_percentiles_global(cat).collect()}
     want = {r.op_type: (r.n, r.p50, r.p99) for r in A.duration_percentiles(parsed).collect()}
     assert got == want
+
+
+def test_resume_reuses_stage_without_reparse(spark, corpus_path, tmp_path):
+    """Losing an analysis sink's lineage must recompute that sink from the
+    parsed stage WITHOUT re-parsing (stage days stay committed)."""
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    lineage = cat.read("_lineage").filter(F.col("sink") != "git_operations")
+    rows = lineage.collect()
+    shutil.rmtree(f"{out}/_lineage")
+    spark.createDataFrame(rows, lineage.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/_lineage")
+
+    s = run_pipeline(spark, corpus_path, out, run_id="r2")
+    assert s["stage_days_written"] == 0  # no re-parse
+    assert s["sinks"]["git_operations"]["days_written"] == 3
