@@ -134,3 +134,16 @@ def test_resume_reuses_stage_without_reparse(spark, corpus_path, tmp_path):
     s = run_pipeline(spark, corpus_path, out, run_id="r2")
     assert s["stage_days_written"] == 0  # no re-parse
     assert s["sinks"]["git_operations"]["days_written"] == 3
+
+
+def test_sql_decode_pipeline_equals_default(spark, corpus_path, tmp_path):
+    """The pure-JVM decode fallback (no Python workers at all) produces
+    byte-identical sink contents."""
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_pipeline(spark, corpus_path, out_a, run_id="arrow")
+    run_pipeline(spark, corpus_path, out_b, run_id="sql", use_sql_decode=True)
+    ca, cb = SinkCatalog(spark, out_a), SinkCatalog(spark, out_b)
+    for name in SINKS:
+        a = sorted(map(tuple, ca.read(name).drop("tokens").collect()))
+        b = sorted(map(tuple, cb.read(name).drop("tokens").collect()))
+        assert a == b, f"sink {name} differs between decode paths"
