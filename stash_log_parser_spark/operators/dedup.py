@@ -105,9 +105,12 @@ def minhash_lsh_pairs(
     sigs = with_minhash(with_shingles(docs, n, text_col), k).select(
         "doc_id", "shingles", "minhash"
     )
+    # Band entries stay NARROW (doc_id + keys only): the banded relation is
+    # bands× exploded — carrying shingle arrays through its self-join would
+    # shuffle the heavy payload 2×bands times. Shingles re-attach to the
+    # (deduped) candidate PAIRS instead, which is the small relation.
     band_entries = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -121,7 +124,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("be"),
-    ).select("doc_id", "shingles", "be.band", "be.bucket")
+    ).select("doc_id", "be.band", "be.bucket")
 
     # cap degenerate buckets before the self-join
     sizes = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("_bs"))
@@ -138,13 +141,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # minhash-free recompute for the re-attach (referencing `sigs` would
+    # drag the k-hash signature computation into this branch's lineage)
+    shingle_tbl = with_shingles(docs, n, text_col).select("doc_id", "shingles")
+    cand = (
+        cand.join(shingle_tbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(shingle_tbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
