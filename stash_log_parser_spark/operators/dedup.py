@@ -62,21 +62,40 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame
 
 
 def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (array<string>)."""
+    """Distinct word n-gram shingle HASHES per document (array<long>).
+
+    Each word is hashed once (xxhash64) and a shingle's hash combines
+    the n word hashes — two documents share a shingle hash iff they
+    share the word n-gram (modulo 64-bit collisions), so Jaccard over
+    hash sets equals Jaccard over string sets while never materializing
+    the n-gram strings. Round-1 profiling showed string shingling
+    (slice + array_join per n-gram) dominated the MinHash pipeline.
+
+    Tail shingles of short documents (< n words) hash fewer words —
+    Spark's xxhash64 skips null inputs — mirroring the string form's
+    shorter trailing n-grams.
+    """
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    return docs.withColumn("shingles", F.array_distinct(shingles))
+    wh = docs.withColumn("_wh", F.transform(words, lambda w: F.xxhash64(w)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_wh") - n, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.get("_wh", (i + j).cast("int")) for j in range(n)]),
+    )
+    return wh.withColumn("shingles", F.array_distinct(shingles)).drop("_wh")
 
 
 def with_minhash(docs_with_shingles: DataFrame, k: int = DEFAULT_K) -> DataFrame:
-    """k-permutation MinHash signature, all JVM-side: permutation i is
-    ``xxhash64(i, shingle)``; the signature element is the min over the
-    document's shingles."""
+    """k-permutation MinHash signature, all JVM-side: shingles are
+    already 8-byte hashes (with_shingles), so permutation i is the
+    constant-cost ``xxhash64(i, shingle_hash)`` — no string is ever
+    re-hashed (round 1 re-hashed every shingle STRING k times; #2 bench
+    cost). The signature element is the min over the document's
+    shingles."""
     sig = F.array(
         *[
             F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+                F.transform("shingles", lambda h, i=i: F.xxhash64(F.lit(i), h))
             )
             for i in range(k)
         ]

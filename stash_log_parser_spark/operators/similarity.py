@@ -76,31 +76,42 @@ def with_lsh_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach (table, bucket) LSH keys — exploded, one row per table.
+    """Attach (table, bucket) LSH keys — one output row per (row, table).
 
-    The hyperplanes are DATA (a tiny broadcast frame), not literals: an
-    earlier literal-expression form embedded tables × planes × dim
-    constants into the plan and spent seconds in codegen compilation.
-    Each row cross-joins the broadcast planes, takes the sign of one dot
-    product per plane, and the bucket id is assembled with one bit-sum
-    aggregation per (row, table).
-    """
+    The hyperplanes are DATA (a tiny broadcast frame of one row per
+    table, carrying that table's planes as array<array<double>>), not
+    literals: an earlier literal-expression form embedded
+    tables × planes × dim constants into the plan and spent seconds in
+    codegen compilation. The bucket id is assembled in a SINGLE
+    projection per (row, table) — an ``aggregate`` over the plane list
+    summing ``2^j`` for every plane with a positive dot product — so
+    there is no explode, no groupBy, and NO Exchange anywhere in bucket
+    assembly (round-1 review flagged the previous groupBy form for
+    shuffling the full vector as part of the grouping key)."""
     spark = embeddings.sparkSession
     rows = [
-        (t, j, [float(x) for x in plane])
+        (
+            t,
+            [[float(x) for x in plane] for plane in _hyperplanes(dim, n_planes, seed + t)],
+        )
         for t in range(tables)
-        for j, plane in enumerate(_hyperplanes(dim, n_planes, seed + t))
     ]
-    planes = spark.createDataFrame(rows, "table int, plane_idx int, plane array<double>")
-    cols = embeddings.columns
-    bits = embeddings.join(F.broadcast(planes)).withColumn(
-        "_bit",
-        F.when(_dot(F.col(vec_col).cast("array<double>"), F.col("plane")) > 0,
-               F.pow(F.lit(2.0), F.col("plane_idx")).cast("long")).otherwise(0),
+    planes = spark.createDataFrame(rows, "table int, planes array<array<double>>")
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    bucket = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            _dot(v, F.get("planes", j.cast("int"))) > 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
     return (
-        bits.groupBy(*cols, "table")
-        .agg(F.sum("_bit").alias("bucket"))
+        embeddings.join(F.broadcast(planes))
+        .withColumn("bucket", bucket)
+        .drop("planes")
     )
 
 
@@ -125,14 +136,16 @@ def lsh_topk(
     q = with_lsh_buckets(
         queries.withColumnRenamed(query_vec_col, "_qv"), dim, n_planes, tables, seed, "_qv"
     )
-    cand = e.join(
-        F.broadcast(q), on=["table", "bucket"], how="inner"
-    ).dropDuplicates([query_id_col, id_col])
+    cand = e.join(F.broadcast(q), on=["table", "bucket"], how="inner")
+    # score BEFORE deduplicating: the dedup exchange then carries only
+    # (query_id, id, cosine) — the vectors never enter any shuffle,
+    # neither as key nor as payload (duplicate bucket hits of the same
+    # pair produce identical cosines, so dropDuplicates is safe after).
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
-    )
+    ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -151,11 +164,17 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates."""
-    e = with_lsh_buckets(embeddings, dim, n_planes, tables, seed, vec_col).select(
-        "table", "bucket", F.col(id_col), F.col(vec_col)
-    )
-    a, b = e.alias("a"), e.alias("b")
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates.
+
+    The banded self-join runs on a NARROW (table, bucket, id) relation —
+    the tables×-amplified bucket entries never carry the vector payload.
+    Vectors re-attach to the deduplicated candidate PAIRS by two id-keyed
+    joins (payload moves once per side, as join *value*, never as a
+    shuffle key)."""
+    narrow = with_lsh_buckets(
+        embeddings.select(id_col, vec_col), dim, n_planes, tables, seed, vec_col
+    ).select("table", "bucket", F.col(id_col))
+    a, b = narrow.alias("a"), narrow.alias("b")
     cand = (
         a.join(
             b,
@@ -166,11 +185,13 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    cand = cand.join(
+        vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_v", "va"), "id_a"
+    ).join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_v", "vb"), "id_b")
     return (
         cand.select(
             "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine")

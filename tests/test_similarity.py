@@ -94,3 +94,25 @@ def test_lsh_bucket_determinism(emb):
     a = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
     b = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _exchange_lines(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "Exchange" in ln]
+
+
+def test_lsh_plans_never_shuffle_the_vector(spark, emb, queries):
+    """Scale invariant (round-1 review): no Exchange anywhere in the LSH
+    plans is keyed on the embedding vector, and bucket assembly itself
+    introduces NO exchange at all (single-projection bucket ids)."""
+    buckets = S.with_lsh_buckets(emb)
+    assert _exchange_lines(buckets) == [] or all(
+        "Broadcast" in ln for ln in _exchange_lines(buckets)
+    )
+    for df in (
+        S.lsh_topk(emb, queries, k=5, tables=8, n_planes=4),
+        S.embedding_near_dup_pairs(emb, cosine_threshold=0.9),
+    ):
+        df.collect()  # run so AQE finalizes the executed plan
+        for ln in _exchange_lines(df):
+            assert "embedding" not in ln and "query_vec" not in ln, ln
