@@ -91,15 +91,18 @@ def with_minhash(docs_with_shingles: DataFrame, k: int = DEFAULT_K) -> DataFrame
     constant-cost ``xxhash64(i, shingle_hash)`` — no string is ever
     re-hashed (round 1 re-hashed every shingle STRING k times; #2 bench
     cost). The signature element is the min over the document's
-    shingles."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shingles", lambda h, i=i: F.xxhash64(F.lit(i), h))
-            )
-            for i in range(k)
-        ]
-    )
+    shingles.
+
+    NB the permutation index is bound via a CLOSURE-returning helper, not
+    a ``lambda h, i=i:`` default argument: PySpark treats a two-parameter
+    ``transform`` lambda as ``(element, array_index)`` and silently
+    overrides the default, which made every signature element identical
+    (one effective hash table) in round 1."""
+
+    def _perm(i: int):
+        return F.array_min(F.transform("shingles", lambda h: F.xxhash64(F.lit(i), h)))
+
+    sig = F.array(*[_perm(i) for i in range(k)])
     return docs_with_shingles.withColumn("minhash", sig)
 
 

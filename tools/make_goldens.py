@@ -1,0 +1,63 @@
+"""Regenerate the committed golden parquets used as DuckDB oracles for
+queries whose Spark-side arithmetic (xxhash64) DuckDB cannot reproduce.
+
+Goldens are legitimate oracles here because the inputs are fixed
+(driver-generated sf0.01 parquet / seeded synth_media) and the operators
+are fully deterministic: the golden pins the output once, and any later
+regression in the operator shows up as a hash mismatch against it.
+
+Run from the repo root:  python tools/make_goldens.py
+"""
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+GOLDEN_DIR = os.path.join(_REPO, "data", "golden")
+SF001 = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    os.environ.setdefault("PYTHONPATH", _REPO)
+    from stash_log_parser_spark.session import build_session
+
+    spark = build_session(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.operators.dedup import simhash
+    from stash_log_parser_spark.operators.multimodal import extract_features, synth_media
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    (
+        simhash(docs)
+        .orderBy("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_sf001.parquet"))
+    )
+
+    feats = extract_features(synth_media(spark, n=60, seed=42)).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.get("feature", 0).cast("double"), 3).alias("f0"),
+        "thumb_w",
+        "thumb_h",
+    )
+    (
+        feats.orderBy("media_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "media_features.parquet"))
+    )
+    print("goldens written under", GOLDEN_DIR)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
