@@ -171,9 +171,13 @@ def streaming_pair_requests(
         if state.hasTimedOut:
             ts_in_us, ts_out_us, op, user = state.get
             state.remove()
+            # keep whichever side arrived: an unmatched OUTGOING must
+            # retain its response timestamp (mirrors the batch twin,
+            # which reports ts_out for unmatched-outgoing keys)
             ts_in = pd.Timestamp(ts_in_us, unit="us") if ts_in_us >= 0 else None
+            ts_out = pd.Timestamp(ts_out_us, unit="us") if ts_out_us >= 0 else None
             yield pd.DataFrame(
-                [[day, counter, ts_in, None, None, op, user, False]],
+                [[day, counter, ts_in, ts_out, None, op, user, False]],
                 columns=[f.name for f in out_schema.fields],
             )
             return

@@ -147,3 +147,81 @@ def test_sql_decode_pipeline_equals_default(spark, corpus_path, tmp_path):
         a = sorted(map(tuple, ca.read(name).drop("tokens").collect()))
         b = sorted(map(tuple, cb.read(name).drop("tokens").collect()))
         assert a == b, f"sink {name} differs between decode paths"
+
+
+def _tokenize_lines(spark, lines, source, day):
+    """Tiny tokenized-corpus frame from raw log lines (contract columns
+    plus the oracle convenience columns, like corpus._day_rows)."""
+    rows = [
+        (f"{day}-x{i:04d}", list(ln.encode("utf-8")), len(ln.encode("utf-8")), source, ln, day)
+        for i, ln in enumerate(lines)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, line string, day string",
+    )
+
+
+def test_lineage_rows_are_true_per_day_counts(spark, corpus_path, tmp_path):
+    """_lineage.rows must equal each day's actual partition row count,
+    for every sink AND the parsed stage (round-1 recorded the batch
+    total for every day)."""
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    lineage = {
+        (r.sink, r.day): r.rows for r in cat.read("_lineage").collect()
+    }
+    for name in list(SINKS) + ["parsed_stage"]:
+        actual = {
+            r.day: r.n
+            for r in cat.read(name)
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for day, n in actual.items():
+            assert lineage[(name, day)] == n, (name, day, lineage[(name, day)], n)
+
+
+def test_cross_midnight_rows_route_to_file_day(spark, tmp_path):
+    """A response logged in day-0's file with a day-1 timestamp
+    (log-rotation spill) must be WRITTEN — under the file's day
+    partition — not dropped by a ts-day filter, and the in|out pair
+    straddling midnight must still match (both live in the same file)."""
+    from stash_log_parser_spark import corpus
+
+    base = str(tmp_path / "base.parquet")
+    corpus.write_corpus(base, n_requests_per_day=40, n_days=1, seed=13)
+    day0, day1 = "2012-09-08", "2012-09-09"
+    src = f"atlassian-stash-access-{day0}.0.log"
+    spill = _tokenize_lines(
+        spark,
+        [
+            f"10.0.0.5 | ssh | i1439x9001x1 | jdoe | {day0} 23:59:59,500 | "
+            f"git-upload-pack '/CONF/confluence.git' | - | - | - | - |",
+            f"10.0.0.5 | ssh | o0x9001x1 | jdoe | {day1} 00:00:00,200 | "
+            f"git-upload-pack '/CONF/confluence.git' | - | clone | 700 | - |",
+        ],
+        src,
+        day0,
+    )
+    cdir = str(tmp_path / "corpus")
+    spark.read.parquet(base).unionByName(spill).coalesce(1).write.parquet(cdir)
+
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, cdir, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+
+    ops = cat.read("git_operations").filter(F.col("hour").startswith(day1)).collect()
+    assert len(ops) == 1 and str(ops[0].day) == day0 and ops[0].clone_miss == 1
+
+    durs = cat.read("request_durations").filter(F.col("duration_ms") == 700).collect()
+    assert len(durs) == 1 and str(durs[0].day) == day0
+
+    pairing = cat.read("pairing_daily").filter(F.col("day") == day0).first()
+    # the midnight-straddling pair matched (same file day, same counter)
+    unmatched = cat.read("parsed_stage").filter(
+        (F.col("req_counter") == 9001) & F.col("is_parsed")
+    ).count()
+    assert unmatched == 2 and pairing.matched_pairs >= 1

@@ -130,3 +130,60 @@ def test_stateful_pairing_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_unmatched_outgoing_keeps_ts_out(spark, tmp_path):
+    """An outgoing event whose incoming half never arrives must emit,
+    on event-time timeout, WITH its response timestamp (round-1 dropped
+    ts_out in the timeout branch, diverging from the batch twin)."""
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_pair_requests,
+    )
+
+    day = "2012-09-08"
+    src = f"atlassian-stash-access-{day}.0.log"
+
+    def tok(lines):
+        rows = [
+            (f"{day}-s{i:03d}", list(ln.encode()), len(ln.encode()), src)
+            for i, ln in enumerate(lines)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+
+    def pair_at(hh, counter):
+        return [
+            f"10.0.0.5 | ssh | i{hh*60}x{counter}x1 | jdoe | {day} {hh:02d}:00:00,000 | "
+            f"git-upload-pack '/CONF/confluence.git' | - | - | - | - |",
+            f"10.0.0.5 | ssh | o{hh*60}x{counter}x1 | jdoe | {day} {hh:02d}:00:01,000 | "
+            f"git-upload-pack '/CONF/confluence.git' | - | fetch | 1000 | - |",
+        ]
+
+    lone_out = (
+        f"10.0.0.5 | ssh | o10x77x1 | jdoe | {day} 00:10:00,000 | "
+        f"git-upload-pack '/CONF/confluence.git' | - | fetch | 500 | - |"
+    )
+    d = str(tmp_path / "stream_in")
+    tok([lone_out]).coalesce(1).write.mode("overwrite").parquet(d)
+    tok(pair_at(3, 88)).coalesce(1).write.mode("append").parquet(d)
+    tok(pair_at(6, 99)).coalesce(1).write.mode("append").parquet(d)
+    tok(pair_at(9, 111)).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(tok([lone_out]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_to_memory(
+        streaming_pair_requests(parse_corpus(stream)), "sunmatched", output_mode="append"
+    )
+    rows = spark.sql(
+        "select * from sunmatched where req_counter = 77"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not r.matched and r.ts_in is None
+    assert r.ts_out is not None and r.ts_out.strftime("%H:%M") == "00:10"
+    assert r.op_type == "fetch" and r.username == "jdoe"
