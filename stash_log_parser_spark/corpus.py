@@ -49,6 +49,13 @@ IP_POOL = [
     "63.246.22.196", "192.168.1.9", "172.16.1.42", "10.0.0.77",
 ]
 GIT_VERSIONS = ["git/1.7.4.1", "git/1.7.9", "git/1.8.0", "git/1.8.2"]
+# referrers appear on ~30% of http requests (field 7's first quoted
+# string — SURVEY.md §1.1 row 7); ssh requests have none.
+REFERRERS = [
+    "https://stash.example.com/projects/CONF/repos/confluence/browse",
+    "https://stash.example.com/dashboard",
+    "https://ci.example.com/job/nightly-build",
+]
 # op → (kind, has_cache_label) ; weights give a realistic mix.
 OPS = [
     ("clone", True), ("fetch", False), ("shallow clone", True),
@@ -90,6 +97,11 @@ def gen_day_lines(
     rng = random.Random(f"{seed}/{day_index}")
     day = EPOCH_DAY0 + dt.timedelta(days=day_index)
     day_ms = 86_400_000
+    # one Atlassian-style session id per (user, day); carried by http
+    # requests in grammar field 10 (ssh requests log "-")
+    session_of = {
+        u: f"{rng.randrange(10**9)}x{rng.randrange(10**9)}x0" for u in USERS
+    }
 
     # 1) draw the requests (sorted start times keep generation O(n log n))
     starts = sorted(rng.randrange(0, day_ms - 600_000) for _ in range(n_requests))
@@ -105,7 +117,8 @@ def gen_day_lines(
         duration = rng.randrange(40, 30_000 if op in ("clone", "shallow clone") else 5_000)
         cache = (rng.random() < 0.6) if has_cache else None
         unmatched = rng.random() < unmatched_rate
-        reqs.append((op, proj, repo, protocol, user, ip, via_proxy, duration, cache))
+        referrer = rng.choice(REFERRERS) if (protocol != "ssh" and rng.random() < 0.3) else ""
+        reqs.append((op, proj, repo, protocol, user, ip, via_proxy, duration, cache, referrer))
         events.append((start, 0, idx))
         if not unmatched:
             events.append((start + duration, 1, idx))
@@ -120,7 +133,7 @@ def gen_day_lines(
     for ev_i, (ts_ms, kind, idx) in enumerate(events):
         if ev_i in malformed_at:
             yield f"GARBAGE #{rng.randrange(10**6)} not a parseable access log line"
-        op, proj, repo, protocol, user, ip, via_proxy, duration, cache = reqs[idx]
+        op, proj, repo, protocol, user, ip, via_proxy, duration, cache, referrer = reqs[idx]
         if kind == 0:
             conc += 1
             gauge = conc
@@ -135,7 +148,8 @@ def gen_day_lines(
         remote = f"63.246.22.196,{ip}" if via_proxy else ip
         is_ssh = protocol == "ssh"
         action = _ssh_action(op, proj, repo) if is_ssh else _http_action(op, proj, repo)
-        details = "-" if is_ssh else f'"" "{rng.choice(GIT_VERSIONS)}"'
+        details = "-" if is_ssh else f'"{referrer}" "{rng.choice(GIT_VERSIONS)}"'
+        session = "-" if is_ssh else session_of[user]
         # username: ssh carries it on both events; http only on the response.
         username = user if (is_ssh or kind == 1) else "-"
         if kind == 0:
@@ -148,7 +162,7 @@ def gen_day_lines(
         ts_str = ts.strftime("%Y-%m-%d %H:%M:%S,") + f"{ts.microsecond // 1000:03d}"
         yield (
             f"{remote} | {protocol} | {rid} | {username} | {ts_str} | "
-            f"{action} | {details} | {labels} | {dur_field} | - |"
+            f"{action} | {details} | {labels} | {dur_field} | {session} |"
         )
 
 

@@ -175,7 +175,7 @@ PARSED_COLUMNS = [
     "doc_id", "n_tok", "source",
     "client_ip", "remote_ips", "protocol",
     "req_dir", "req_minute", "req_counter", "req_concurrent",
-    "username", "user_agent", "ts", "ts_raw", "method", "path", "repo_slug",
+    "username", "user_agent", "referrer", "ts", "ts_raw", "method", "path", "repo_slug",
     "labels", "duration_ms", "session_id",
     "is_parsed", "op_type", "cache_hit", "hour", "day",
 ]
@@ -223,9 +223,11 @@ def _grok(df: DataFrame, f, nf: Column) -> DataFrame:
         F.regexp_extract(action, _SSH_ACTION_RE, 2)
     )
     path = F.substring_index(raw_path, "?", 1)  # strip query string (P5)
-    # field 7 = request details: '"" "git/1.7.4.1"' (referrer + user agent)
-    # for http, '-' for ssh (SURVEY.md §1.1 row 7)
+    # field 7 = request details: '"<referrer>" "git/1.7.4.1"' (referrer +
+    # user agent) for http, '-' for ssh (SURVEY.md §1.1 row 7; ref
+    # Parser.hs:~? request-details parse)
     user_agent = _nullify_dash(F.regexp_extract(f(6), r'"([^"]*)"\s*$', 1))
+    referrer = _nullify_dash(F.regexp_extract(f(6), r'^"([^"]*)"', 1))
     labels_raw = f(7)
     labels = F.when(
         labels_raw.isNull() | (labels_raw == "-"), F.array().cast("array<string>")
@@ -246,6 +248,7 @@ def _grok(df: DataFrame, f, nf: Column) -> DataFrame:
         .withColumn("req_concurrent", F.get(rid_nums, 2).try_cast("int"))
         .withColumn("username", _nullify_dash(f(3)))
         .withColumn("user_agent", F.when(user_agent == "", None).otherwise(user_agent))
+        .withColumn("referrer", F.when(referrer == "", None).otherwise(referrer))
         .withColumn("ts", ts)
         .withColumn("ts_raw", ts_raw)
         .withColumn("method", _nullify_dash(method))
