@@ -40,19 +40,31 @@ def read_log_files(
     ``since``/``until`` (inclusive ISO dates) filter by the date embedded
     in the file name — the reference's ``sortLogFiles``/``createPredicate``
     semantics (File.hs:~30/~50 [K]) expressed as a prunable predicate.
-    ``doc_id`` is synthesized as ``<file>#<monotonic id>`` so the routed
-    raw-row invariant has a key to join on.
+
+    ``doc_id`` is synthesized as ``<file>#<hash>`` where the hash is
+    ``xxhash64(line, occurrence-among-identical-lines)`` — STABLE across
+    scans, retries, and partition-layout changes (a
+    monotonically_increasing_id, as in round 1, re-keys on every read
+    and silently mis-joins the routed raw-row re-attach). Identical
+    duplicate lines are interchangeable, so the occurrence number's
+    arbitrary assignment still yields a stable id MULTISET. The
+    occurrence window costs one shuffle on (source, line); a production
+    ingest assigns row ids at write time (e.g. Iceberg) and skips this —
+    the raw-file front door favors correctness over that one pass.
     """
+    from pyspark.sql import Window
+
     df = spark.read.text(paths)
     src = F.element_at(F.split(F.input_file_name(), "/"), -1)
     df = (
         df.withColumn("source", src)
         .withColumn("file_day", F.regexp_extract("source", FILENAME_DATE_RE, 1))
-        .withColumn(
-            "doc_id",
-            F.concat_ws("#", F.col("source"), F.monotonically_increasing_id().cast("string")),
-        )
         .withColumnRenamed("value", "line")
+    )
+    occ = F.row_number().over(Window.partitionBy("source", "line").orderBy(F.lit(1)))
+    df = df.withColumn(
+        "doc_id",
+        F.format_string("%s#%016x", F.col("source"), F.xxhash64("line", occ)),
     )
     if since is not None:
         df = df.filter(F.col("file_day") >= str(since))

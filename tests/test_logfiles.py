@@ -81,3 +81,39 @@ def test_sort_log_files():
         "atlassian-stash-access-2012-09-09.0.log",
         "atlassian-stash-access-2012-09-09.1.log",
     ]
+
+
+def test_doc_id_stable_across_scans_and_layouts(spark, tmp_path):
+    """doc_id must be identical across independent reads and partition
+    layouts (round-1 used monotonically_increasing_id, which re-keys on
+    every scan and silently mis-joins the raw-row re-attach)."""
+    import gzip
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    lines = [
+        "10.0.0.5 | ssh | i10x1x1 | jdoe | 2012-09-08 00:10:00,000 | "
+        "git-upload-pack '/CONF/confluence.git' | - | - | - | - |",
+        "DUPLICATE LINE",
+        "DUPLICATE LINE",
+    ]
+    (d / "atlassian-stash-access-2012-09-08.0.log").write_text("\n".join(lines))
+    with gzip.open(d / "atlassian-stash-access-2012-09-09.0.log.gz", "wt") as f:
+        f.write("\n".join(lines[::-1]))
+
+    from stash_log_parser_spark.sources.logfiles import read_log_files
+
+    a = sorted(r.doc_id for r in read_log_files(spark, str(d)).collect())
+    b = sorted(r.doc_id for r in read_log_files(spark, str(d)).repartition(7).collect())
+    c = sorted(
+        r.doc_id
+        for r in read_log_files(
+            spark,
+            [
+                str(d / "atlassian-stash-access-2012-09-09.0.log.gz"),
+                str(d / "atlassian-stash-access-2012-09-08.0.log"),
+            ],
+        ).collect()
+    )
+    assert a == b == c
+    assert len(set(a)) == 6  # ids unique even for duplicate lines

@@ -225,3 +225,31 @@ def test_cross_midnight_rows_route_to_file_day(spark, tmp_path):
         (F.col("req_counter") == 9001) & F.col("is_parsed")
     ).count()
     assert unmatched == 2 and pairing.matched_pairs >= 1
+
+
+def test_bucketed_stage_join_is_shuffle_free(spark, corpus_path, tmp_path):
+    """The bucketed stage layout (SURVEY.md §8.1): parsed stage and raw
+    tokens co-bucketed on doc_id join WITHOUT any Exchange — the plan
+    the token re-attach would run at 100 TB."""
+    from stash_log_parser_spark.functions.parse import parse_corpus
+
+    raw = spark.read.parquet(corpus_path).select("doc_id", "tokens", "n_tok", "source")
+    parsed = parse_corpus(raw).select("doc_id", "op_type", "duration_ms")
+    cat = SinkCatalog(spark, str(tmp_path / "bucketed"))
+    cat.write_bucketed(parsed, "parsed_bucketed", col="doc_id", buckets=8)
+    cat.write_bucketed(raw.select("doc_id", "tokens"), "tokens_bucketed", col="doc_id", buckets=8)
+
+    # at 100 TB neither side is broadcastable — force the large-large
+    # join shape the bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cat.read_bucketed("parsed_bucketed").join(
+            cat.read_bucketed("tokens_bucketed"), "doc_id"
+        )
+        assert j.count() == raw.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
