@@ -47,7 +47,7 @@ _FILE_DAY_RE = r"(\d{4}-\d{2}-\d{2})"
 # the previous ts-derived day keys for losing exactly those rows.
 
 
-def _sink_git_operations(p: DataFrame) -> DataFrame:
+def _sink_git_operations(p: DataFrame, _raw: DataFrame) -> DataFrame:
     """Per-(file_day, hour) git-op hit/miss counts (A5, mergeable)."""
     ops = p.filter(F.col("is_parsed") & F.col("op_type").isNotNull())
     aggs = []
@@ -61,7 +61,7 @@ def _sink_git_operations(p: DataFrame) -> DataFrame:
     ).agg(*aggs)
 
 
-def _sink_protocol_by_hour(p: DataFrame) -> DataFrame:
+def _sink_protocol_by_hour(p: DataFrame, _raw: DataFrame) -> DataFrame:
     ops = p.filter(F.col("is_parsed") & F.col("op_type").isNotNull())
     return ops.groupBy(
         F.col("file_day").alias("day"),
@@ -72,7 +72,7 @@ def _sink_protocol_by_hour(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_concurrency_by_hour(p: DataFrame) -> DataFrame:
+def _sink_concurrency_by_hour(p: DataFrame, _raw: DataFrame) -> DataFrame:
     """Per-hour peak of the running gauge. The gauge itself is windowed
     by the stage's ``day`` (= file_day: one file sequence per day, the
     reference's reset boundary), so spill rows extend their own file's
@@ -84,7 +84,7 @@ def _sink_concurrency_by_hour(p: DataFrame) -> DataFrame:
     ).agg(F.max("concurrent").alias("max_concurrent"))
 
 
-def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
+def _sink_protocol_counts_daily(p: DataFrame, _raw: DataFrame) -> DataFrame:
     return (
         p.filter(F.col("is_parsed"))
         .groupBy("file_day", "protocol")
@@ -93,7 +93,7 @@ def _sink_protocol_counts_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
+def _sink_repository_stats_daily(p: DataFrame, _raw: DataFrame) -> DataFrame:
     ops = p.filter(F.col("op_type").isNotNull() & F.col("repo_slug").isNotNull())
     aggs = [
         F.sum((F.col("op_type") == op).cast("long")).alias(plural)
@@ -104,21 +104,27 @@ def _sink_repository_stats_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_request_durations(p: DataFrame) -> DataFrame:
+def _sink_request_durations(p: DataFrame, raw: DataFrame) -> DataFrame:
     """Routed RAW rows — carries the original tokens (BASELINE.json:15).
 
-    The stage table stores tokens alongside the parsed columns, so this
-    sink is a pure pruned scan + filter + write: no join, no shuffle."""
-    return p.filter(
+    Tokens re-attach by a doc_id join against the RAW input rather than
+    riding in the stage table: the payload is then written exactly once
+    (in this sink), never stored twice, and moves through one shuffle as
+    join VALUE — measured ~5s of the 14s stage build was parquet
+    list-encoding the token arrays a second time. The stage side of the
+    join is narrow; co-bucketing both tables on doc_id makes the join
+    exchange-free at scale (see SinkCatalog.write_bucketed)."""
+    ops = p.filter(
         F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull()
     ).select(
-        "doc_id", "tokens", "op_type", "duration_ms", "username", "client_ip",
+        "doc_id", "op_type", "duration_ms", "username", "client_ip",
         "project_key", "datacenter", "ts_raw",
         F.col("file_day").alias("day"),
     )
+    return ops.join(raw.select("doc_id", "tokens"), "doc_id")
 
 
-def _sink_pairing_daily(p: DataFrame) -> DataFrame:
+def _sink_pairing_daily(p: DataFrame, _raw: DataFrame) -> DataFrame:
     pairs = A.pair_requests(p)
     return (
         pairs.groupBy(F.col("day").cast("string").alias("day"))
@@ -130,7 +136,7 @@ def _sink_pairing_daily(p: DataFrame) -> DataFrame:
     )
 
 
-def _sink_metrics(p: DataFrame) -> DataFrame:
+def _sink_metrics(p: DataFrame, _raw: DataFrame) -> DataFrame:
     """Per-(day, source) parse metrics — malformed lines are counted here,
     never silently dropped (SURVEY.md §3.3 F5)."""
     return (
@@ -161,7 +167,7 @@ def run_pipeline(
     output: str,
     run_id: str = "run-0",
     force: bool = False,
-    use_sql_decode: bool = False,
+    use_sql_decode: bool | None = None,
     sinks: dict | None = None,
 ) -> dict:
     """Parse → enrich → route the corpus at ``input_path`` into per-analysis
@@ -224,11 +230,21 @@ def run_pipeline(
         target = spark.sparkContext.defaultParallelism * 2
         if len(raw.inputFiles()) < target // 2:
             scoped = scoped.repartition(target)
+        # The stage stores only PARSED columns — the token payload stays
+        # in the input table and re-attaches to the one sink that needs
+        # it by a doc_id join (_sink_request_durations). Two measured
+        # reasons: (a) shipping token arrays through the Python stage as
+        # Arrow passengers was 2.5x slower than leaving them behind
+        # (payload roundtrip serialization, not decode, is the cost);
+        # (b) parquet-list-encoding the arrays a second time into the
+        # stage cost ~5s of the 14s stage build — and at scale would
+        # store the 100 TB payload twice. The tokens are consumed INSIDE
+        # the Arrow decode stage and never emitted from it.
         parsed = enrich(
-            parse_corpus(scoped, use_sql_decode=use_sql_decode, with_tokens=True)
+            parse_corpus(scoped, use_sql_decode=bool(use_sql_decode))
         ).withColumn("file_day", F.regexp_extract("source", _FILE_DAY_RE, 1))
         stage_df = parsed.select(
-            "doc_id", "tokens", "n_tok", "source", "is_parsed",
+            "doc_id", "n_tok", "source", "is_parsed",
             "protocol", "req_dir", "req_counter", "username", "client_ip",
             "ts", "ts_raw", "repo_slug", "duration_ms", "op_type", "cache_hit",
             "hour", F.col("file_day").alias("day"), "project_key", "datacenter",
@@ -278,7 +294,10 @@ def run_pipeline(
         days = pending[name]
         if not days:
             return name, {"days_written": 0, "rows": 0}, 0.0
-        df = fn(stage.filter(F.col("file_day").isin(days)))
+        df = fn(
+            stage.filter(F.col("file_day").isin(days)),
+            raw.filter(F.col("file_day").isin(days)),
+        )
         # day is always file_day-derived now; the isin is kept as a
         # safety net against a sink emitting days outside its commit set
         # (such rows could never be resumed).

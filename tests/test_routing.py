@@ -137,10 +137,11 @@ def test_resume_reuses_stage_without_reparse(spark, corpus_path, tmp_path):
 
 
 def test_sql_decode_pipeline_equals_default(spark, corpus_path, tmp_path):
-    """The pure-JVM decode fallback (no Python workers at all) produces
-    byte-identical sink contents."""
+    """Arrow-decode and pure-JVM-decode stage builds produce
+    byte-identical sink contents (the pipeline defaults to the JVM path
+    for the tokens-through stage; the Arrow path must stay equivalent)."""
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
-    run_pipeline(spark, corpus_path, out_a, run_id="arrow")
+    run_pipeline(spark, corpus_path, out_a, run_id="arrow", use_sql_decode=False)
     run_pipeline(spark, corpus_path, out_b, run_id="sql", use_sql_decode=True)
     ca, cb = SinkCatalog(spark, out_a), SinkCatalog(spark, out_b)
     for name in SINKS:
