@@ -48,6 +48,11 @@ def build_session(
         # array payload: sorting the payload side (SMJ) costs far more than
         # hash-building the narrow side — prefer shuffled hash joins.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # The routing fan-out submits per-sink jobs from threads; FAIR
+        # keeps one long sink job (the raw-row payload join) from
+        # starving the small aggregate sinks. (Read at context creation;
+        # a no-op when attaching to an existing context.)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Token-sequence rows expand ~4-8× from parquet to in-flight size
         # (int32 arrays + parquet list-writer state); 16 MB splits keep a

@@ -55,6 +55,18 @@ def main() -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(GOLDEN_DIR, "media_features.parquet"))
     )
+
+    # metadata-only pin of the synthetic media table (numpy-seeded, not
+    # reproducible in SQL): the frame-sampling oracle recomputes the
+    # sampled indices from these pinned (media_id, kind, n_frames) rows.
+    (
+        synth_media(spark, n=60, seed=42)
+        .select("media_id", "kind", "width", "height", "n_frames")
+        .orderBy("media_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "media_meta.parquet"))
+    )
     print("goldens written under", GOLDEN_DIR)
     spark.stop()
 
