@@ -297,7 +297,6 @@ def parse_corpus(
     df: DataFrame,
     use_sql_decode: bool = False,
     slim: bool = False,
-    with_tokens: bool = False,
 ) -> DataFrame:
     """Full P-layer: tokenized corpus → parsed LogEntry DataFrame.
 
@@ -320,14 +319,7 @@ def parse_corpus(
         return parse_lines(df.withColumn("line", decode_tokens_sql(F.col("tokens")))).drop(
             "line"
         )
-    if slim:
-        keep = ("source",)
-    elif with_tokens:
-        # safe with the small-batch Arrow config (see session.py); used by
-        # the routing stage so the routed sink needs no re-attach join
-        keep = ("doc_id", "tokens", "n_tok", "source")
-    else:
-        keep = ("doc_id", "n_tok", "source")
+    keep = ("source",) if slim else ("doc_id", "n_tok", "source")
     in_cols = list(dict.fromkeys(keep + ("tokens",)))
     schema = T.StructType(
         [f for f in _CONTRACT_FIELDS if f.name in keep]

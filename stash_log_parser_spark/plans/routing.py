@@ -37,6 +37,18 @@ from ..sources.catalog import SinkCatalog
 _FILE_DAY_RE = r"(\d{4}-\d{2}-\d{2})"
 
 
+def _parse_size(v: str) -> int:
+    """Spark size-conf string → bytes ('16m', '128MB', '134217728')."""
+    v = str(v).strip().lower()
+    for suf, mult in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)]) * mult)
+    return int(v)
+
+
 # Every routed sink is partitioned on FILE_DAY (the date in the source
 # filename — the same notion the resume/lineage protocol is keyed on).
 # Analytic columns derived from the event timestamp (hour buckets) keep
@@ -167,7 +179,7 @@ def run_pipeline(
     output: str,
     run_id: str = "run-0",
     force: bool = False,
-    use_sql_decode: bool | None = None,
+    use_sql_decode: bool = False,
     sinks: dict | None = None,
 ) -> dict:
     """Parse → enrich → route the corpus at ``input_path`` into per-analysis
@@ -221,14 +233,24 @@ def run_pipeline(
     t0 = time.perf_counter()
     if stage_days:
         scoped = raw.filter(F.col("file_day").isin(stage_days))
-        # Defend against under-partitioned inputs (few giant files): the
-        # parse stage is CPU-bound, so fewer input splits than cores
-        # leaves the cluster idle. A production Iceberg table is
-        # range-partitioned into many files and never hits this branch.
-        # (File count, not scoped.rdd.getNumPartitions(): the RDD probe
-        # forced a plan conversion just to count splits — round-1 note.)
+        # Defend against under-partitioned inputs: the parse stage is
+        # CPU-bound, so fewer input splits than cores leaves the cluster
+        # idle. Estimate the split count the scan will actually produce
+        # — total bytes / maxPartitionBytes (Spark both SPLITS large
+        # files and PACKS small ones to that size), via a driver-side FS
+        # metadata call (no plan/RDD conversion — round-1 note). A
+        # production Iceberg table is range-partitioned into many files
+        # and never hits this branch.
         target = spark.sparkContext.defaultParallelism * 2
-        if len(raw.inputFiles()) < target // 2:
+        max_split = _parse_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(input_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total_bytes = fs.getContentSummary(jpath).getLength()
+        est_splits = max(1, total_bytes // max(max_split, 1))
+        if est_splits < target // 2:
             scoped = scoped.repartition(target)
         # The stage stores only PARSED columns — the token payload stays
         # in the input table and re-attaches to the one sink that needs
@@ -260,15 +282,18 @@ def run_pipeline(
         catalog.write_partitions(stage_df, "parsed_stage")
         summary["stage_rows"] = int(obs.get["rows"])
         # per-day lineage counts from the written partitions (footer
-        # metadata only — no data columns scanned)
-        stage_counts = {
-            r["day"]: r["n"]
-            for r in catalog.read("parsed_stage")
-            .filter(F.col("day").isin(stage_days))
-            .groupBy(F.col("day").cast("string").alias("day"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # metadata only — no data columns scanned); every discovered day
+        # has >= 1 row by construction, but guard the empty case anyway
+        stage_counts = {}
+        if summary["stage_rows"]:
+            stage_counts = {
+                r["day"]: r["n"]
+                for r in catalog.read("parsed_stage")
+                .filter(F.col("day").isin(stage_days))
+                .groupBy(F.col("day").cast("string").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         catalog.commit(
             [("parsed_stage", d, int(stage_counts.get(d, 0))) for d in stage_days],
             run_id,
@@ -294,6 +319,11 @@ def run_pipeline(
         days = pending[name]
         if not days:
             return name, {"days_written": 0, "rows": 0}, 0.0
+        # one scheduler pool per sink: with FAIR mode (session.py) the
+        # long payload-join sink cannot starve the small aggregates.
+        # setLocalProperty is per-thread, which is exactly the scope of
+        # this worker.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         df = fn(
             stage.filter(F.col("file_day").isin(days)),
             raw.filter(F.col("file_day").isin(days)),
@@ -308,15 +338,18 @@ def run_pipeline(
         batch_rows = int(obs.get["rows"])
         # lineage carries TRUE per-day counts: a groupBy(day) over the
         # freshly written, day-partitioned sink is footer-metadata work
-        # (no data columns are read).
-        per_day = {
-            r["day"]: r["n"]
-            for r in catalog.read(name)
-            .filter(F.col("day").isin(days))
-            .groupBy(F.col("day").cast("string").alias("day"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # (no data columns are read). An all-empty write leaves only
+        # _SUCCESS behind (no readable parquet) — commit explicit zeros.
+        per_day = {}
+        if batch_rows:
+            per_day = {
+                r["day"]: r["n"]
+                for r in catalog.read(name)
+                .filter(F.col("day").isin(days))
+                .groupBy(F.col("day").cast("string").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         entries = [(name, d, int(per_day.get(d, 0))) for d in days]
         catalog.commit(entries, run_id)
         return name, {"days_written": len(days), "rows": batch_rows}, time.perf_counter() - t0
