@@ -236,20 +236,34 @@ def run_pipeline(
         # Defend against under-partitioned inputs: the parse stage is
         # CPU-bound, so fewer input splits than cores leaves the cluster
         # idle. Estimate the split count the scan will actually produce
-        # — total bytes / maxPartitionBytes (Spark both SPLITS large
-        # files and PACKS small ones to that size), via a driver-side FS
-        # metadata call (no plan/RDD conversion — round-1 note). A
+        # by replicating FilePartition's own packing math — splits are
+        # sized to min(maxPartitionBytes, max(openCost, bytesPerCore)),
+        # where each file contributes size + openCostInBytes — from one
+        # driver-side FS metadata call (no plan/RDD conversion —
+        # round-1 note). Spark already spreads SMALL inputs across cores
+        # via bytesPerCore, so the repartition only fires for genuinely
+        # unsplittable shapes (one giant gzip); a byte-count-only
+        # estimate here caused a spurious full-payload shuffle of packed
+        # many-small-file inputs (round-2 bench regression). A
         # production Iceberg table is range-partitioned into many files
         # and never hits this branch.
-        target = spark.sparkContext.defaultParallelism * 2
-        max_split = _parse_size(
+        par = spark.sparkContext.defaultParallelism
+        target = par * 2
+        max_part = _parse_size(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        open_cost = _parse_size(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
         )
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(input_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        total_bytes = fs.getContentSummary(jpath).getLength()
-        est_splits = max(1, total_bytes // max(max_split, 1))
+        fs_summary = fs.getContentSummary(jpath)
+        total_bytes = fs_summary.getLength()
+        n_files = max(1, fs_summary.getFileCount())
+        padded = total_bytes + n_files * open_cost
+        max_split = min(max_part, max(open_cost, padded // max(par, 1)))
+        est_splits = max(1, padded // max(max_split, 1))
         if est_splits < target // 2:
             scoped = scoped.repartition(target)
         # The stage stores only PARSED columns — the token payload stays
