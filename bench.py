@@ -111,6 +111,7 @@ def main() -> dict:
         "docs_simhash",
         "emb_knn_bruteforce",
         "emb_lsh_topk",
+        "emb_ivf_topk",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -240,6 +240,117 @@ def lsh_topk(
     )
 
 
+def with_ivf_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the IVF cell id: argmax cosine over ``centroids`` (n_cells × dim).
+
+    One Arrow-vectorized ``mapInArrow`` stage — a single numpy matmul per
+    batch against the L2-normalized centroid matrix (argmax over
+    dot(v, c/|c|) ≡ argmax over cosine since |v| is constant per row).
+    Shuffle-free, embarrassingly parallel; ties break toward the lowest
+    cell id (np.argmax first-occurrence), matching the oracle's
+    ``ORDER BY cos DESC, cid ASC`` tie-break."""
+    from pyspark.sql import types as T
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    cn_t = cn.T.copy()  # (dim, n_cells)
+    dim = centroids.shape[1]
+    out_schema = T.StructType(
+        list(embeddings.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+    vec_name = vec_col
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(b.schema.get_field_index(vec_name))
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            v = flat.reshape(b.num_rows, dim)
+            cells = np.argmax(v @ cn_t, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)] + [pa.array(cells)],
+                names=[f.name for f in b.schema] + ["cell"],
+            )
+
+    return embeddings.mapInArrow(assign, schema=out_schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The scale path complementary to :func:`lsh_topk`: every vector is
+    assigned to its nearest of ``n_cells`` centroids (one narrow int
+    column — the 100-TB payload is scanned once and never shuffled);
+    each query probes its ``nprobe`` nearest cells and re-ranks the
+    cells' members by exact cosine. Recall tunes with nprobe/n_cells;
+    at nprobe = n_cells it degrades gracefully to exact brute force.
+
+    Centroids are a deterministic sample — the first ``n_cells`` vectors
+    by ``id_col`` — so the operator (and its SQL oracle twin) is fully
+    reproducible with no k-means iteration state. On a real corpus the
+    centroid matrix would come from a k-means fit; the plan shape
+    (assign → probe → re-rank) is identical.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    C = np.array([r[1] for r in cents], dtype=np.float64)  # (n_cells, dim)
+    e = with_ivf_cells(embeddings, C, vec_col)
+
+    # query-side probing runs driver-side on the (tiny, broadcast-bound)
+    # query set with the same normalized-centroid kernel
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    order = np.argsort(-(qv @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    q = queries.sparkSession.createDataFrame(
+        [
+            (int(order[i, p]), r[0], [float(x) for x in r[1]])
+            for i, r in enumerate(qrows)
+            for p in range(order.shape[1])
+        ],
+        f"cell int, {query_id_col} long, _qv array<double>",
+    )
+    # candidates = members of any probed cell; a query's nprobe cells are
+    # disjoint, so (query_id, vec_id) pairs are already unique — no dedup
+    # exchange needed (unlike LSH's overlapping tables).
+    cand = e.join(F.broadcast(q), on="cell", how="inner")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,

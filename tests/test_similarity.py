@@ -116,3 +116,46 @@ def test_lsh_plans_never_shuffle_the_vector(spark, emb, queries):
         df.collect()  # run so AQE finalizes the executed plan
         for ln in _exchange_lines(df):
             assert "embedding" not in ln and "query_vec" not in ln, ln
+
+
+def test_ivf_full_probe_equals_bruteforce(emb, queries):
+    """nprobe = n_cells probes every cell → IVF degrades gracefully to
+    the exact brute-force result."""
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    ivf = S.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_topk_finds_planted_neighbors(spark, emb, queries):
+    """Perturbed copies of a query land in the query's own cell (tiny
+    perturbation cannot flip the argmax centroid for a vector ~0.35+
+    from every other centroid), so nprobe=1 already recalls them."""
+    import numpy as np
+
+    qrows = queries.collect()
+    rng = np.random.RandomState(1)
+    planted = []
+    for r in qrows:
+        v = np.array(r.query_vec, dtype=np.float64)
+        for j in range(3):
+            p = v + rng.normal(scale=0.02 * np.abs(v).mean(), size=v.shape)
+            planted.append((int(1_000_000 + r.query_id * 10 + j), [float(x) for x in p], 0))
+    aug = emb.unionByName(spark.createDataFrame(planted, emb.schema))
+    got = {}
+    for r in S.ivf_topk(aug, queries, k=4, n_cells=8, nprobe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in qrows:
+        want = {r.query_id} | {1_000_000 + r.query_id * 10 + j for j in range(3)}
+        assert len(want & got[r.query_id]) >= 3
+
+
+def test_ivf_cell_assignment_never_shuffles(emb, queries):
+    """Cell assignment is a pure map stage; the only exchanges in the
+    whole IVF plan are the broadcast of the probe table and the final
+    top-k window partitioning — none keyed on the vector."""
+    cells = S.with_ivf_cells(emb, __import__("numpy").ones((4, 64)))
+    assert _exchange_lines(cells) == []
+    df = S.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+    df.collect()
+    for ln in _exchange_lines(df):
+        assert "embedding" not in ln and "query_vec" not in ln, ln
