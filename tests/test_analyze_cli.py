@@ -1,0 +1,66 @@
+"""The per-analysis CLI (plans/analyze.py) — the reference's
+`logparser <mode> files...` UX (Main.hs dispatch + Output.hs stdout)."""
+
+import gzip
+import os
+
+import pytest
+
+from stash_log_parser_spark.plans import analyze
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    from stash_log_parser_spark.corpus import generate_spark
+
+    d = tmp_path_factory.mktemp("analyze_cli")
+    rows = generate_spark(spark, 400, 2, seed=9).select("line", "day").collect()
+    days = sorted({r.day for r in rows})
+    # one plain file, one gzipped — S1/S2 through the CLI front door
+    for i, day in enumerate(days):
+        lines = [r.line for r in rows if r.day == day]
+        name = f"atlassian-stash-access-{day}.0.log" + (".gz" if i else "")
+        opener = gzip.open if i else open
+        with opener(os.path.join(d, name), "wt") as f:
+            f.write("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_cli_gitoperations_pipe_output(spark, log_dir, capsys):
+    rc = analyze.main(["gitOperations", os.path.join(log_dir, "*")])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert out, "no rows printed"
+    # hour + 5 ops × hit/miss = 11 pipe-separated columns (A5 shape)
+    assert all(len(l.split("|")) == 11 for l in out)
+
+
+def test_cli_since_filters_files(spark, log_dir, capsys):
+    days = sorted(
+        {n.split("access-")[1][:10] for n in os.listdir(log_dir)}
+    )
+    analyze.main(["countRequests", os.path.join(log_dir, "*")])
+    total = int(capsys.readouterr().out.strip().split("|")[0])
+    analyze.main(
+        ["countRequests", os.path.join(log_dir, "*"), "--since", days[1]]
+    )
+    later = int(capsys.readouterr().out.strip().split("|")[0])
+    assert 0 < later < total
+
+
+def test_cli_parquet_input_matches_operator(spark, capsys):
+    corpus = "data/log_corpus_small.parquet"
+    analyze.main(["protocolStats", corpus, "--format", "csv"])
+    out = dict(
+        l.split(",") for l in capsys.readouterr().out.splitlines() if l
+    )
+    from stash_log_parser_spark.functions.parse import parse_corpus
+    from stash_log_parser_spark.operators import analyses as A
+
+    want = {
+        r.protocol: str(r.n)
+        for r in A.protocol_counts(
+            parse_corpus(spark.read.parquet(corpus))
+        ).collect()
+    }
+    assert out == want
