@@ -49,6 +49,31 @@ def _parse_size(v: str) -> int:
     return int(v)
 
 
+def estimate_scan_splits(spark: SparkSession, input_path: str) -> int:
+    """Estimate how many splits a parquet scan of ``input_path`` yields,
+    replicating FilePartition's packing math: each file contributes
+    size + openCostInBytes, and splits are sized to
+    min(maxPartitionBytes, max(openCost, bytesPerCore)). One driver-side
+    FS metadata call — no plan or RDD conversion (round-1 note). Pinned
+    against Spark's actual partition count in tests/test_routing.py."""
+    par = spark.sparkContext.defaultParallelism
+    max_part = _parse_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = _parse_size(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs_summary = fs.getContentSummary(jpath)
+    total_bytes = fs_summary.getLength()
+    n_files = max(1, fs_summary.getFileCount())
+    padded = total_bytes + n_files * open_cost
+    max_split = min(max_part, max(open_cost, padded // max(par, 1)))
+    return max(1, padded // max(max_split, 1))
+
+
 # Every routed sink is partitioned on FILE_DAY (the date in the source
 # filename — the same notion the resume/lineage protocol is keyed on).
 # Analytic columns derived from the event timestamp (hour buckets) keep
@@ -235,36 +260,15 @@ def run_pipeline(
         scoped = raw.filter(F.col("file_day").isin(stage_days))
         # Defend against under-partitioned inputs: the parse stage is
         # CPU-bound, so fewer input splits than cores leaves the cluster
-        # idle. Estimate the split count the scan will actually produce
-        # by replicating FilePartition's own packing math — splits are
-        # sized to min(maxPartitionBytes, max(openCost, bytesPerCore)),
-        # where each file contributes size + openCostInBytes — from one
-        # driver-side FS metadata call (no plan/RDD conversion —
-        # round-1 note). Spark already spreads SMALL inputs across cores
-        # via bytesPerCore, so the repartition only fires for genuinely
-        # unsplittable shapes (one giant gzip); a byte-count-only
-        # estimate here caused a spurious full-payload shuffle of packed
-        # many-small-file inputs (round-2 bench regression). A
+        # idle. Spark already spreads SMALL inputs across cores (the
+        # bytesPerCore term in estimate_scan_splits), so this repartition
+        # only fires for genuinely unsplittable shapes (one giant gzip);
+        # a byte-count-only estimate here once caused a spurious
+        # full-payload shuffle of packed many-small-file inputs. A
         # production Iceberg table is range-partitioned into many files
         # and never hits this branch.
-        par = spark.sparkContext.defaultParallelism
-        target = par * 2
-        max_part = _parse_size(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        )
-        open_cost = _parse_size(
-            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-        )
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(input_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs_summary = fs.getContentSummary(jpath)
-        total_bytes = fs_summary.getLength()
-        n_files = max(1, fs_summary.getFileCount())
-        padded = total_bytes + n_files * open_cost
-        max_split = min(max_part, max(open_cost, padded // max(par, 1)))
-        est_splits = max(1, padded // max(max_split, 1))
-        if est_splits < target // 2:
+        target = spark.sparkContext.defaultParallelism * 2
+        if estimate_scan_splits(spark, input_path) < target // 2:
             scoped = scoped.repartition(target)
         # The stage stores only PARSED columns — the token payload stays
         # in the input table and re-attaches to the one sink that needs

@@ -254,3 +254,26 @@ def test_bucketed_stage_join_is_shuffle_free(spark, corpus_path, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_estimate_scan_splits_matches_spark_packing(spark, tmp_path):
+    """estimate_scan_splits replicates FilePartition's packing math; pin
+    it within 2x of Spark's ACTUAL scan partitioning for both shapes
+    that matter: many packed small files and one splittable big file.
+    (A byte-count-only estimate undercounted the small-file case 30x and
+    triggered a spurious full-payload repartition — round-2 regression.)"""
+    from stash_log_parser_spark.plans.routing import estimate_scan_splits
+
+    many = str(tmp_path / "many")
+    spark.range(0, 200_000).selectExpr(
+        "cast(id as string) doc_id", "repeat('x', 64) pad"
+    ).repartition(40).write.mode("overwrite").parquet(many)
+    one = str(tmp_path / "one")
+    spark.range(0, 200_000).selectExpr(
+        "cast(id as string) doc_id", "repeat('x', 64) pad"
+    ).coalesce(1).write.mode("overwrite").parquet(one)
+
+    for path in (many, one):
+        actual = spark.read.parquet(path).rdd.getNumPartitions()
+        est = estimate_scan_splits(spark, path)
+        assert actual / 2 <= est <= actual * 2, (path, est, actual)
