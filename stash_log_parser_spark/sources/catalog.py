@@ -54,6 +54,27 @@ class SinkCatalog:
                 .parquet(self._path(sink))
             )
 
+    def write_batch_partitions(
+        self, df: DataFrame, sink: str, batch_id: int, partition_col: str = "day"
+    ) -> None:
+        """Streaming-ingest write: overwrite exactly the (batch, day)
+        partitions present in ``df``. Namespacing every micro-batch's
+        output under its own ``batch=<id>`` partition makes a foreachBatch
+        REPLAY (failure after data write, before checkpoint commit)
+        idempotent — the replayed batch overwrites only its own
+        partitions — without needing a transactional sink. Readers merge
+        partials across batches exactly like the batch pipeline's
+        mergeable daily partials."""
+        out = df.withColumn("batch", F.lit(int(batch_id)))
+        if self.use_iceberg:
+            out.writeTo(f"{self.base}.{sink}").overwritePartitions()
+        else:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("batch", partition_col)
+                .parquet(self._path(sink))
+            )
+
     def write_bucketed(
         self, df: DataFrame, sink: str, col: str = "doc_id", buckets: int = 64
     ) -> None:

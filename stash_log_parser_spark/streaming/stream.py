@@ -218,3 +218,103 @@ def streaming_pair_requests(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: the pipeline's streaming front door
+# ---------------------------------------------------------------------------
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output: str,
+    checkpoint: str,
+    sinks: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Route a STREAM of tokenized sequences into the same per-analysis
+    sinks as plans/routing.run_pipeline, via foreachBatch.
+
+    Each micro-batch runs the identical parse → enrich → fan-out, but
+    writes land under ``batch=<id>/day=<d>`` partitions
+    (SinkCatalog.write_batch_partitions): a replayed batch (crash after
+    data write, before the checkpoint commit) overwrites ONLY its own
+    partitions, giving exactly-once sink contents without a
+    transactional store. Sink rows are the same mergeable per-day
+    partials as the batch pipeline, so global rollups just also sum
+    over ``batch``. Lineage rows are committed per (sink, day) with
+    ``run_id = stream-batch-<id>``.
+
+    Semantics note (same as the batch pipeline's day granularity): the
+    additive sinks merge across arbitrary batch boundaries; the
+    order-sensitive ones (concurrency gauge, in|out pairing) are exact
+    when file triggers align with days — the corpus layout the batch
+    pipeline also assumes (day-aligned ingest shards). Cross-batch
+    pairing is the stateful operator's job (streaming_pair_requests).
+
+    Runs with trigger(availableNow) and blocks until the backlog is
+    drained; returns {"batches": n, "rows": total}.
+    """
+    from ..operators.enrich import enrich
+    from ..plans.routing import _FILE_DAY_RE, SINKS
+    from ..sources.catalog import SinkCatalog
+
+    sinks = sinks or SINKS
+    catalog = SinkCatalog(spark, output)
+    progress = {"batches": 0, "rows": 0}
+
+    def handle(raw_batch: DataFrame, batch_id: int) -> None:
+        raw_batch = raw_batch.withColumn(
+            "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
+        )
+        raw_batch.persist()
+        stage = None
+        try:
+            parsed = enrich(parse_corpus(raw_batch)).withColumn(
+                "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
+            )
+            # the stage contract routing sinks expect: day = file_day
+            stage = parsed.drop("day").withColumn("day", F.col("file_day"))
+            stage.persist()
+
+            # same concurrent fan-out + FAIR pools as the batch pipeline
+            def _write(item):
+                name, fn = item
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+                catalog.write_batch_partitions(fn(stage, raw_batch), name, batch_id)
+                return name, {
+                    r["day"]: r["n"]
+                    for r in catalog.read(name)
+                    .filter(F.col("batch") == batch_id)
+                    .groupBy(F.col("day").cast("string").alias("day"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            entries = []
+            with ThreadPoolExecutor(max_workers=min(8, len(sinks))) as ex:
+                for name, per_day in ex.map(_write, sinks.items()):
+                    entries += [(name, d, n) for d, n in sorted(per_day.items())]
+            catalog.commit(entries, f"stream-batch-{batch_id}")
+            progress["batches"] += 1
+            progress["rows"] += raw_batch.count()
+        finally:
+            if stage is not None:
+                stage.unpersist()
+            raw_batch.unpersist()
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (
+        stream.parquet(input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return progress

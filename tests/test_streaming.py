@@ -187,3 +187,85 @@ def test_streaming_unmatched_outgoing_keeps_ts_out(spark, tmp_path):
     assert not r.matched and r.ts_in is None
     assert r.ts_out is not None and r.ts_out.strftime("%H:%M") == "00:10"
     assert r.op_type == "fetch" and r.username == "jdoe"
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest (foreachBatch routed sinks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def day_aligned_dir(tmp_path_factory, spark):
+    """One parquet file per day — the ingest-shard layout both pipelines
+    assume for the order-sensitive sinks."""
+    d = tmp_path_factory.mktemp("ingestcorpus")
+    p = str(d / "gen.parquet")
+    corpus.write_corpus(p, n_requests_per_day=250, n_days=3, seed=31)
+    df = spark.read.parquet(p).select("doc_id", "tokens", "n_tok", "source")
+    out = str(d / "by_day")
+    days = [r.d for r in df.select(
+        F.regexp_extract("source", r"(\d{4}-\d{2}-\d{2})", 1).alias("d")
+    ).distinct().collect()]
+    for day in sorted(days):
+        (
+            df.filter(F.col("source").contains(day))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    return out
+
+
+def _sink_rows(spark, root, name, drop=("batch",)):
+    df = spark.read.parquet(f"{root}/{name}")
+    for c in drop:
+        if c in df.columns:
+            df = df.drop(c)
+    return sorted(
+        tuple(str(v) for v in r) for r in df.select(*sorted(df.columns)).collect()
+    )
+
+
+def test_streaming_ingest_equals_batch_pipeline(spark, day_aligned_dir, tmp_path):
+    """foreachBatch ingest (one day per micro-batch) writes exactly the
+    batch pipeline's sink rows, for EVERY sink including the
+    order-sensitive gauge and pairing."""
+    from stash_log_parser_spark.plans.routing import SINKS, run_pipeline
+    from stash_log_parser_spark.streaming.stream import streaming_ingest
+
+    sout = str(tmp_path / "stream_sinks")
+    prog = streaming_ingest(
+        spark, day_aligned_dir, sout, str(tmp_path / "cp"),
+        max_files_per_trigger=1,
+    )
+    assert prog["batches"] == 3 and prog["rows"] > 0
+    bout = str(tmp_path / "batch_sinks")
+    run_pipeline(spark, day_aligned_dir, bout, run_id="twin")
+    for name in SINKS:
+        assert _sink_rows(spark, sout, name) == _sink_rows(spark, bout, name), name
+
+
+def test_streaming_ingest_replay_is_idempotent(spark, day_aligned_dir, tmp_path):
+    """Crash-replay: drop the last checkpoint commit so restart re-runs
+    the final micro-batch — sink contents must not change (per-batch
+    partition overwrite, not append)."""
+    import os
+
+    from stash_log_parser_spark.plans.routing import SINKS
+    from stash_log_parser_spark.streaming.stream import streaming_ingest
+
+    sout = str(tmp_path / "sinks")
+    cp = str(tmp_path / "cp")
+    streaming_ingest(spark, day_aligned_dir, sout, cp, max_files_per_trigger=1)
+    before = {n: _sink_rows(spark, sout, n, drop=()) for n in SINKS}
+    commits = sorted(
+        f for f in os.listdir(os.path.join(cp, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(cp, "commits", commits[-1]))
+    crc = os.path.join(cp, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local FS keeps a hidden checksum twin
+        os.remove(crc)
+    prog = streaming_ingest(spark, day_aligned_dir, sout, cp, max_files_per_trigger=1)
+    assert prog["batches"] == 1  # exactly the replayed batch
+    after = {n: _sink_rows(spark, sout, n, drop=()) for n in SINKS}
+    assert after == before  # batch column included: replay overwrote in place
