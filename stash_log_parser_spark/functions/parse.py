@@ -60,8 +60,17 @@ def _decode_list_array(arr: pa.Array) -> pa.Array:
         arr = arr.combine_chunks()
     if arr.null_count:
         # Rare path (contract says tokens are non-null); keep it correct.
+        # Same uint8 narrowing as the vectorized path — without the mask
+        # an out-of-range token in a batch that ALSO holds a null row
+        # raised ValueError and killed the task (caught by the
+        # hypothesis fuzz in tests/test_fuzz_kernel.py).
         return pa.array(
-            [None if v is None else bytes(bytearray(v)).decode("utf-8", "replace") for v in arr.to_pylist()],
+            [
+                None
+                if v is None
+                else bytes(bytearray(x & 0xFF for x in v)).decode("utf-8", "replace")
+                for v in arr.to_pylist()
+            ],
             type=pa.string(),
         )
     offsets = arr.offsets.to_numpy().astype(np.int32)
