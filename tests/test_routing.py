@@ -277,3 +277,48 @@ def test_estimate_scan_splits_matches_spark_packing(spark, tmp_path):
         actual = spark.read.parquet(path).rdd.getNumPartitions()
         est = estimate_scan_splits(spark, path)
         assert actual / 2 <= est <= actual * 2, (path, est, actual)
+
+
+def test_fanout_scans_are_column_pruned(spark, corpus_path, tmp_path):
+    """Scale claim pinned to the plan: every sink's scan of the stage
+    table reads ONLY the columns it needs (ReadSchema subset) and its
+    row filter is pushed into the parquet scan (PushedFilters)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.plans.routing import SINKS
+
+    out = str(tmp_path / "prune_sinks")
+    run_pipeline(spark, corpus_path, out, run_id="prune")
+    cat = SinkCatalog(spark, out)
+    stage = cat.read("parsed_stage").withColumn("file_day", F.col("day"))
+    n_stage_cols = len(stage.columns)
+    raw = (
+        spark.read.parquet(corpus_path)
+        .select("doc_id", "tokens", "n_tok", "source")
+        .withColumn("file_day", F.regexp_extract("source", r"(\d{4}-\d{2}-\d{2})", 1))
+    )
+    for name, fn in SINKS.items():
+        plan = fn(stage, raw)._jdf.queryExecution().executedPlan().toString()
+        # identify scans by schema (the Location path truncates in long
+        # plan strings); the raw-table scan is the one carrying tokens
+        stage_scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "ReadSchema" in ln and "tokens" not in ln
+        ]
+        assert stage_scans, (name, plan)
+        for ln in stage_scans:
+            # the scan's output list is complete even where the long
+            # ReadSchema string is elided ("…st...")
+            m = re.search(r"FileScan parquet \[([^\]]*)\]", ln)
+            assert m, ln
+            cols = [
+                re.sub(r"#\d+L?$", "", c.strip())
+                for c in m.group(1).split(",")
+                if c.strip()
+            ]
+            # a pruned scan reads well under the full stage width
+            assert 0 < len(cols) < n_stage_cols - 4, (name, cols)
+        if name != "metrics":  # metrics is the one sink that keeps all rows
+            assert "PushedFilters: [Is" in plan or "PushedFilters: [" in plan
