@@ -322,3 +322,31 @@ def test_fanout_scans_are_column_pruned(spark, corpus_path, tmp_path):
             assert 0 < len(cols) < n_stage_cols - 4, (name, cols)
         if name != "metrics":  # metrics is the one sink that keeps all rows
             assert "PushedFilters: [Is" in plan or "PushedFilters: [" in plan
+
+
+def test_all_malformed_corpus_zero_row_sinks_and_lineage(spark, tmp_path):
+    """A corpus of pure garbage must flow through the whole pipeline:
+    counted in metrics (F5, never dropped), zero-row aggregate sinks
+    committed as explicit lineage ZEROS (an all-empty parquet write
+    leaves no readable footer), and a resume finds nothing pending."""
+    rows = [
+        (f"d{i}", [104, 105, 33], 3, "atlassian-stash-access-2012-09-08.0.log")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    inp = str(tmp_path / "bad.parquet")
+    df.write.parquet(inp)
+    out = str(tmp_path / "sinks")
+    s = run_pipeline(spark, inp, out, run_id="bad")
+    assert s["stage_rows"] == 50
+    cat = SinkCatalog(spark, out)
+    m = cat.read("metrics").collect()
+    assert sum(r.malformed_lines for r in m) == 50
+    assert sum(r.parsed_lines for r in m) == 0
+    assert s["sinks"]["git_operations"]["rows"] == 0
+    lin = cat.read("_lineage").filter("sink = 'git_operations'").collect()
+    assert [(str(r.day), r.rows) for r in lin] == [("2012-09-08", 0)]
+    s2 = run_pipeline(spark, inp, out, run_id="bad-resume")
+    assert s2["days_parsed"] == 0
