@@ -130,3 +130,69 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target: tuple[int, int] = (8, 8),
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize each payload to ``target`` (w, h), Arrow-batched — the
+    binary-OUT half of the multimodal plumbing: a new (smaller) binary
+    column leaves the Python stage, so downstream stages shuffle/store
+    the thumbnail, never the original payload.
+
+    The resample kernel is the declared deterministic stand-in (no
+    media libs in this container): nearest-neighbor selection of
+    w·h bytes from the payload stream via ``np.linspace`` — the exact
+    index arithmetic a real NN image downsample performs, applied to
+    the byte stream instead of decoded pixels. ``use_real_decoder=True``
+    routes through :func:`real_decoder` (NotImplementedError here;
+    PIL.Image.thumbnail / librosa.resample on a real cluster)."""
+    tw, th = int(target[0]), int(target[1])
+    n_out = max(tw * th, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, widths, heights = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                if use_real_decoder:
+                    real_decoder(b, kind)  # raises NotImplementedError
+                if len(b) == 0:
+                    out_payload.append(b"")
+                else:
+                    idx = np.linspace(0, len(b) - 1, num=min(n_out, len(b))).astype(
+                        np.int64
+                    )
+                    out_payload.append(
+                        np.frombuffer(b, dtype=np.uint8)[idx].tobytes()
+                    )
+                widths.append(tw)
+                heights.append(th)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(
+                        [len(p) for p in out_payload], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

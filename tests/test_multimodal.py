@@ -52,3 +52,34 @@ def test_frame_sampling(media):
 
 def test_payload_not_carried_past_feature_stage(media):
     assert "payload" not in M.extract_features(media).columns
+
+
+def test_resize_emits_new_binary_payload(media):
+    """Binary-out plumbing: the resized payload is a REAL (smaller)
+    binary column whose bytes follow the declared nearest-neighbor
+    byte-resample rule."""
+    import numpy as np
+
+    out = {r.media_id: r for r in M.resize_media(media, target=(8, 8)).collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        b = src[mid]
+        n_out = min(64, len(b))
+        idx = np.linspace(0, len(b) - 1, num=n_out).astype(np.int64)
+        assert bytes(r.payload) == np.frombuffer(b, dtype=np.uint8)[idx].tobytes()
+        assert r.n_bytes == n_out and (r.width, r.height) == (8, 8)
+
+
+def test_resize_deterministic(media):
+    a = sorted((r.media_id, bytes(r.payload)) for r in M.resize_media(media).collect())
+    b = sorted((r.media_id, bytes(r.payload)) for r in M.resize_media(media).collect())
+    assert a == b
+
+
+def test_resize_real_decoder_is_explicit_stub(media):
+    with pytest.raises(Exception) as e:
+        M.resize_media(media, use_real_decoder=True).collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )

@@ -56,6 +56,23 @@ def main() -> None:
         .parquet(os.path.join(GOLDEN_DIR, "media_features.parquet"))
     )
 
+    from stash_log_parser_spark.operators.multimodal import resize_media
+
+    resized = resize_media(synth_media(spark, n=60, seed=42), target=(8, 8)).select(
+        "media_id",
+        "kind",
+        F.md5("payload").alias("payload_md5"),
+        "width",
+        "height",
+        "n_bytes",
+    )
+    (
+        resized.orderBy("media_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "media_resize.parquet"))
+    )
+
     # metadata-only pin of the synthetic media table (numpy-seeded, not
     # reproducible in SQL): the frame-sampling oracle recomputes the
     # sampled indices from these pinned (media_id, kind, n_frames) rows.
