@@ -261,6 +261,9 @@ def streaming_ingest(
     from ..sources.catalog import SinkCatalog
 
     sinks = sinks or SINKS
+    # same defence as run_pipeline: small Arrow batches for the
+    # tokens-through parse (callers may bring their own session)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     catalog = SinkCatalog(spark, output)
     progress = {"batches": 0, "rows": 0}
 
