@@ -114,6 +114,11 @@ class SinkCatalog:
         import math
         import shutil
 
+        if self.use_iceberg:
+            raise NotImplementedError(
+                "Iceberg backend: use CALL catalog.system.rewrite_data_files "
+                f"('{self.base}.{sink}') — the snapshot-atomic form of this op."
+            )
         path = self._path(sink)
         todo: dict[str, tuple[list[str], int]] = {}
         for name in os.listdir(path):
