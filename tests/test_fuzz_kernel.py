@@ -78,3 +78,39 @@ def test_kernel_passengers_survive_untouched(token_rows):
     out = _run_kernel(token_rows)
     ids = out.column(out.schema.get_field_index("doc_id")).to_pylist()
     assert ids == [str(i) for i in range(len(token_rows))]
+
+
+def test_arrow_and_jvm_parse_paths_agree_on_nasty_lines(spark):
+    """Cross-path pin: the fused Arrow decode+split and the pure-JVM
+    decode+grok must produce identical parsed columns on adversarial
+    lines — pipes inside quoted fields, unicode, truncated grammars,
+    stray separators, empty lines. (The corpus-level equality test
+    covers the happy path; this covers the weird tail.)"""
+    import random
+
+    from stash_log_parser_spark.functions.parse import PARSED_COLUMNS, parse_corpus
+
+    rng = random.Random(1234)
+    frags = [
+        "1.2.3.4,5.6.7.8", "ssh", "http", "-", "o1380042x42x3", "i99x1x1",
+        '"GET /scm/a/b.git/info/refs?service=x HTTP/1.1"',
+        "git-upload-pack '/a/b.git'", '"fetch | clone"', "clone, cache:hit",
+        "2012-09-08 14:00:01,042", "püsh | wéird", "", "|", " | ", '"unterminated',
+        "x" * 300, "refs", "1234", "sess-9",
+    ]
+    lines = []
+    for i in range(400):
+        n = rng.randint(0, 14)
+        lines.append(" | ".join(rng.choice(frags) for _ in range(n)) + rng.choice(["", " |"]))
+    rows = [
+        (f"z{i:04d}", list(ln.encode("utf-8")), len(ln.encode("utf-8")),
+         "atlassian-stash-access-2012-09-08.0.log")
+        for i, ln in enumerate(lines)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    cols = [c for c in PARSED_COLUMNS if c != "tokens"]
+    a = sorted(map(tuple, parse_corpus(df).select(*cols).collect()))
+    b = sorted(map(tuple, parse_corpus(df, use_sql_decode=True).select(*cols).collect()))
+    assert a == b
