@@ -81,20 +81,25 @@ def _load_parsed(spark, inputs: list[str], since, until) -> DataFrame:
     return parse_log_files(spark, inputs, since, until)
 
 
-def _emit(df: DataFrame, fmt: str, sep: str = "|") -> int:
-    """Stream the result to stdout; returns the row count.
-
-    toLocalIterator keeps driver memory at one-partition granularity —
-    the reference prints lazily for the same reason (Output.hs [K])."""
+def _emit(df: DataFrame, fmt: str, out_path: str | None = None, sep: str = "|") -> int:
+    """Stream the result to stdout or a plot-data file; returns the row
+    count. toLocalIterator keeps driver memory at one-partition
+    granularity — the reference prints/writes lazily for the same
+    reason (Output.hs [K]; gnuplot scripts consume the emitted file)."""
     if fmt == "table":
         df.show(1000, truncate=False)
         return -1
     if fmt == "csv":
         sep = ","
     n = 0
-    for row in df.toLocalIterator():
-        print(sep.join("" if v is None else str(v) for v in row))
-        n += 1
+    sink = open(out_path, "w") if out_path else sys.stdout
+    try:
+        for row in df.toLocalIterator():
+            print(sep.join("" if v is None else str(v) for v in row), file=sink)
+            n += 1
+    finally:
+        if out_path:
+            sink.close()
     return n
 
 
@@ -109,12 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--since", default=None, help="inclusive ISO date (filename-derived)")
     ap.add_argument("--until", default=None, help="inclusive ISO date")
     ap.add_argument("--format", default="pipe", choices=["pipe", "csv", "table"])
+    ap.add_argument("--output", default=None,
+                    help="write plot data to this file instead of stdout")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = build_session(app_name=f"analyze-{args.mode}", master=args.master)
     parsed = _load_parsed(spark, args.inputs, args.since, args.until)
-    _emit(modes[args.mode](parsed), args.format)
+    _emit(modes[args.mode](parsed), args.format, args.output)
     return 0
 
 
