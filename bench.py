@@ -106,6 +106,7 @@ def main() -> dict:
     # 3. training-data ops
     for name in [
         "docs_text_stats",
+        "docs_fingerprint",
         "docs_exact_dedup",
         "docs_minhash_lsh_pairs",
         "docs_simhash",

@@ -101,15 +101,113 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", use_arrow: bool = True
+) -> DataFrame:
     """Rolling polynomial hash over the normalized character stream:
-    ``h = (h*31 + ascii(ch)) mod 1e9+7``. A stable 64-bit-safe document
-    fingerprint computable identically in any engine with a fold."""
+    ``h = (h*31 + codepoint(ch)) mod 1e9+7``. A stable 64-bit-safe
+    document fingerprint computable identically in any engine with a
+    fold (the DuckDB oracle twin mirrors it with ``list_reduce``).
+
+    Default path: normalization (lower + whitespace collapse) stays
+    JVM-side, then ONE Arrow-vectorized ``mapInArrow`` stage computes
+    the whole batch's fingerprints as a closed-form modular dot product
+    ``sum(c_i * 31^(n-1-i)) mod p`` with numpy — no per-element work in
+    either engine's interpreter. Chosen after measurement: the
+    ``use_arrow=False`` twin below folds with ``F.aggregate`` over
+    ``split(text, '')``, one interpreted higher-order-function lambda
+    eval PER CHARACTER (HOFs don't codegen; ~70 µs/eval measured in
+    similarity.py) — the round-2 review graded it the last interpreted
+    hot path. A test pins both paths equal.
+
+    Shape is identical either way: narrow (doc_id, fingerprint) output,
+    shuffle-free, embarrassingly parallel.
+    """
     norm = F.lower(F.regexp_replace(F.col(text_col), WS_RE, " "))
-    chars = F.split(norm, "")
-    fp = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    if not use_arrow:
+        chars = F.split(norm, "")
+        fp = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+        )
+        return docs.select("doc_id", fp.alias("fingerprint"))
+    return _fingerprint_arrow(docs.select("doc_id", norm.alias("_norm")))
+
+
+# powers of FP_BASE mod FP_MOD, grown on demand per worker process
+_POW31: "list[int]" = [1]
+
+
+def _pow_table(n: int):
+    import numpy as np
+
+    while len(_POW31) < n:
+        _POW31.append((_POW31[-1] * FP_BASE) % FP_MOD)
+    return np.asarray(_POW31[:n], dtype=np.int64)
+
+
+def _poly_fingerprints(col):
+    """Vectorized polynomial fingerprints for one Arrow string array.
+
+    ASCII batches (the overwhelming case) run fully vectorized on the
+    raw UTF-8 buffer — bytes ARE codepoints there. A batch containing
+    any non-ASCII byte falls back to a per-row ``ord()`` fold with the
+    same arithmetic (Spark's ``ascii()``/DuckDB's ``ascii()`` are
+    codepoint functions, so both paths agree with the HOF/SQL twins).
+    int64 partial sums are exact up to ~9e9 chars per document
+    (terms < FP_MOD), far past any real document."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(col, "").cast(pa.large_utf8())
+    n = len(filled)
+    offs = np.frombuffer(filled.buffers()[1], dtype=np.int64)[
+        filled.offset : filled.offset + n + 1
+    ]
+    data = np.frombuffer(filled.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    rel = offs - offs[0]
+    lengths = np.diff(rel)
+    fp = np.zeros(n, dtype=np.int64)
+    if data.size and (data < 128).all():
+        P = _pow_table(int(lengths.max()))
+        doc_idx = np.repeat(np.arange(n), lengths)
+        pos = np.arange(data.size, dtype=np.int64) - rel[doc_idx]
+        prod = (data.astype(np.int64) * P[lengths[doc_idx] - 1 - pos]) % FP_MOD
+        # reduceat only over NON-EMPTY docs: their starts are strictly
+        # increasing and < data.size, so each segment spans exactly one
+        # document; empty docs keep fp = 0 (the fold's init value).
+        nonempty = lengths > 0
+        fp[nonempty] = np.add.reduceat(prod, rel[:-1][nonempty]) % FP_MOD
+    elif data.size:
+        for i, s in enumerate(filled.to_pylist()):
+            if not s:
+                continue
+            codes = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+            P = _pow_table(len(s))
+            # codes·31^(n-1-i): descending powers aligned to the string
+            fp[i] = int(((codes * P[len(s) - 1 :: -1]) % FP_MOD).sum()) % FP_MOD
+    return pa.array(fp, type=pa.int64(), mask=~valid)
+
+
+def _fingerprint_arrow(narrowed: DataFrame) -> DataFrame:
+    """Arrow stage of :func:`fingerprint` over (doc_id, _norm)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [narrowed.schema["doc_id"], T.StructField("fingerprint", T.LongType())]
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+
+    def fold(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            doc_id = b.column(b.schema.get_field_index("doc_id"))
+            fps = _poly_fingerprints(b.column(b.schema.get_field_index("_norm")))
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, fps], names=["doc_id", "fingerprint"]
+            )
+
+    return narrowed.mapInArrow(fold, schema=out_schema)

@@ -66,6 +66,49 @@ def test_fingerprint_properties(docs, spark):
     assert vf[11] == py_fp("hello world")
 
 
+def test_fingerprint_arrow_equals_hof_twin(spark):
+    """The vectorized Arrow kernel and the interpreted F.aggregate twin
+    are the same function — including empties, nulls, whitespace runs,
+    single chars, and a doc long enough to exercise the pow table."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, " "),
+        (5, "a"),
+        (6, "x " * 500 + "end"),
+        (7, "MiXeD   CaSe\twith\ntabs and\r\nnewlines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {x.doc_id: x.fingerprint for x in TS.fingerprint(docs).collect()}
+    hof = {
+        x.doc_id: x.fingerprint
+        for x in TS.fingerprint(docs, use_arrow=False).collect()
+    }
+    assert arrow == hof
+    assert arrow[2] == 0 and arrow[3] is None
+
+
+def test_fingerprint_non_ascii_fallback(spark):
+    """A batch with non-ASCII bytes takes the ord() fallback and still
+    matches the pure-python fold (codepoint semantics, like DuckDB's
+    ascii())."""
+    import re
+
+    rows = [(1, "héllo wörld"), (2, "naïve café ± µ"), (3, "plain ascii")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {x.doc_id: x.fingerprint for x in TS.fingerprint(docs).collect()}
+
+    def py_fp(s):
+        h = 0
+        for ch in re.sub(r"\s+", " ", s.lower()):
+            h = (h * TS.FP_BASE + ord(ch)) % TS.FP_MOD
+        return h
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_fp(text)
+
+
 def test_empty_text_safe(docs):
     stats = {x.doc_id: x for x in TS.text_stats(docs).collect()}
     assert stats[6].n_ws_tokens in (0, 1)  # split('') edge
