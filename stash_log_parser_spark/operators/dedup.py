@@ -114,14 +114,30 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     text_col: str = "text",
     max_bucket: int = 1000,
+    cap_metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, Jaccard-verified.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard ≥ threshold. Buckets larger than ``max_bucket`` are dropped
-    (logged into the `_capped` count by callers if needed) — at corpus
-    scale such buckets are degenerate boilerplate and would otherwise
-    produce quadratic joins.
+    jaccard ≥ threshold. Buckets larger than ``max_bucket`` are dropped —
+    at corpus scale such buckets are degenerate boilerplate and would
+    otherwise produce quadratic joins — and the truncation is NEVER
+    silent: pass a dict as ``cap_metrics`` and it is filled (eagerly,
+    before this returns) with ``n_capped_buckets`` (buckets dropped) and
+    ``n_capped_entries`` (band entries inside them). At 10^12 docs the
+    capped-bucket count is exactly the audit number a dedup pipeline
+    must emit (a spike means a boilerplate flood is sailing past
+    near-dup detection).
+
+    The audit runs as its own small job — one extra pass over the
+    (join-free) signature pipeline. A zero-cost ``Dataset.observe`` on
+    the bucket-size node was tried first and is NOT reliable: when the
+    cap empties the candidate set, AQE's empty-relation propagation
+    rewrites the final plan without the CollectMetrics node and the
+    observation comes back as an empty row (measured on the degenerate
+    all-duplicates corpus — exactly the case the audit exists for). A
+    production ingest would instead land band entries in a stage table
+    and derive both the join and the audit from it.
     """
     rows = k // bands
     sigs = with_minhash(with_shingles(docs, n, text_col), k).select(
@@ -148,11 +164,30 @@ def minhash_lsh_pairs(
         ).alias("be"),
     ).select("doc_id", "be.band", "be.bucket")
 
-    # cap degenerate buckets before the self-join
-    sizes = band_entries.groupBy("band", "bucket").agg(F.count("*").alias("_bs"))
-    band_entries = band_entries.join(
-        sizes.filter(F.col("_bs") <= max_bucket).drop("_bs"), ["band", "bucket"], "inner"
-    )
+    # Cap degenerate buckets before the self-join. The bucket size is a
+    # window count over the same (band, bucket) shuffle the self-join
+    # needs anyway — ONE exchange serves sizing, capping, and (via
+    # exchange reuse) both join sides; the previous groupBy-sizes +
+    # join-back form paid a second aggregate+join for the same answer.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
+    if cap_metrics is not None:
+        row = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bs"))
+            .filter(F.col("_bs") > max_bucket)
+            .agg(
+                F.count("*").alias("n_capped_buckets"),
+                F.coalesce(F.sum("_bs"), F.lit(0)).alias("n_capped_entries"),
+            )
+            .collect()[0]
+        )
+        cap_metrics["n_capped_buckets"] = int(row["n_capped_buckets"])
+        cap_metrics["n_capped_entries"] = int(row["n_capped_entries"])
+    band_entries = band_entries.withColumn("_bs", F.count("*").over(wb)).filter(
+        F.col("_bs") <= max_bucket
+    ).drop("_bs")
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")

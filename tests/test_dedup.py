@@ -74,7 +74,17 @@ def test_bucket_cap_prevents_quadratic_join(spark):
     with max_bucket=10 the pair count is capped, not ~n²/2."""
     rows = [(i, BASE) for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    n = D.minhash_lsh_pairs(df, max_bucket=10).count()
+    metrics: dict = {}
+    n = D.minhash_lsh_pairs(df, max_bucket=10, cap_metrics=metrics).count()
     assert n == 0  # every bucket has 50 > 10 entries → all capped
-    n_ok = D.minhash_lsh_pairs(df, max_bucket=100).count()
+    # ...and the truncation is audited, not silent: identical docs
+    # collide in every band's bucket → DEFAULT_BANDS capped buckets of
+    # 50 entries each.
+    assert metrics == {
+        "n_capped_buckets": D.DEFAULT_BANDS,
+        "n_capped_entries": D.DEFAULT_BANDS * 50,
+    }
+    metrics_ok: dict = {}
+    n_ok = D.minhash_lsh_pairs(df, max_bucket=100, cap_metrics=metrics_ok).count()
     assert n_ok == 50 * 49 / 2
+    assert metrics_ok == {"n_capped_buckets": 0, "n_capped_entries": 0}
