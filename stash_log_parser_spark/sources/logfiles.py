@@ -48,9 +48,16 @@ def read_log_files(
     and silently mis-joins the routed raw-row re-attach). Identical
     duplicate lines are interchangeable, so the occurrence number's
     arbitrary assignment still yields a stable id MULTISET. The
-    occurrence window costs one shuffle on (source, line); a production
-    ingest assigns row ids at write time (e.g. Iceberg) and skips this —
-    the raw-file front door favors correctness over that one pass.
+    occurrence window costs one shuffle — keyed on
+    ``(source, xxhash64(line))``, NOT the line text itself, so the
+    exchange hashes/compares 8-byte keys while the line rides as row
+    payload (round-2 review: the full-line key was the last
+    payload-keyed shuffle in the repo). Hash collisions merely co-locate
+    two distinct lines in one window partition; the within-partition
+    sort on ``line`` keeps each line's occurrence numbering contiguous
+    and deterministic, so doc_ids stay stable. A production ingest
+    assigns row ids at write time (e.g. Iceberg) and skips this — the
+    raw-file front door favors correctness over that one pass.
     """
     from pyspark.sql import Window
 
@@ -60,12 +67,13 @@ def read_log_files(
         df.withColumn("source", src)
         .withColumn("file_day", F.regexp_extract("source", FILENAME_DATE_RE, 1))
         .withColumnRenamed("value", "line")
+        .withColumn("_lh", F.xxhash64("line"))
     )
-    occ = F.row_number().over(Window.partitionBy("source", "line").orderBy(F.lit(1)))
+    occ = F.row_number().over(Window.partitionBy("source", "_lh").orderBy("line"))
     df = df.withColumn(
         "doc_id",
         F.format_string("%s#%016x", F.col("source"), F.xxhash64("line", occ)),
-    )
+    ).drop("_lh")
     if since is not None:
         df = df.filter(F.col("file_day") >= str(since))
     if until is not None:

@@ -117,3 +117,21 @@ def test_doc_id_stable_across_scans_and_layouts(spark, tmp_path):
     )
     assert a == b == c
     assert len(set(a)) == 6  # ids unique even for duplicate lines
+
+
+def test_doc_id_exchange_never_keyed_on_line(spark, tmp_path):
+    """The occurrence window shuffles on (source, xxhash64(line)) — the
+    raw line text must never appear in any Exchange's partitioning
+    expression (round-2 review: the last payload-keyed shuffle)."""
+    import re
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "atlassian-stash-access-2012-09-08.0.log").write_text("x | y\nx | y\n")
+    from stash_log_parser_spark.sources.logfiles import read_log_files
+
+    plan = read_log_files(spark, str(d))._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^\n]*)\)", plan):
+        assert not re.search(r"\bline\b", m.group(1)), m.group(0)
+    # sanity: the hash column IS the exchange key
+    assert re.search(r"Exchange hashpartitioning\([^\n]*_lh", plan), plan
