@@ -120,6 +120,7 @@ class SinkCatalog:
                 f"('{self.base}.{sink}') — the snapshot-atomic form of this op."
             )
         path = self._path(sink)
+        self.recover_compactions(sink, partition_col)
         todo: dict[str, tuple[list[str], int]] = {}
         for name in os.listdir(path):
             if not name.startswith(f"{partition_col}="):
@@ -134,12 +135,18 @@ class SinkCatalog:
         for day, (old_files, want) in sorted(todo.items()):
             day_dir = os.path.join(path, f"{partition_col}={day}")
             # Spark cannot overwrite a path it is lazily reading, so the
-            # compacted files are written to a staging dir, MOVED in
-            # (new files first — a crash in the window at worst leaves
-            # duplicates a re-run cleans, never data loss), then the old
-            # files are deleted. Under Iceberg rewrite_data_files makes
-            # the whole swap one atomic snapshot commit.
-            staging = os.path.join(path, f".compact-{partition_col}={day}")
+            # compacted files land in a hidden staging dir (dot-prefixed
+            # — parquet readers skip it) and are swapped in with two
+            # directory RENAMES: old day dir aside, staging into place,
+            # then the aside is deleted. Every crash window is repaired
+            # by recover_compactions using the staging _SUCCESS marker —
+            # readers/re-runs can never see old+new rows coexist (the
+            # previous move-files-then-delete form doubled the partition
+            # if it crashed between the move and the delete). Under
+            # Iceberg rewrite_data_files makes the whole swap one atomic
+            # snapshot commit.
+            staging = os.path.join(path, f".compact-stage-{partition_col}={day}")
+            aside = os.path.join(path, f".compact-aside-{partition_col}={day}")
             (
                 self.read(sink)
                 .filter(F.col(partition_col).cast("string") == day)
@@ -148,17 +155,57 @@ class SinkCatalog:
                 .write.mode("overwrite")
                 .parquet(staging)
             )
-            moved = []
-            for f in os.listdir(staging):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(day_dir, f"compact-{f}")
-                    shutil.move(os.path.join(staging, f), dst)
-                    moved.append(dst)
-            for f in old_files:
-                os.remove(os.path.join(day_dir, f))
-            shutil.rmtree(staging, ignore_errors=True)
-            out[day] = (len(old_files), len(moved))
+            n_new = sum(1 for f in os.listdir(staging) if f.endswith(".parquet"))
+            os.rename(day_dir, aside)
+            os.rename(staging, day_dir)
+            shutil.rmtree(aside)
+            out[day] = (len(old_files), n_new)
         return out
+
+    def recover_compactions(self, sink: str, partition_col: str = "day") -> dict:
+        """Repair partially-applied :meth:`compact_partitions` swaps.
+
+        Crash windows and their repairs (all idempotent):
+        * after the staging write, before the aside rename → live dir
+          intact; drop the stale staging;
+        * between the two renames (live dir is the ASIDE) → if staging
+          completed (``_SUCCESS``), finish the swap; else restore the
+          aside;
+        * after the swap, before the aside delete → drop the aside.
+        Returns {day: action}."""
+        import shutil
+
+        path = self._path(sink)
+        if not os.path.isdir(path):
+            return {}
+        actions: dict[str, str] = {}
+        stage_pre = f".compact-stage-{partition_col}="
+        aside_pre = f".compact-aside-{partition_col}="
+        for name in sorted(os.listdir(path)):
+            if not name.startswith(aside_pre):
+                continue
+            day = name[len(aside_pre):]
+            day_dir = os.path.join(path, f"{partition_col}={day}")
+            staging = os.path.join(path, f".compact-stage-{partition_col}={day}")
+            aside = os.path.join(path, name)
+            if os.path.isdir(day_dir):
+                shutil.rmtree(aside)
+                actions[day] = "finished_swap"
+            elif os.path.exists(os.path.join(staging, "_SUCCESS")):
+                os.rename(staging, day_dir)
+                shutil.rmtree(aside)
+                actions[day] = "completed_swap"
+            else:
+                os.rename(aside, day_dir)
+                shutil.rmtree(staging, ignore_errors=True)
+                actions[day] = "restored_original"
+        for name in sorted(os.listdir(path)):
+            if name.startswith(stage_pre):
+                day = name[len(stage_pre):]
+                if os.path.isdir(os.path.join(path, f"{partition_col}={day}")):
+                    shutil.rmtree(os.path.join(path, name))
+                    actions.setdefault(day, "dropped_stale_staging")
+        return actions
 
     def read_bucketed(self, sink: str) -> DataFrame:
         return self.spark.table(self._table_name(sink))
@@ -232,3 +279,44 @@ class SinkCatalog:
             }
         )
         pq.write_table(table, os.path.join(path, f"commit-{run_id}-{uuid.uuid4().hex}.parquet"))
+
+    def compact_lineage(self, max_files: int = 64) -> dict:
+        """Fold the lineage commit log into one file once it exceeds
+        ``max_files`` — the append-per-commit protocol otherwise leaves
+        ``committed()`` reading thousands of tiny files after thousands
+        of incremental runs (round-2 review item). Driver-side pyarrow,
+        like the appends. Crash-safe by keying, not ordering: the new
+        file is written BEFORE the old ones are deleted, and rows are
+        deduplicated on the full (sink, day, rows, run_id, seq) commit
+        key — a crash between write and delete leaves exact-duplicate
+        rows that the next compaction (or any reader: ``committed()``
+        is a set) collapses again. Under Iceberg the lineage is a
+        catalog table and this is its rewrite_data_files."""
+        if self.use_iceberg:
+            raise NotImplementedError(
+                "Iceberg backend: CALL catalog.system.rewrite_data_files "
+                f"('{self.base}._lineage')"
+            )
+        import uuid
+
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        path = self._path("_lineage")
+        if not os.path.isdir(path):
+            return {"files_before": 0, "files_after": 0}
+        old = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if len(old) <= max_files:
+            return {"files_before": len(old), "files_after": len(old)}
+        t = (
+            ds.dataset([os.path.join(path, f) for f in old], format="parquet")
+            .to_table()
+            .group_by(["sink", "day", "rows", "run_id", "seq"])
+            .aggregate([])
+        )
+        pq.write_table(
+            t, os.path.join(path, f"commit-compact-{uuid.uuid4().hex}.parquet")
+        )
+        for f in old:
+            os.remove(os.path.join(path, f))
+        return {"files_before": len(old), "files_after": 1, "rows": t.num_rows}

@@ -381,3 +381,99 @@ def test_compact_partitions_preserves_rows(spark, corpus_path, tmp_path):
     assert sorted(map(tuple, cat.read(sink).collect())) == before_rows
     s = run_pipeline(spark, corpus_path, out, run_id="r2")
     assert s["days_parsed"] == 0  # lineage untouched — still committed
+
+
+def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
+    """Every crash window of the rename-based compaction swap is
+    repaired by recover_compactions with EXACTLY the original rows —
+    never the old+new double-count the round-2 advice flagged for the
+    move-files-then-delete form."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "sinks")
+    cat = SinkCatalog(spark, out)
+    df = spark.range(100).selectExpr("id", "'2012-09-08' AS day")
+    cat.write_partitions(df.repartition(6), "s")
+    truth = sorted(r.id for r in cat.read("s").collect())
+    root = f"{out}/s"
+    day_dir = os.path.join(root, "day=2012-09-08")
+    staging = os.path.join(root, ".compact-stage-day=2012-09-08")
+    aside = os.path.join(root, ".compact-aside-day=2012-09-08")
+
+    def rows():
+        return sorted(r.id for r in cat.read("s").collect())
+
+    # window 1: staging written (complete), crash before any rename —
+    # readers see the live dir only; recovery drops the stale staging.
+    shutil.copytree(day_dir, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    assert rows() == truth
+    acts = cat.recover_compactions("s")
+    assert acts == {"2012-09-08": "dropped_stale_staging"}
+    assert not os.path.exists(staging) and rows() == truth
+
+    # window 2: crash between the two renames, staging complete —
+    # recovery finishes the swap (identity content here; the point is
+    # the rows survive intact).
+    shutil.copytree(day_dir, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.rename(day_dir, aside)
+    assert cat.recover_compactions("s") == {"2012-09-08": "completed_swap"}
+    assert rows() == truth and not os.path.exists(aside)
+    os.remove(os.path.join(day_dir, "_SUCCESS"))  # swap artifact, not data
+
+    # window 3: crash between the renames with an INCOMPLETE staging
+    # (no _SUCCESS marker) — recovery restores the original.
+    shutil.copytree(day_dir, staging)
+    os.rename(day_dir, aside)
+    assert cat.recover_compactions("s") == {"2012-09-08": "restored_original"}
+    assert rows() == truth and not os.path.exists(staging)
+
+    # window 4: crash after the swap, before the aside delete.
+    shutil.copytree(day_dir, aside)
+    assert cat.recover_compactions("s") == {"2012-09-08": "finished_swap"}
+    assert rows() == truth and not os.path.exists(aside)
+
+    # and compact_partitions itself self-heals stale state, then
+    # compacts the 6-file day into one file with identical rows
+    shutil.copytree(day_dir, staging)
+    report = cat.compact_partitions("s", target_file_bytes=1 << 30)
+    assert rows() == truth
+    assert report == {"2012-09-08": (6, 1)}
+    assert not os.path.exists(staging) and not os.path.exists(aside)
+
+
+def test_lineage_self_compaction(spark, tmp_path):
+    """100 incremental commits fold into one lineage file with
+    identical committed()/row contents; a crash-duplicated compact file
+    is collapsed by the next compaction (commit-key dedup)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "sinks")
+    cat = SinkCatalog(spark, out)
+    for i in range(100):
+        cat.commit([("s", f"2012-09-{(i % 30) + 1:02d}", i)], run_id=f"r{i}")
+    lineage_dir = f"{out}/_lineage"
+    before = sorted(map(tuple, cat.read("_lineage").collect()))
+    committed_before = cat.committed()
+    assert len(os.listdir(lineage_dir)) == 100
+
+    rep = cat.compact_lineage(max_files=10)
+    assert rep["files_before"] == 100 and rep["files_after"] == 1
+    files = [f for f in os.listdir(lineage_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert sorted(map(tuple, cat.read("_lineage").collect())) == before
+    assert cat.committed() == committed_before
+
+    # under the threshold → no-op
+    assert cat.compact_lineage(max_files=10)["files_after"] == 1
+
+    # crash window: compact file written, old files not yet deleted —
+    # simulate by duplicating the compact file; recompaction dedups.
+    f = os.path.join(lineage_dir, files[0])
+    shutil.copy(f, f.replace(".parquet", "-dup.parquet"))
+    rep2 = cat.compact_lineage(max_files=1)
+    assert rep2["files_after"] == 1 and rep2["rows"] == len(before)
+    assert sorted(map(tuple, cat.read("_lineage").collect())) == before
