@@ -68,6 +68,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim))
 
 
+def _empty_topk(
+    embeddings: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Typed empty top-k result — the shape every ANN operator returns.
+    Used for the empty-query (or empty-table) edge so the driver-side
+    numpy kernels are never fed a zero-row matrix (round-2 advice: that
+    crashed with a shape error instead of returning empty)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, embeddings.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame([], schema)
+
+
 def with_lsh_buckets(
     embeddings: DataFrame,
     dim: int = 64,
@@ -199,22 +219,35 @@ def lsh_topk(
     stage per lookup."""
     from pyspark.sql import Window
 
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     e = with_lsh_buckets(embeddings, dim, n_planes, tables, seed, vec_col)
     planes_t = np.vstack(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(tables)]
     ).T
     pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     bits = (qv @ planes_t) > 0
     qbuckets = (bits.reshape(len(qrows), tables, n_planes) * pow2).sum(axis=2)
+    from pyspark.sql import types as T
+
+    # query-id type follows the caller's frame (ids are not always longs)
+    q_schema = T.StructType(
+        [
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("_qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
     q = queries.sparkSession.createDataFrame(
         [
             (int(t), int(qbuckets[i, t]), r[0], [float(x) for x in r[1]])
             for i, r in enumerate(qrows)
             for t in range(tables)
         ],
-        f"table int, bucket long, {query_id_col} long, _qv array<double>",
+        q_schema,
     )
     cand = e.join(F.broadcast(q), on=["table", "bucket"], how="inner")
     # score BEFORE deduplicating: the dedup exchange then carries only
@@ -309,28 +342,39 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    qrows = queries.select(query_id_col, query_vec_col).collect()
     cents = (
         embeddings.orderBy(id_col)
         .limit(n_cells)
         .select(id_col, vec_col)
         .collect()
     )
+    if not qrows or not cents:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     C = np.array([r[1] for r in cents], dtype=np.float64)  # (n_cells, dim)
     e = with_ivf_cells(embeddings, C, vec_col)
 
     # query-side probing runs driver-side on the (tiny, broadcast-bound)
     # query set with the same normalized-centroid kernel
     cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     order = np.argsort(-(qv @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("_qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
     q = queries.sparkSession.createDataFrame(
         [
             (int(order[i, p]), r[0], [float(x) for x in r[1]])
             for i, r in enumerate(qrows)
             for p in range(order.shape[1])
         ],
-        f"cell int, {query_id_col} long, _qv array<double>",
+        q_schema,
     )
     # candidates = members of any probed cell; a query's nprobe cells are
     # disjoint, so (query_id, vec_id) pairs are already unique — no dedup

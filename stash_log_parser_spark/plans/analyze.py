@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="write plot data to this file instead of stdout")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.format == "table" and args.output:
+        # df.show renders to stdout (truncated at 1000 rows); silently
+        # exiting 0 with an unwritten --output file was round-2 advice.
+        ap.error("--format table renders to stdout and cannot honor "
+                 "--output; use --format pipe or csv for file sinks")
 
     spark = build_session(app_name=f"analyze-{args.mode}", master=args.master)
     parsed = _load_parsed(spark, args.inputs, args.since, args.until)

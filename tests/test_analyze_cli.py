@@ -64,3 +64,20 @@ def test_cli_parquet_input_matches_operator(spark, capsys):
         ).collect()
     }
     assert out == want
+
+
+def test_cli_rejects_table_format_with_output(tmp_path):
+    """--format table + --output is an argparse error (exit 2), not a
+    silent exit-0 with an unwritten file (round-2 advice)."""
+    import pytest
+
+    out = str(tmp_path / "plot.dat")
+    with pytest.raises(SystemExit) as e:
+        analyze.main(
+            ["protocolStats", "data/log_corpus_small.parquet",
+             "--format", "table", "--output", out]
+        )
+    assert e.value.code == 2
+    import os
+
+    assert not os.path.exists(out)

@@ -159,3 +159,23 @@ def test_ivf_cell_assignment_never_shuffles(emb, queries):
     df.collect()
     for ln in _exchange_lines(df):
         assert "embedding" not in ln and "query_vec" not in ln, ln
+
+
+def test_topk_string_query_ids_and_empty_query_set(spark, emb, queries):
+    """Round-2 advice: the driver-built candidate frame hardcoded the
+    query-id as long (string ids crashed createDataFrame) and an empty
+    query set crashed the driver-side matmul. Both are handled now."""
+    sq = queries.select(
+        F.concat(F.lit("q-"), F.col("query_id")).alias("query_id"), "query_vec"
+    )
+    for fn in (
+        lambda q: S.lsh_topk(emb, q, k=3, tables=4, n_planes=3),
+        lambda q: S.ivf_topk(emb, q, k=3, n_cells=8, nprobe=8),
+    ):
+        got = fn(sq).collect()
+        assert got and all(r.query_id.startswith("q-") for r in got)
+        empty = fn(sq.limit(0))
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == [
+            "query_id", "vec_id", "cosine", "rank",
+        ]
