@@ -20,11 +20,20 @@ streaming results equal the batch results exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.parse import parse_corpus
+
+# Routed sinks whose per-day rows are NOT mergeable partials: the
+# concurrency gauge (a running count — per-batch maxima under-count when
+# a day splits) and the pairing summary (in|out partials don't pair
+# across batches). streaming_ingest refuses to commit these for a
+# file_day that spans micro-batches.
+ORDER_SENSITIVE_SINKS = {"concurrency_by_hour", "pairing_daily"}
 
 CORPUS_SCHEMA = T.StructType(
     [
@@ -246,15 +255,24 @@ def streaming_ingest(
     over ``batch``. Lineage rows are committed per (sink, day) with
     ``run_id = stream-batch-<id>``.
 
-    Semantics note (same as the batch pipeline's day granularity): the
-    additive sinks merge across arbitrary batch boundaries; the
-    order-sensitive ones (concurrency gauge, in|out pairing) are exact
-    when file triggers align with days — the corpus layout the batch
-    pipeline also assumes (day-aligned ingest shards). Cross-batch
-    pairing is the stateful operator's job (streaming_pair_requests).
+    Order-sensitivity guard: the additive sinks merge across arbitrary
+    batch boundaries, but the ORDER-SENSITIVE ones (concurrency gauge,
+    in|out pairing) are only exact when a file_day is fully contained
+    in one micro-batch — per-batch gauge maxima / pair partials do not
+    merge. This is enforced, not assumed: each batch checks the lineage
+    log for days already committed by an EARLIER batch (or a prior
+    batch-pipeline run into the same output); a spanning day's
+    order-sensitive partitions are PURGED from every batch dir, skipped
+    for this batch, recorded in the returned
+    ``order_sensitive_skipped`` map, and warned about — misaligned
+    ingest can no longer silently commit wrong gauge/pairing rows
+    (round-2 advice). Day-aligned layouts (the ingest-shard layout a
+    production table has) are unaffected. Cross-batch pairing is the
+    stateful operator's job (streaming_pair_requests).
 
     Runs with trigger(availableNow) and blocks until the backlog is
-    drained; returns {"batches": n, "rows": total}.
+    drained; returns {"batches": n, "rows": total,
+    "order_sensitive_skipped": {sink: [days]}}.
     """
     from ..operators.enrich import enrich
     from ..plans.routing import _FILE_DAY_RE, SINKS
@@ -265,7 +283,40 @@ def streaming_ingest(
     # tokens-through parse (callers may bring their own session)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     catalog = SinkCatalog(spark, output)
-    progress = {"batches": 0, "rows": 0}
+    progress = {"batches": 0, "rows": 0, "order_sensitive_skipped": {}}
+    order_sensitive = ORDER_SENSITIVE_SINKS & set(sinks)
+
+    def _days_committed_by_other_runs(run_id: str) -> set[str]:
+        """Days any sink already committed under a DIFFERENT run id —
+        lineage-backed, so the check survives restarts (an in-memory
+        seen-set would forget pre-crash batches). Driver-side pyarrow,
+        like the lineage appends."""
+        import pyarrow.dataset as ds
+
+        path = catalog._path("_lineage")
+        if not os.path.isdir(path):
+            return set()
+        t = ds.dataset(path, format="parquet").to_table(columns=["day", "run_id"])
+        return {
+            d
+            for d, r in zip(t.column("day").to_pylist(), t.column("run_id").to_pylist())
+            if r != run_id
+        }
+
+    def _purge_order_sensitive(name: str, days: set[str]) -> None:
+        """Drop (batch=*, day∈days) partitions of an order-sensitive
+        sink — the partials committed before the day was known to span
+        batches are wrong and must not survive."""
+        import shutil
+
+        root = catalog._path(name)
+        if not os.path.isdir(root):
+            return
+        for bdir in os.listdir(root):
+            if not bdir.startswith("batch="):
+                continue
+            for day in days:
+                shutil.rmtree(os.path.join(root, bdir, f"day={day}"), ignore_errors=True)
 
     def handle(raw_batch: DataFrame, batch_id: int) -> None:
         raw_batch = raw_batch.withColumn(
@@ -274,6 +325,24 @@ def streaming_ingest(
         raw_batch.persist()
         stage = None
         try:
+            run_id = f"stream-batch-{batch_id}"
+            spanning: set[str] = set()
+            if order_sensitive:
+                batch_days = {
+                    r.file_day for r in raw_batch.select("file_day").distinct().collect()
+                }
+                spanning = batch_days & _days_committed_by_other_runs(run_id)
+                if spanning:
+                    import warnings
+
+                    warnings.warn(
+                        f"streaming_ingest batch {batch_id}: file_day(s) "
+                        f"{sorted(spanning)} span micro-batches; the "
+                        f"order-sensitive sinks {sorted(order_sensitive)} do not "
+                        "merge across batches — purging and skipping those days "
+                        "(additive sinks are unaffected)",
+                        stacklevel=2,
+                    )
             parsed = enrich(parse_corpus(raw_batch)).withColumn(
                 "file_day", F.regexp_extract("source", _FILE_DAY_RE, 1)
             )
@@ -285,7 +354,23 @@ def streaming_ingest(
             def _write(item):
                 name, fn = item
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-                catalog.write_batch_partitions(fn(stage, raw_batch), name, batch_id)
+                out_df = fn(stage, raw_batch)
+                if name in order_sensitive and spanning:
+                    out_df = out_df.filter(
+                        ~F.col("day").cast("string").isin(sorted(spanning))
+                    )
+                    _purge_order_sensitive(name, spanning)
+                    skipped = progress["order_sensitive_skipped"].setdefault(name, [])
+                    skipped[:] = sorted(set(skipped) | spanning)
+                catalog.write_batch_partitions(out_df, name, batch_id)
+                root = catalog._path(name)
+                has_rows = os.path.isdir(root) and any(
+                    f.endswith(".parquet")
+                    for b, _, fs in os.walk(root)
+                    for f in fs
+                )
+                if not has_rows:  # e.g. every day purged as spanning
+                    return name, {}
                 return name, {
                     r["day"]: r["n"]
                     for r in catalog.read(name)

@@ -269,3 +269,83 @@ def test_streaming_ingest_replay_is_idempotent(spark, day_aligned_dir, tmp_path)
     assert prog["batches"] == 1  # exactly the replayed batch
     after = {n: _sink_rows(spark, sout, n, drop=()) for n in SINKS}
     assert after == before  # batch column included: replay overwrote in place
+
+
+def test_streaming_ingest_guards_order_sensitive_sinks(spark, day_aligned_dir, tmp_path):
+    """Misaligned layout (each day split across micro-batches): the
+    additive sinks still equal the batch pipeline, while the
+    order-sensitive gauge/pairing partitions are purged + recorded —
+    never silently committed wrong (round-2 advice)."""
+    import os
+    import warnings as W
+
+    from stash_log_parser_spark.plans.routing import run_pipeline
+    from stash_log_parser_spark.streaming.stream import (
+        ORDER_SENSITIVE_SINKS,
+        streaming_ingest,
+    )
+
+    # two files per day → every day spans two single-file micro-batches
+    src = str(tmp_path / "misaligned")
+    df = spark.read.parquet(day_aligned_dir)
+    days = sorted(
+        r.d
+        for r in df.select(
+            F.regexp_extract("source", r"(\d{4}-\d{2}-\d{2})", 1).alias("d")
+        ).distinct().collect()
+    )
+    for day in days:
+        part = df.filter(F.col("source").contains(day))
+        for half in (0, 1):
+            (
+                part.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == half)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+    sout = str(tmp_path / "sinks")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        prog = streaming_ingest(
+            spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1
+        )
+    assert any("span micro-batches" in str(w.message) for w in caught)
+    # every day hit the guard in at least one sink
+    skipped = prog["order_sensitive_skipped"]
+    assert set(skipped) == ORDER_SENSITIVE_SINKS
+    assert all(set(v) == set(days) for v in skipped.values())
+    # order-sensitive sinks carry NO day partitions for spanning days
+    for name in ORDER_SENSITIVE_SINKS:
+        root = os.path.join(sout, name)
+        leftover = [
+            d
+            for b, ds_, _ in os.walk(root)
+            for d in ds_
+            if d.startswith("day=") and d.split("=", 1)[1] in days
+        ] if os.path.isdir(root) else []
+        assert leftover == [], (name, leftover)
+    # additive sinks still equal the batch pipeline — after the rollup
+    # their contract prescribes (sum the per-batch partials; the raw
+    # request_durations rows union directly)
+    bout = str(tmp_path / "batch_sinks")
+    run_pipeline(spark, day_aligned_dir, bout, run_id="twin")
+
+    def rollup(root, name):
+        df = spark.read.parquet(f"{root}/{name}")
+        if "batch" in df.columns:
+            df = df.drop("batch")
+        if name == "request_durations":
+            return _sink_rows(spark, root, name)
+        keys = [c for c, t in df.dtypes if t == "string" or c in ("day",)]
+        nums = [c for c in df.columns if c not in keys]
+        agg = df.groupBy(*keys).agg(
+            *[F.sum(c).cast("long").alias(c) for c in nums]
+        )
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in agg.select(*sorted(agg.columns)).collect()
+        )
+
+    for name in ("metrics", "protocol_counts_daily", "repository_stats_daily",
+                 "git_operations", "protocol_by_hour", "request_durations"):
+        assert rollup(sout, name) == rollup(bout, name), name
