@@ -314,6 +314,58 @@ def with_ivf_cells(
     return embeddings.mapInArrow(assign, schema=out_schema)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations for the IVF coarse
+    quantizer (closes the round-2 IOU: "on a real corpus the centroid
+    matrix would come from a k-means fit").
+
+    Init = the first ``n_cells`` vectors by ``id_col`` (seeded and
+    order-stable). Each iteration: (1) assign every vector to its
+    argmax-cosine centroid via the existing Arrow matmul kernel — the
+    payload is scanned, never shuffled; (2) recompute centroids as the
+    per-cell MEAN through one narrow Catalyst aggregation (count + dim
+    column sums — map-side partials make the shuffle n_cells×partitions
+    rows of 8·dim bytes, independent of corpus size); (3) ROUND the new
+    centroids to 6 decimals. The rounding is what makes the fit
+    engine-portable: after it, Spark and a SQL mirror hold bit-identical
+    centroid matrices, so the remaining cross-engine risk is a float
+    sum landing within ~1e-10 of a rounding boundary — vanishing for
+    non-dyadic embedding data (and caught by the oracle if it ever
+    fires). Empty cells keep their previous centroid.
+
+    At 10^12 rows each iteration is one full scan; a production fit
+    would run the same loop on a fixed sample, which changes nothing
+    about the plan shape here."""
+    cents = embeddings.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    if not cents:
+        return np.zeros((0, 0))
+    C = np.array([r[0] for r in cents], dtype=np.float64)
+    dim = C.shape[1]
+    vec_d = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        e = with_ivf_cells(embeddings.select(id_col, vec_col), C, vec_col)
+        # rounding happens JVM-side: F.round ↔ DuckDB round is the
+        # repo's proven cross-engine pair (np.round is banker's and
+        # scales differently at the ulp level)
+        means = e.groupBy("cell").agg(
+            *[
+                F.round(F.sum(F.get(vec_d, i)) / F.count("*"), 6).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        newC = C.copy()
+        for r in means:
+            newC[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+        C = newC
+    return C
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -324,6 +376,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -334,24 +387,28 @@ def ivf_topk(
     cells' members by exact cosine. Recall tunes with nprobe/n_cells;
     at nprobe = n_cells it degrades gracefully to exact brute force.
 
-    Centroids are a deterministic sample — the first ``n_cells`` vectors
-    by ``id_col`` — so the operator (and its SQL oracle twin) is fully
-    reproducible with no k-means iteration state. On a real corpus the
-    centroid matrix would come from a k-means fit; the plan shape
-    (assign → probe → re-rank) is identical.
+    With ``kmeans_iters=0`` centroids are a deterministic sample — the
+    first ``n_cells`` vectors by ``id_col`` — so the operator (and its
+    SQL oracle twin) is fully reproducible with no iteration state.
+    ``kmeans_iters>0`` runs that many seeded Lloyd iterations instead
+    (:func:`kmeans_centroids` — still deterministic and SQL-mirrorable;
+    the plan shape assign → probe → re-rank is identical either way).
     """
     from pyspark.sql import Window
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_cells)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    if not qrows or not cents:
+    if kmeans_iters > 0:
+        C = kmeans_centroids(embeddings, n_cells, kmeans_iters, id_col, vec_col)
+    else:
+        cents = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        C = np.array([r[1] for r in cents], dtype=np.float64)  # (n_cells, dim)
+    if not qrows or C.size == 0:
         return _empty_topk(embeddings, queries, id_col, query_id_col)
-    C = np.array([r[1] for r in cents], dtype=np.float64)  # (n_cells, dim)
     e = with_ivf_cells(embeddings, C, vec_col)
 
     # query-side probing runs driver-side on the (tiny, broadcast-bound)

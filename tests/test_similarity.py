@@ -179,3 +179,39 @@ def test_topk_string_query_ids_and_empty_query_set(spark, emb, queries):
         assert [f.name for f in empty.schema.fields] == [
             "query_id", "vec_id", "cosine", "rank",
         ]
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(emb, queries):
+    """At nprobe = n_cells the k-means-fitted IVF degrades to exact
+    brute force regardless of how good the fit is — the partition is
+    total either way."""
+    exact = S.cosine_topk(emb, queries, k=5).drop("rank").collect()
+    ivf = S.ivf_topk(
+        emb, queries, k=5, n_cells=8, nprobe=8, kmeans_iters=2
+    ).drop("rank").collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_kmeans_centroids_deterministic_and_improving(emb):
+    """The seeded Lloyd fit is run-to-run deterministic, and its
+    centroids cover the data at least as well as the raw first-n sample
+    (mean max-cosine to the centroid set must not degrade)."""
+    import numpy as np
+
+    C1 = S.kmeans_centroids(emb, n_cells=8, iters=2)
+    C2 = S.kmeans_centroids(emb, n_cells=8, iters=2)
+    assert np.array_equal(C1, C2)
+
+    rows = emb.select("embedding").limit(400).collect()
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def coverage(C):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return (Vn @ Cn.T).max(axis=1).mean()
+
+    C0 = np.array(
+        [r[0] for r in emb.orderBy("vec_id").limit(8).select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert coverage(C1) >= coverage(C0) - 1e-9
