@@ -35,7 +35,7 @@ Scale notes (the 100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 OP_TYPES = ["clone", "fetch", "shallow_clone", "push", "ref_advertisement"]
@@ -335,4 +335,72 @@ def pairing_stats(parsed: DataFrame) -> DataFrame:
         ),
         F.sum(F.col("ts_out").isNull().cast("long")).alias("unmatched_incoming"),
         F.sum(F.col("ts_in").isNull().cast("long")).alias("unmatched_outgoing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable duration histogram sketch (HDR-style, integer-exact)
+# ---------------------------------------------------------------------------
+
+PCTS = [0.5, 0.9, 0.95, 0.99]
+PCT_NAMES = ["p50", "p90", "p95", "p99"]
+
+
+def duration_bucket(col: Column) -> Column:
+    """HDR-histogram-style bucket LOWER BOUND for a non-negative integer
+    duration: exact below 32, else the value with all but the leading 5
+    bits zeroed — 16 sub-buckets per power of two, so the lower bound
+    under-estimates any member by at most 1/16 (6.25 %).
+
+    Every step is exact integer arithmetic in BOTH engines:
+    ``length(bin(v))`` is the bit length (string ops, no float log) and
+    ``v / 2^k`` is an exact IEEE division for v < 2^53 (dividing an
+    integer by a power of two only shifts the exponent) — no
+    float-boundary flips, which is why this is oracle-hashable where a
+    log-scale bucket would not be."""
+    v = col.cast("long")
+    b = F.length(F.bin(v))
+    scale = F.pow(F.lit(2.0), (b - F.lit(5)).cast("double"))
+    lo = (F.floor(v / scale) * scale).cast("long")
+    return F.when(v < 32, v).otherwise(lo)
+
+
+def duration_histogram(parsed: DataFrame, extra_keys: tuple = ()) -> DataFrame:
+    """Per-(extra_keys, op_type, bucket) duration counts — the MERGEABLE
+    per-day partial the 10^12-row percentile rollup wants: daily sinks
+    store a few hundred (op_type, bucket) rows instead of raw durations,
+    and the global rollup merges histograms instead of re-scanning raw
+    data (round-2 review item on duration_percentiles_global)."""
+    ops = _parsed(parsed).filter(
+        F.col("op_type").isNotNull() & F.col("duration_ms").isNotNull()
+    )
+    return ops.groupBy(
+        *extra_keys, "op_type", duration_bucket(F.col("duration_ms")).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+def percentiles_from_histogram(hist: DataFrame) -> DataFrame:
+    """(op_type, n, p50..p99) from merged histogram partials. The
+    percentile at rank ceil(p·N) is the smallest bucket whose cumulative
+    count reaches the rank; the reported value is that bucket's lower
+    bound — within 6.25 % below the true order statistic by
+    construction (test-bounded in test_analyses)."""
+    from pyspark.sql import Window
+
+    merged = hist.groupBy("op_type", "bucket").agg(F.sum("n").alias("n"))
+    w_cum = Window.partitionBy("op_type").orderBy("bucket")
+    w_all = Window.partitionBy("op_type")
+    cum = merged.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_all)
+    )
+    picks = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), F.col("bucket"))
+        ).alias(name)
+        for p, name in zip(PCTS, PCT_NAMES)
+    ]
+    return (
+        cum.groupBy("op_type")
+        .agg(F.max("total").cast("long").alias("n"), *picks)
+        .orderBy("op_type")
     )

@@ -161,6 +161,15 @@ def _sink_request_durations(p: DataFrame, raw: DataFrame) -> DataFrame:
     return ops.join(raw.select("doc_id", "tokens"), "doc_id")
 
 
+def _sink_duration_hist(p: DataFrame, _raw: DataFrame) -> DataFrame:
+    """Per-(file_day, op_type, bucket) duration histogram — the
+    MERGEABLE percentile partial: a few hundred rows per day replace
+    re-scanning the raw durations sink for global percentiles
+    (duration_percentiles_global_sketch; error ≤ 1/16 by bucket
+    construction, see analyses.duration_bucket)."""
+    return A.duration_histogram(p, extra_keys=(F.col("file_day").alias("day"),))
+
+
 def _sink_pairing_daily(p: DataFrame, _raw: DataFrame) -> DataFrame:
     pairs = A.pair_requests(p)
     return (
@@ -193,6 +202,7 @@ SINKS: dict[str, callable] = {
     "protocol_counts_daily": _sink_protocol_counts_daily,
     "repository_stats_daily": _sink_repository_stats_daily,
     "request_durations": _sink_request_durations,
+    "duration_hist_daily": _sink_duration_hist,
     "pairing_daily": _sink_pairing_daily,
     "metrics": _sink_metrics,
 }
@@ -397,6 +407,17 @@ def protocol_counts_global(catalog: SinkCatalog) -> DataFrame:
         .agg(F.sum("n").alias("n"))
         .orderBy("protocol")
     )
+
+
+def duration_percentiles_global_sketch(catalog: SinkCatalog) -> DataFrame:
+    """Global per-op percentiles from the MERGED daily histogram sink —
+    the 10^12-row path: the rollup touches O(days × ops × buckets) rows
+    instead of re-scanning every raw duration (what
+    duration_percentiles_global below still does, kept as the exact
+    twin). Reported values are bucket lower bounds: within 6.25 % below
+    the true order statistic by construction (error bound asserted in
+    test_analyses.test_histogram_percentiles_error_bound)."""
+    return A.percentiles_from_histogram(catalog.read("duration_hist_daily"))
 
 
 def duration_percentiles_global(catalog: SinkCatalog, approx: bool = False) -> DataFrame:

@@ -119,3 +119,45 @@ def test_j1_latency_vs_server_duration(parsed):
     p = A.pair_requests(parsed).filter("duration_ms is not null and ts_in is not null")
     bad = p.filter(F.abs(F.col("latency_ms") - F.col("duration_ms")) > 1).count()
     assert bad == 0
+
+
+def test_histogram_percentiles_error_bound(spark):
+    """The HDR-style bucket sketch is within its designed bound of the
+    exact order statistic: exact below 32, lower bound within 1/16
+    (6.25 %) above — checked at every tracked percentile over a
+    log-uniform duration sample, and the bucket function itself is
+    pinned against a pure-python reference."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    durs = [int(math.exp(rng.uniform(0, 12))) for _ in range(4000)]
+    df = spark.createDataFrame(
+        [(1, "clone", d, True) for d in durs],
+        "req_counter long, op_type string, duration_ms long, is_parsed boolean",
+    )
+    hist = A.duration_histogram(df)
+    got = A.percentiles_from_histogram(hist).collect()[0]
+    assert got.n == len(durs)
+    s = sorted(durs)
+    for p, name in zip(A.PCTS, A.PCT_NAMES):
+        exact = s[math.ceil(p * len(s)) - 1]  # the rank the sketch targets
+        sk = got[name]
+        assert sk <= exact, (name, sk, exact)
+        if exact < 32:
+            assert sk == exact
+        else:
+            assert exact < sk + max(sk // 16, 1) + 1, (name, sk, exact)
+
+    # bucket function == python reference on edge values
+    def py_bucket(v):
+        if v < 32:
+            return v
+        b = v.bit_length()
+        return (v >> (b - 5)) << (b - 5)
+
+    edges = [0, 1, 31, 32, 33, 47, 48, 63, 64, 1023, 1024, 1025, 2**40 - 1, 2**40]
+    rows = spark.createDataFrame([(v,) for v in edges], "v long").select(
+        "v", A.duration_bucket(F.col("v")).alias("b")
+    ).collect()
+    assert {r.v: r.b for r in rows} == {v: py_bucket(v) for v in edges}

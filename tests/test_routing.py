@@ -477,3 +477,36 @@ def test_lineage_self_compaction(spark, tmp_path):
     rep2 = cat.compact_lineage(max_files=1)
     assert rep2["files_after"] == 1 and rep2["rows"] == len(before)
     assert sorted(map(tuple, cat.read("_lineage").collect())) == before
+
+
+def test_duration_sketch_rollup_matches_exact_within_bound(spark, corpus_path, tmp_path):
+    """The histogram-sink rollup (the 10^12-row percentile path) agrees
+    with the exact raw-sink rollup within the 1/16 bucket bound, for
+    every op_type and percentile."""
+    from stash_log_parser_spark.plans.routing import (
+        duration_percentiles_global,
+        duration_percentiles_global_sketch,
+    )
+
+    import math
+
+    out = str(tmp_path / "sinks")
+    run_pipeline(spark, corpus_path, out, run_id="r1")
+    cat = SinkCatalog(spark, out)
+    sketch = {r.op_type: r for r in duration_percentiles_global_sketch(cat).collect()}
+    exact_n = {r.op_type: r.n for r in duration_percentiles_global(cat).collect()}
+    assert {op: r.n for op, r in sketch.items()} == exact_n
+    durs: dict = {}
+    for r in cat.read("request_durations").select("op_type", "duration_ms").collect():
+        durs.setdefault(r.op_type, []).append(r.duration_ms)
+    for op, s in sketch.items():
+        vals = sorted(durs[op])
+        assert s.n == len(vals)
+        for p, name in zip((0.5, 0.9, 0.95, 0.99), ("p50", "p90", "p95", "p99")):
+            # the sketch targets the order statistic at rank ceil(p·n)
+            # and reports its bucket's LOWER bound: exact within that
+            # bucket's 1/16 width
+            target = vals[math.ceil(p * len(vals)) - 1]
+            sv = int(s[name])
+            assert sv <= target, (op, name, sv, target)
+            assert target < sv + max(sv // 16, 1) + 1, (op, name, sv, target)
