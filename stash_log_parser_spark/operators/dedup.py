@@ -237,6 +237,66 @@ def jaccard_pairs_bruteforce(
     )
 
 
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS: (doc_id,
+    cluster_id) where cluster_id is the minimum doc_id reachable through
+    the pair graph. This is the semantics corpus dedup actually needs —
+    keep one document per duplicate CLUSTER, not per pair (A~B, B~C
+    must collapse to one survivor even if A~C was never emitted).
+
+    Algorithm: iterative min-label propagation (the standard
+    large-graph connected-components shape — alternating small-star
+    operations bounded by graph diameter, which for near-dup clusters
+    is tiny). Each round joins labels across edges and keeps the
+    per-node minimum; ``localCheckpoint`` truncates the lineage every
+    round so the plan stays O(1) deep. Converges when a round changes
+    nothing; raises if ``max_iters`` rounds weren't enough (never
+    silent). All shuffles are keyed on doc ids — no payload moves."""
+    edges = pairs.select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nb = (
+            und.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("cluster").alias("_nc")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("_nc").alias("_mn"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new = (
+            labels.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster", F.coalesce("_mn", "cluster")).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iters} rounds — "
+        "component diameter exceeds the bound; raise max_iters"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -101,6 +101,28 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def train_test_split(
+    docs: DataFrame, train_frac: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic hash-based train/test assignment: split membership
+    depends ONLY on the id (stable across runs, engines, partitionings,
+    and corpus growth — adding documents never reshuffles existing
+    assignments, unlike any sample()/rand() split). The hash is md5 of
+    the id string and the threshold compares the first two hex chars
+    lexicographically (fixed-width lowercase hex sorts numerically), so
+    the exact same rule runs in ANSI SQL: granularity is 1/256, e.g.
+    0.8 → 'cc' → 204/256 = 79.7 % train."""
+    t = max(0, min(256, round(train_frac * 256)))
+    # 256/256 needs a sentinel above every hex pair ("100" compares
+    # lexicographically BELOW "ff"; "zz" is above all of [0-9a-f]{2})
+    threshold = "zz" if t == 256 else format(t, "02x")
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return docs.select(
+        id_col,
+        F.when(h2 < threshold, "train").otherwise("test").alias("split"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, text_col: str = "text", use_arrow: bool = True
 ) -> DataFrame:

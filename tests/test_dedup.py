@@ -88,3 +88,31 @@ def test_bucket_cap_prevents_quadratic_join(spark):
     n_ok = D.minhash_lsh_pairs(df, max_bucket=100, cap_metrics=metrics_ok).count()
     assert n_ok == 50 * 49 / 2
     assert metrics_ok == {"n_capped_buckets": 0, "n_capped_entries": 0}
+
+
+def test_near_dup_clusters_collapse_chains(spark):
+    """A~B, B~C, plus an unrelated D~E must yield clusters {A,B,C} and
+    {D,E} labelled by their minimum ids — pair-level dedup (drop doc_b
+    per pair) can't express this; components can."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster for r in D.near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    # deterministic across runs
+    again = {r.doc_id: r.cluster for r in D.near_dup_clusters(pairs).collect()}
+    assert got == again
+
+
+def test_near_dup_clusters_long_chain_and_convergence_guard(spark):
+    """A 12-node path graph converges (diameter-bound iterations) and
+    the non-convergence path raises instead of silently truncating."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster for r in D.near_dup_clusters(chain).collect()}
+    assert set(got.values()) == {1} and len(got) == 12
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.near_dup_clusters(chain, max_iters=1)

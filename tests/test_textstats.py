@@ -113,3 +113,23 @@ def test_empty_text_safe(docs):
     stats = {x.doc_id: x for x in TS.text_stats(docs).collect()}
     assert stats[6].n_ws_tokens in (0, 1)  # split('') edge
     assert stats[6].quality_score is not None
+
+
+def test_train_test_split_deterministic_and_sized(spark):
+    """Split membership depends only on the id: stable across runs and
+    partitionings, ~train_frac sized, and edge fractions behave."""
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(2000)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.split for r in TS.train_test_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in TS.train_test_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert abs(frac - 204 / 256) < 0.03
+    all_train = TS.train_test_split(docs, train_frac=1.0).collect()
+    assert all(r.split == "train" for r in all_train)
+    all_test = TS.train_test_split(docs, train_frac=0.0).collect()
+    assert all(r.split == "test" for r in all_test)
