@@ -101,6 +101,32 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary statistics: the k most frequent word n-grams
+    (count desc, ngram asc — a strict total order, so the top-k cut is
+    deterministic). The 100-TB shape is explode → hash-aggregate with
+    map-side partials (hot n-grams collapse to one row per partition
+    before the shuffle) → TakeOrdered top-k; no window, no sort of the
+    full vocabulary."""
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def train_test_split(
     docs: DataFrame, train_frac: float = 0.8, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -386,6 +386,13 @@ def run_pipeline(
         for name, info, dt in ex.map(_run_sink, sinks.items()):
             summary["sinks"][name] = info
             timings[f"sink_{name}"] = round(dt, 2)
+    # steady-state maintenance: fold the commit log once it accumulates
+    # (one tiny driver-side parquet rewrite; no-op below the threshold —
+    # without this, thousands of incremental runs leave committed()
+    # reading thousands of small files). Iceberg backends compact the
+    # lineage table via rewrite_data_files out-of-band instead.
+    if not catalog.use_iceberg:
+        summary["lineage_compaction"] = catalog.compact_lineage(max_files=512)
     timings["total"] = round(time.perf_counter() - t_start, 2)
     summary["timings"] = timings
     return summary

@@ -405,4 +405,8 @@ def streaming_ingest(
         .start()
     )
     q.awaitTermination()
+    # same steady-state commit-log maintenance as the batch pipeline —
+    # a long-lived stream appends lineage every batch
+    if not catalog.use_iceberg:
+        progress["lineage_compaction"] = catalog.compact_lineage(max_files=512)
     return progress

@@ -133,3 +133,14 @@ def test_train_test_split_deterministic_and_sized(spark):
     assert all(r.split == "train" for r in all_train)
     all_test = TS.train_test_split(docs, train_frac=0.0).collect()
     assert all(r.split == "test" for r in all_test)
+
+
+def test_top_ngrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = [(r.ngram, r.n) for r in TS.top_ngrams(docs, n=2, k=3).collect()]
+    assert got == [("a b", 3), ("b c", 1), ("b x", 1)]
+    tri = [(r.ngram, r.n) for r in TS.top_ngrams(docs, n=3, k=10).collect()]
+    assert ("a b c", 1) in tri and all(len(g.split()) == 3 for g, _ in tri)
