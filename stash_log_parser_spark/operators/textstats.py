@@ -221,14 +221,32 @@ def _poly_fingerprints(col):
     fp = np.zeros(n, dtype=np.int64)
     if data.size and (data < 128).all():
         P = _pow_table(int(lengths.max()))
-        doc_idx = np.repeat(np.arange(n), lengths)
-        pos = np.arange(data.size, dtype=np.int64) - rel[doc_idx]
-        prod = (data.astype(np.int64) * P[lengths[doc_idx] - 1 - pos]) % FP_MOD
-        # reduceat only over NON-EMPTY docs: their starts are strictly
-        # increasing and < data.size, so each segment spans exactly one
-        # document; empty docs keep fp = 0 (the fold's init value).
-        nonempty = lengths > 0
-        fp[nonempty] = np.add.reduceat(prod, rel[:-1][nonempty]) % FP_MOD
+        # Work in doc-aligned segments of ~4M chars: the vector temps
+        # cost ~32 B/char, so an unsegmented long-doc batch (10k docs x
+        # 9 KB = 90M chars) would allocate multiple GB per core —
+        # measured to thrash GC and run SLOWER than the interpreted
+        # twin. Segmenting caps transients at ~128 MB with no change
+        # in arithmetic.
+        seg = np.searchsorted(rel, np.arange(0, int(rel[-1]), 1 << 22), side="left")
+        seg_bounds = sorted(set(seg.tolist()) | {0, n})
+        for d0, d1 in zip(seg_bounds[:-1], seg_bounds[1:]):
+            lens = lengths[d0:d1]
+            lo, hi = rel[d0], rel[d1]
+            if hi == lo:
+                continue
+            chunk = data[lo:hi].astype(np.int64)
+            local = rel[d0 : d1 + 1] - lo
+            doc_idx = np.repeat(np.arange(d1 - d0), lens)
+            pos = np.arange(chunk.size, dtype=np.int64) - local[doc_idx]
+            prod = (chunk * P[lens[doc_idx] - 1 - pos]) % FP_MOD
+            # reduceat only over NON-EMPTY docs: their starts are
+            # strictly increasing and < chunk.size, so each segment
+            # spans exactly one document; empty docs keep fp = 0
+            # (the fold's init value).
+            nonempty = lens > 0
+            fp[d0:d1][nonempty] = (
+                np.add.reduceat(prod, local[:-1][nonempty]) % FP_MOD
+            )
     elif data.size:
         for i, s in enumerate(filled.to_pylist()):
             if not s:
