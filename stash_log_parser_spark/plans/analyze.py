@@ -47,6 +47,9 @@ def _modes():
         "repositoryStats": A.repository_stats,
         "requestDurations": lambda p: A.request_durations(p, keep_tokens=False),
         "durationPercentiles": A.duration_percentiles,
+        "durationPercentilesSketch": lambda p: A.percentiles_from_histogram(
+            A.duration_histogram(p)
+        ),
     }
 
 
