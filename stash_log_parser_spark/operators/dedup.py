@@ -255,7 +255,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = pairs.select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()  # pin the (expensive) pair plan: every round
+    # joins against the edge set — without this the upstream LSH
+    # self-join + Jaccard verify re-executes once per iteration
     labels = (
         und.select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -397,6 +397,8 @@ def ivf_topk(
     from pyspark.sql import Window
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:  # before the (multi-scan) fit — nothing to answer
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
     if kmeans_iters > 0:
         C = kmeans_centroids(embeddings, n_cells, kmeans_iters, id_col, vec_col)
     else:
@@ -407,7 +409,7 @@ def ivf_topk(
             .collect()
         )
         C = np.array([r[1] for r in cents], dtype=np.float64)  # (n_cells, dim)
-    if not qrows or C.size == 0:
+    if C.size == 0:
         return _empty_topk(embeddings, queries, id_col, query_id_col)
     e = with_ivf_cells(embeddings, C, vec_col)
 

@@ -138,7 +138,11 @@ def train_test_split(
     lexicographically (fixed-width lowercase hex sorts numerically), so
     the exact same rule runs in ANSI SQL: granularity is 1/256, e.g.
     0.8 → 'cc' → 204/256 = 79.7 % train."""
-    t = max(0, min(256, round(train_frac * 256)))
+    # int(), not round(): 0.8*256 = 204.800...01 would round UP to 205
+    # ('cd') while the documented split and the SQL twin use 'cc' —
+    # round-3 review caught the divergence (first colliding md5 prefix
+    # appears at doc_id 549, past the small-corpus ids).
+    t = max(0, min(256, int(train_frac * 256)))
     # 256/256 needs a sentinel above every hex pair ("100" compares
     # lexicographically BELOW "ff"; "zz" is above all of [0-9a-f]{2})
     threshold = "zz" if t == 256 else format(t, "02x")

@@ -218,6 +218,11 @@ class SinkCatalog:
     def read(self, sink: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(f"{self.base}.{sink}")
+        # a compaction crash between its two renames leaves the day
+        # only in a dot-prefixed aside dir parquet listings skip —
+        # repair BEFORE every read, not only on the next maintenance
+        # run (round-3 review; one listdir when nothing is pending)
+        self.recover_compactions(sink)
         return self.spark.read.parquet(self._path(sink))
 
     def exists(self, sink: str) -> bool:
@@ -238,20 +243,102 @@ class SinkCatalog:
     # load it as a normal parquet directory (``read("_lineage")``).
 
     def committed(self) -> set[tuple[str, str]]:
-        """(sink, day) pairs already committed by previous runs."""
+        """(sink, day) pairs already committed by previous runs.
+
+        Rows whose run_id carries the ``retracted:`` prefix (see
+        :meth:`retract`) do NOT count — their data was deliberately
+        removed and a resume must rebuild them."""
         if self.use_iceberg:
             tbl = f"{self.base}._lineage"
             if not self.spark.catalog.tableExists(tbl):
                 return set()
-            rows = self.spark.read.table(tbl).select("sink", "day").distinct().collect()
+            rows = (
+                self.spark.read.table(tbl)
+                .filter(~F.col("run_id").startswith("retracted:"))
+                .select("sink", "day")
+                .distinct()
+                .collect()
+            )
             return {(r.sink, r.day) for r in rows}
         path = self._path("_lineage")
         if not os.path.isdir(path):
             return set()
         import pyarrow.dataset as ds
 
-        t = ds.dataset(path, format="parquet").to_table(columns=["sink", "day"])
-        return set(zip(t.column("sink").to_pylist(), t.column("day").to_pylist()))
+        t = ds.dataset(path, format="parquet").to_table(
+            columns=["sink", "day", "run_id"]
+        )
+        return {
+            (s, d)
+            for s, d, r in zip(
+                t.column("sink").to_pylist(),
+                t.column("day").to_pylist(),
+                t.column("run_id").to_pylist(),
+            )
+            if not str(r).startswith("retracted:")
+        }
+
+    def retract(self, pairs: set[tuple[str, str]]) -> int:
+        """Mark (sink, day) lineage rows RETRACTED — the inverse of
+        :meth:`commit`, used when committed data is deliberately
+        removed (e.g. streaming_ingest purging an order-sensitive
+        sink's batch-spanning day). The whole commit log is rewritten
+        with matching rows' run_id prefixed ``retracted:`` (the row
+        stays — later runs still see the day was once written, but
+        ``committed()`` excludes it so a batch backfill rebuilds the
+        partition instead of silently skipping it; a NEW commit for
+        the pair simply re-commits). Crash window: new file written
+        before old files are deleted — leftover originals temporarily
+        resurrect the un-retracted row until the next retract/compact
+        pass; the data-side purge is idempotent either way. Returns
+        the number of rows retracted."""
+        if not pairs:
+            return 0
+        if self.use_iceberg:
+            raise NotImplementedError(
+                "Iceberg backend: retract lineage rows with a MERGE/"
+                f"UPDATE on {self.base}._lineage"
+            )
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        path = self._path("_lineage")
+        if not os.path.isdir(path):
+            return 0
+        old = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not old:
+            return 0
+        t = ds.dataset(
+            [os.path.join(path, f) for f in old], format="parquet"
+        ).to_table()
+        sinks = t.column("sink").to_pylist()
+        days = t.column("day").to_pylist()
+        runs = t.column("run_id").to_pylist()
+        n_hit = 0
+        new_runs = []
+        for s, d, r in zip(sinks, days, runs):
+            r = str(r)
+            if (s, d) in pairs and not r.startswith("retracted:"):
+                new_runs.append("retracted:" + r)
+                n_hit += 1
+            else:
+                new_runs.append(r)
+        if n_hit:
+            t = t.set_column(
+                t.schema.get_field_index("run_id"), "run_id", pa.array(new_runs)
+            )
+            pq.write_table(
+                t, os.path.join(path, f"commit-retract-{uuid.uuid4().hex}.parquet")
+            )
+            for f in old:
+                try:
+                    os.remove(os.path.join(path, f))
+                except FileNotFoundError:
+                    pass
+        return n_hit
 
     def commit(self, entries: list[tuple[str, str, int]], run_id: str) -> None:
         """Append lineage rows for freshly written (sink, day, rows)."""
@@ -318,5 +405,10 @@ class SinkCatalog:
             t, os.path.join(path, f"commit-compact-{uuid.uuid4().hex}.parquet")
         )
         for f in old:
-            os.remove(os.path.join(path, f))
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass  # a concurrent compaction (two runs sharing the
+                # output both crossing the threshold) already removed
+                # it; the commit-key dedup makes the overlap harmless
         return {"files_before": len(old), "files_after": 1, "rows": t.num_rows}

@@ -306,7 +306,12 @@ def streaming_ingest(
     def _purge_order_sensitive(name: str, days: set[str]) -> None:
         """Drop (batch=*, day∈days) partitions of an order-sensitive
         sink — the partials committed before the day was known to span
-        batches are wrong and must not survive."""
+        batches are wrong and must not survive. The matching lineage
+        rows are RETRACTED too: without that, a later batch-pipeline
+        backfill into the same output would see the (sink, day) as
+        committed and permanently skip rebuilding the purged partition
+        (round-3 review). Retracted rows still count as 'seen' for the
+        spanning detection, so the guard stays armed."""
         import shutil
 
         root = catalog._path(name)
@@ -386,6 +391,16 @@ def streaming_ingest(
             with ThreadPoolExecutor(max_workers=min(8, len(sinks))) as ex:
                 for name, per_day in ex.map(_write, sinks.items()):
                     entries += [(name, d, n) for d, n in sorted(per_day.items())]
+            if spanning:
+                # retract AFTER the pool (it rewrites the whole commit
+                # log — concurrent retractions would clobber each
+                # other) and BEFORE this batch's commit: purged
+                # (sink, day) pairs must stop counting as committed so
+                # a batch backfill rebuilds them, while still counting
+                # as 'seen' for the spanning detection.
+                catalog.retract(
+                    {(n, d) for n in order_sensitive for d in spanning}
+                )
             catalog.commit(entries, f"stream-batch-{batch_id}")
             progress["batches"] += 1
             progress["rows"] += raw_batch.count()

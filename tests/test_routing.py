@@ -405,10 +405,10 @@ def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
         return sorted(r.id for r in cat.read("s").collect())
 
     # window 1: staging written (complete), crash before any rename —
-    # readers see the live dir only; recovery drops the stale staging.
+    # recovery drops the stale staging (and since catalog.read() runs
+    # recovery itself, the explicit call must come before the read).
     shutil.copytree(day_dir, staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
-    assert rows() == truth
     acts = cat.recover_compactions("s")
     assert acts == {"2012-09-08": "dropped_stale_staging"}
     assert not os.path.exists(staging) and rows() == truth

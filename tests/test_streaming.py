@@ -349,3 +349,46 @@ def test_streaming_ingest_guards_order_sensitive_sinks(spark, day_aligned_dir, t
     for name in ("metrics", "protocol_counts_daily", "repository_stats_daily",
                  "git_operations", "protocol_by_hour", "request_durations"):
         assert rollup(sout, name) == rollup(bout, name), name
+
+
+def test_purged_days_are_retracted_and_backfillable(spark, day_aligned_dir, tmp_path):
+    """After the guard purges an order-sensitive sink's spanning days,
+    the lineage rows are RETRACTED: committed() no longer claims them,
+    so a batch-pipeline backfill into the same output rebuilds the
+    partitions to exactly the batch answer (round-3 review: without
+    retraction the backfill silently skipped the purged days forever).
+    The detection marker survives retraction (runs stay guarded)."""
+    from stash_log_parser_spark.plans.routing import run_pipeline
+    from stash_log_parser_spark.sources.catalog import SinkCatalog
+    from stash_log_parser_spark.streaming.stream import (
+        ORDER_SENSITIVE_SINKS,
+        streaming_ingest,
+    )
+
+    src = str(tmp_path / "misaligned")
+    df = spark.read.parquet(day_aligned_dir)
+    for half in (0, 1):
+        (
+            df.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    sout = str(tmp_path / "sinks")
+    streaming_ingest(spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1)
+    cat = SinkCatalog(spark, sout)
+    committed = cat.committed()
+    assert not any(s in ORDER_SENSITIVE_SINKS for s, _ in committed)
+    assert any(s == "metrics" for s, _ in committed)  # additive intact
+
+    # batch backfill rebuilds ONLY the retracted partitions...
+    s = run_pipeline(spark, day_aligned_dir, sout, run_id="backfill")
+    assert s["sinks"]["metrics"]["days_written"] == 0  # still committed
+    for name in ORDER_SENSITIVE_SINKS:
+        assert s["sinks"][name]["days_written"] == 3
+
+    # ...to exactly the uninterrupted batch pipeline's answer
+    bout = str(tmp_path / "batch_twin")
+    run_pipeline(spark, day_aligned_dir, bout, run_id="twin")
+    for name in ORDER_SENSITIVE_SINKS:
+        assert _sink_rows(spark, sout, name) == _sink_rows(spark, bout, name), name
