@@ -454,6 +454,76 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
+    ``code_i = clamp(round(x_i/scale), ±127)``. The 100-TB ANN memory
+    lever — codes cost 1/4 the bytes of float32 (1/8 of the float64
+    compute form), so candidate re-rank scans move 4-8× less data and
+    the integer dot products vectorize. Deterministic and expressed in
+    portable arithmetic (round-half-away + exact int ops), so the whole
+    quantizer is SQL-mirrorable. Output: (id, scale, codes)."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+        / 127.0
+    ).alias("scale")
+    q = embeddings.select(F.col(id_col), scale, v.alias("_v"))
+    codes = F.transform(
+        "_v",
+        lambda x: F.least(
+            F.greatest(F.round(x / F.col("scale")), F.lit(-127.0)), F.lit(127.0)
+        ).cast("int"),
+    )
+    return q.select(id_col, "scale", codes.alias("codes"))
+
+
+def int8_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by QUANTIZED inner product: both sides are
+    int8-quantized, candidates score ``round(dot(codes_a, codes_q) ·
+    scale_a · scale_q, 6)`` — an exact-integer dot (≤ dim·127² ≪ 2^53,
+    no float accumulation noise) times two scales in one fixed-order
+    multiply, so Spark and the SQL mirror agree bit-for-bit after
+    rounding. The scan-side relation carries only (id, scale, codes):
+    the float payload never enters the join."""
+    from pyspark.sql import Window
+
+    e8 = quantize_int8(embeddings, id_col, vec_col)
+    q8 = quantize_int8(queries, query_id_col, query_vec_col).select(
+        F.col(query_id_col),
+        F.col("scale").alias("_qscale"),
+        F.col("codes").alias("_qcodes"),
+    )
+    j = e8.join(F.broadcast(q8))
+    dot8 = F.aggregate(
+        F.zip_with("codes", "_qcodes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(dot8 * F.col("scale") * F.col("_qscale"), 6).alias("approx_ip"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("approx_ip"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     cosine_threshold: float = 0.95,

@@ -161,3 +161,29 @@ def test_histogram_percentiles_error_bound(spark):
         "v", A.duration_bucket(F.col("v")).alias("b")
     ).collect()
     assert {r.v: r.b for r in rows} == {v: py_bucket(v) for v in edges}
+
+
+def test_duration_bucket_property_vs_python_reference(spark):
+    """Hypothesis sweep: the Spark bucket expression equals the pure
+    integer python reference on arbitrary non-negative int64 durations
+    (the cross-engine exactness claim the sketch oracle rests on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_bucket(v):
+        if v < 32:
+            return v
+        b = v.bit_length()
+        return (v >> (b - 5)) << (b - 5)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**52 - 1),
+                    min_size=1, max_size=50))
+    def check(vals):
+        rows = spark.createDataFrame([(v,) for v in vals], "v long").select(
+            A.duration_bucket(F.col("v")).alias("b")
+        ).collect()
+        got = sorted(r.b for r in rows)
+        assert got == sorted(py_bucket(v) for v in vals)
+
+    check()

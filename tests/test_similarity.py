@@ -215,3 +215,31 @@ def test_kmeans_centroids_deterministic_and_improving(emb):
         dtype=np.float64,
     )
     assert coverage(C1) >= coverage(C0) - 1e-9
+
+
+def test_int8_quantization_error_bounded(emb, queries, spark):
+    """int8 symmetric quantization: codes clamp to ±127, dequantized
+    values are within scale/2 of the originals, and the quantized
+    inner product approximates the exact one within the accumulated
+    rounding bound (dim · scale_a·scale_q/2 · (|a|₁+|b|₁-ish) — checked
+    empirically at 2 % relative)."""
+    import numpy as np
+
+    q8 = {r.vec_id: r for r in S.quantize_int8(emb).collect()}
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for vid, r in list(q8.items())[:100]:
+        v = raw[vid]
+        codes = np.array(r.codes)
+        assert np.abs(codes).max() <= 127
+        assert np.abs(codes * r.scale - v).max() <= r.scale / 2 + 1e-12
+
+    # approximate IP ranks the true self-match first
+    top = S.int8_knn(emb, queries, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert rows[0].vec_id == qid, rows
+        # and the approx IP is within 2% of the exact IP for the top hit
+        exact = float(np.dot(raw[qid], raw[qid]))
+        assert abs(rows[0].approx_ip - exact) / exact < 0.02
