@@ -116,3 +116,8 @@ def test_near_dup_clusters_long_chain_and_convergence_guard(spark):
     assert set(got.values()) == {1} and len(got) == 12
     with pytest.raises(RuntimeError, match="did not converge"):
         D.near_dup_clusters(chain, max_iters=1)
+
+
+def test_near_dup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.near_dup_clusters(pairs).count() == 0

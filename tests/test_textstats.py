@@ -144,3 +144,27 @@ def test_top_ngrams(spark):
     assert got == [("a b", 3), ("b c", 1), ("b x", 1)]
     tri = [(r.ngram, r.n) for r in TS.top_ngrams(docs, n=3, k=10).collect()]
     assert ("a b c", 1) in tri and all(len(g.split()) == 3 for g, _ in tri)
+
+
+def test_text_queries_prune_scan_columns(spark):
+    """Column pruning reaches the parquet scan for the text operators:
+    a 2-column projection must not read the whole documents table."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    want = {
+        "docs_top_ngrams": {"text"},
+        "docs_fingerprint": {"doc_id", "text"},
+        "docs_langid": {"doc_id", "text"},
+    }
+    for name, cols in want.items():
+        df = E.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, plan[:500]
+        for s in schemas:
+            got = {c.split(":")[0] for c in s.split(",") if c}
+            assert got <= cols, (name, got)
