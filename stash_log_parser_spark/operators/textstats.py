@@ -36,6 +36,22 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), WS_RE)
 
 
+def round6(col: Column) -> Column:
+    """Cross-engine-EXACT 6-decimal quantization: floor(x·1e6 + 0.5)/1e6.
+
+    ``round(x, 6)`` is not engine-portable on boundary values: Spark
+    evaluates it via BigDecimal on the double's shortest decimal repr
+    while DuckDB scales-and-rounds the double, and the two disagree
+    when x sits exactly on a ``.xxxxxx5`` boundary — observed for real
+    at sf0.1 (quality_score sums of 6-decimal-quantized terms are
+    multiples of 0.25e-6, putting ~25 % of them exactly on the
+    boundary; doc 1210 flipped 0.876262 vs 0.876263). Here every step
+    (multiply, add, floor, divide) is one correctly-rounded IEEE op
+    both engines compute identically — the same device as the repo's
+    integer-cents policy. Non-negative inputs only."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document counting + quality features.
 
@@ -52,17 +68,16 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
     )
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(stop_hits / F.greatest(n_ws, F.lit(1)), 6)
-    mean_tok = F.round(n_chars / F.greatest(n_ws, F.lit(1)), 6)
+    punct_ratio = round6(n_punct / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = round6(stop_hits / F.greatest(n_ws, F.lit(1)))
+    mean_tok = round6(n_chars / F.greatest(n_ws, F.lit(1)))
     # quality: long enough, some stopwords, not punctuation soup,
     # word lengths in a natural band — each term in [0,1].
-    quality = F.round(
+    quality = round6(
         0.25 * F.least(n_ws / F.lit(50.0), F.lit(1.0))
         + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))
         + 0.25 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
-        + 0.25 * F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0),
-        6,
+        + 0.25 * F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
     )
     return docs.select(
         "doc_id",
@@ -88,7 +103,7 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         hits = F.size(F.filter(words, lambda w: w.isin(*markers)))
-        cols.append(F.round(hits / n, 6).alias(f"score_{lang}"))
+        cols.append(round6(hits / n).alias(f"score_{lang}"))
     out = docs.select("doc_id", *cols)
     # argmax with lexicographic tie-break: compare (score, reversed-name)
     langs = sorted(LANG_MARKERS)
