@@ -208,10 +208,16 @@ def minhash_lsh_pairs(
         cand.join(shingle_tbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(shingle_tbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
     )
+    from .textstats import round6
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # round6, not F.round: int/int ratios with a 2^7·5^k-ish union land
+    # EXACTLY on .xxxxxx5 boundaries (e.g. union=128, odd intersection),
+    # where Spark's and DuckDB's round() can disagree — see
+    # textstats.round6 for the measured case of this hazard class.
     return (
-        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        cand.withColumn("jaccard", round6(inter / F.greatest(union, F.lit(1))))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -222,6 +228,8 @@ def jaccard_pairs_bruteforce(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs (reference/oracle path; O(n²) —
     small inputs only, the scale path is minhash_lsh_pairs)."""
+    from .textstats import round6
+
     s = with_shingles(docs, n, text_col).select("doc_id", "shingles")
     a, b = s.alias("a"), s.alias("b")
     cand = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -231,7 +239,7 @@ def jaccard_pairs_bruteforce(
         cand.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            round6(inter / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
