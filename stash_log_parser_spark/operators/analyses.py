@@ -404,3 +404,43 @@ def percentiles_from_histogram(hist: DataFrame) -> DataFrame:
         .agg(F.max("total").cast("long").alias("n"), *picks)
         .orderBy("op_type")
     )
+
+
+def integer_zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_cents_col: str,
+    k: int = 2,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-group z-score outliers in EXACT integer arithmetic — the
+    telemetry anomaly-detection shape (flag events far from their
+    user's/host's own baseline) made hash-exact across engines.
+
+    With integer values x (cents), group sums S1 = Σx, S2 = Σx² and
+    count n, the test |x − mean| > k·σ_pop is equivalent to
+    ``(n·x − S1)² > k² · (n·S2 − S1²)`` — every term an int64, so
+    there is no float in the whole operator and a SQL twin agrees
+    bit-for-bit (unlike stddev/variance, whose float accumulation
+    order differs per engine). Bounds: |n·x| and n·S2 must fit int64 —
+    holds for n ≲ 10^5 groups of ~10^6-cent values; at larger groups
+    promote to DECIMAL(38) the same way.
+
+    One window pass per group key (a single hash shuffle on the key);
+    groups smaller than ``min_n`` are never flagged. Returns the
+    outlier rows with their group stats."""
+    x = F.col(value_cents_col).cast("long")
+    w = Window.partitionBy(key_col)
+    n = F.count("*").over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    lhs = (n * x - s1) * (n * x - s1)
+    rhs = F.lit(int(k * k)) * (n * s2 - s1 * s1)
+    return (
+        df.withColumn("_n", n)
+        .withColumn("_lhs", lhs)
+        .withColumn("_rhs", rhs)
+        .filter((F.col("_n") >= min_n) & (F.col("_lhs") > F.col("_rhs")))
+        .drop("_lhs", "_rhs")
+        .withColumnRenamed("_n", "n_in_group")
+    )

@@ -187,3 +187,33 @@ def test_duration_bucket_property_vs_python_reference(spark):
         assert got == sorted(py_bucket(v) for v in vals)
 
     check()
+
+
+def test_integer_zscore_outliers(spark):
+    """Planted anomaly: one far value per group is flagged; tight
+    groups and small groups are not; agrees with a float z-score
+    reference on the same data."""
+    import statistics
+
+    rows = (
+        [(i, "u1", 100) for i in range(9)] + [(9, "u1", 100000)]   # clear outlier
+        + [(i + 10, "u2", 100 + i) for i in range(10)]             # tight: none
+        + [(20, "u3", 1), (21, "u3", 1000000)]                     # n<3: never
+    )
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value_cents long")
+    got = {
+        r.event_id for r in A.integer_zscore_outliers(
+            df, "user_id", "value_cents", k=2, min_n=3
+        ).collect()
+    }
+    assert got == {9}
+
+    # float reference agreement on the u1/u2 groups
+    for uid in ("u1", "u2"):
+        vals = [v for (_, u, v) in rows if u == uid]
+        mu = statistics.fmean(vals)
+        sd = statistics.pstdev(vals)
+        want = {
+            eid for (eid, u, v) in rows if u == uid and abs(v - mu) > 2 * sd
+        }
+        assert {e for e in got if any(x[0] == e and x[1] == uid for x in rows)} == want
