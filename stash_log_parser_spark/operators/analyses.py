@@ -419,23 +419,34 @@ def integer_zscore_outliers(
 
     With integer values x (cents), group sums S1 = Σx, S2 = Σx² and
     count n, the test |x − mean| > k·σ_pop is equivalent to
-    ``(n·x − S1)² > k² · (n·S2 − S1²)`` — every term an int64, so
-    there is no float in the whole operator and a SQL twin agrees
+    ``(n·x − S1)² > k² · (n·S2 − S1²)`` — every term an exact integer,
+    so there is no float in the whole operator and a SQL twin agrees
     bit-for-bit (unlike stddev/variance, whose float accumulation
-    order differs per engine). Bounds: |n·x| and n·S2 must fit int64 —
-    holds for n ≲ 10^5 groups of ~10^6-cent values; at larger groups
-    promote to DECIMAL(38) the same way.
+    order differs per engine). The squared terms reach (n·V)² for
+    group size n and magnitude V — far past int64 for realistic
+    telemetry (n=10^5, V=10^6 → 10^22) — so the comparison runs in
+    DECIMAL(38,0) on the Spark side, matching DuckDB's automatic
+    HUGEINT (int128) window sums: exact to 10^38, i.e. n·V ≤ 10^19.
+    ``k`` must be an integer (k² must stay exact; pre-scale the values
+    for fractional thresholds).
 
     One window pass per group key (a single hash shuffle on the key);
     groups smaller than ``min_n`` are never flagged. Returns the
     outlier rows with their group stats."""
+    if k != int(k):
+        raise ValueError(
+            f"k must be an integer (got {k!r}): k² must stay exact for the "
+            "integer comparison — scale value_cents instead for fractional σ"
+        )
+    dec = "decimal(38,0)"
     x = F.col(value_cents_col).cast("long")
     w = Window.partitionBy(key_col)
     n = F.count("*").over(w)
     s1 = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
-    lhs = (n * x - s1) * (n * x - s1)
-    rhs = F.lit(int(k * k)) * (n * s2 - s1 * s1)
+    s2 = F.sum(x.cast(dec) * x.cast(dec)).over(w)
+    nd, xd, s1d = n.cast(dec), x.cast(dec), s1.cast(dec)
+    lhs = (nd * xd - s1d) * (nd * xd - s1d)
+    rhs = F.lit(int(k) * int(k)).cast(dec) * (nd * s2 - s1d * s1d)
     return (
         df.withColumn("_n", n)
         .withColumn("_lhs", lhs)

@@ -217,3 +217,26 @@ def test_integer_zscore_outliers(spark):
             eid for (eid, u, v) in rows if u == uid and abs(v - mu) > 2 * sd
         }
         assert {e for e in got if any(x[0] == e and x[1] == uid for x in rows)} == want
+
+
+def test_integer_zscore_outliers_no_int64_overflow(spark):
+    """Magnitudes whose squared terms exceed int64 (S1² ≈ 10^22) —
+    the decimal(38,0) comparison must stay exact where raw long
+    arithmetic would silently wrap."""
+    import statistics
+
+    rows = [(i, "u", 100_000_000 + i) for i in range(999)] + [(999, "u", 150_000_000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value_cents long")
+    got = {
+        r.event_id
+        for r in A.integer_zscore_outliers(df, "user_id", "value_cents", k=2).collect()
+    }
+    vals = [v for (_, _, v) in rows]
+    mu, sd = statistics.fmean(vals), statistics.pstdev(vals)
+    want = {eid for (eid, _, v) in rows if abs(v - mu) > 2 * sd}
+    assert got == want == {999}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be an integer"):
+        A.integer_zscore_outliers(df, "user_id", "value_cents", k=1.5)
