@@ -168,3 +168,18 @@ def test_text_queries_prune_scan_columns(spark):
         for s in schemas:
             got = {c.split(":")[0] for c in s.split(",") if c}
             assert got <= cols, (name, got)
+
+
+def test_round6_equals_floor_scale_reference_on_boundaries(spark):
+    """round6 must agree with the pure-python floor-scale fold on the
+    exact .xxxxxx5 boundary values that broke engine-round parity
+    (multiples of 0.25e-6 plus the measured sf0.1 case)."""
+    import math
+
+    vals = [i * 0.25e-6 for i in range(0, 40_000, 37)] + [
+        0.8762625, 0.0000005, 0.9999995, 0.1250005, 1.0,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r.i: r.q for r in df.select("i", TS.round6(F.col("v")).alias("q")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == math.floor(v * 1e6 + 0.5) / 1e6, (i, v, got[i])
