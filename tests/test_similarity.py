@@ -90,6 +90,43 @@ def test_near_dup_pairs_on_planted_duplicates(spark, emb):
     )
 
 
+def test_near_dup_bucket_cap_prevents_quadratic_join(spark, emb):
+    """Round-3 verdict fix: a hot LSH cell (here: 50 identical vectors)
+    is dropped from the banded self-join AND audited, never silently
+    quadratic. Identical vectors share one bucket per table → with
+    tables=3 and max_bucket=10, exactly 3 capped buckets of 50."""
+    one = emb.limit(1).select("embedding")
+    dups = spark.range(50).crossJoin(one).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    metrics: dict = {}
+    n = S.embedding_near_dup_pairs(
+        dups, cosine_threshold=0.95, n_planes=10, max_bucket=10,
+        cap_metrics=metrics,
+    ).count()
+    assert n == 0
+    assert metrics == {"n_capped_buckets": 3, "n_capped_entries": 3 * 50}
+    metrics_ok: dict = {}
+    n_ok = S.embedding_near_dup_pairs(
+        dups, cosine_threshold=0.95, n_planes=10, max_bucket=100,
+        cap_metrics=metrics_ok,
+    ).count()
+    assert n_ok == 50 * 49 / 2
+    assert metrics_ok == {"n_capped_buckets": 0, "n_capped_entries": 0}
+
+
+def test_auto_n_planes_scales_with_corpus():
+    """Key space grows with the corpus: ~8 expected entries per bucket,
+    floored at 10 planes for small inputs."""
+    assert S.auto_n_planes(50) == 10
+    assert S.auto_n_planes(6_000) == 10
+    assert S.auto_n_planes(1_000_000) == 17
+    assert S.auto_n_planes(10**12) == 37
+    # monotone non-decreasing over decades
+    vals = [S.auto_n_planes(10**k) for k in range(1, 13)]
+    assert vals == sorted(vals)
+
+
 def test_lsh_bucket_determinism(emb):
     a = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
     b = S.with_lsh_buckets(emb.limit(20)).select("vec_id", "table", "bucket").collect()
