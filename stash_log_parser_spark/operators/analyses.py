@@ -442,9 +442,12 @@ def integer_zscore_outliers(
     x = F.col(value_cents_col).cast("long")
     w = Window.partitionBy(key_col)
     n = F.count("*").over(w)
-    s1 = F.sum(x).over(w)
+    # S1 accumulates in decimal too: a LongType sum silently wraps past
+    # 2^63−1 (~9.2e18) while the docstring promises exactness to
+    # n·V ≤ 10^19 (round-3 advice); S2 was already decimal.
+    s1d = F.sum(x.cast(dec)).over(w)
     s2 = F.sum(x.cast(dec) * x.cast(dec)).over(w)
-    nd, xd, s1d = n.cast(dec), x.cast(dec), s1.cast(dec)
+    nd, xd = n.cast(dec), x.cast(dec)
     lhs = (nd * xd - s1d) * (nd * xd - s1d)
     rhs = F.lit(int(k) * int(k)).cast(dec) * (nd * s2 - s1d * s1d)
     return (

@@ -362,7 +362,7 @@ def run_pipeline(
         df = df.filter(F.col("day").isin(days))
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        catalog.write_partitions(df, name)
+        catalog.write_partitions(df, name, days=days)
         batch_rows = int(obs.get["rows"])
         # lineage carries TRUE per-day counts: a groupBy(day) over the
         # freshly written, day-partitioned sink is footer-metadata work

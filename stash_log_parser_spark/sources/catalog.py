@@ -22,6 +22,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# reserved batch id for batch-pipeline writes into a sink that already
+# carries the streaming batch=<id>/day=<d> layout (see write_partitions)
+BACKFILL_BATCH_ID = -1
+
 LINEAGE_SCHEMA = "sink string, day string, rows long, run_id string, seq long"
 
 
@@ -43,16 +47,58 @@ class SinkCatalog:
     def _path(self, sink: str) -> str:
         return f"{self.base}/{sink}"
 
-    def write_partitions(self, df: DataFrame, sink: str, partition_col: str = "day") -> None:
-        """Overwrite exactly the day-partitions present in ``df``."""
+    def _has_batch_layout(self, sink: str) -> bool:
+        """True when a sink already carries the streaming-ingest
+        ``batch=<id>/day=<d>`` two-level layout."""
+        p = self._path(sink)
+        return (
+            not self.use_iceberg
+            and os.path.isdir(p)
+            and any(n.startswith("batch=") for n in os.listdir(p))
+        )
+
+    def write_partitions(
+        self,
+        df: DataFrame,
+        sink: str,
+        partition_col: str = "day",
+        days: list | None = None,
+    ) -> None:
+        """Overwrite exactly the day-partitions present in ``df``.
+
+        If the sink was previously written by streaming_ingest it is
+        partitioned ``batch=<id>/day=<d>``; writing a flat ``day=`` dir
+        next to those would leave parquet files at two partition depths
+        and the next read would fail with conflicting directory
+        structures (round-3 advice — hit when a batch run backfills the
+        purged order-sensitive days of a PARTIALLY batch-spanning
+        ingest, where other days' ``batch=`` dirs still hold data). Such
+        sinks are written under the reserved ``batch=-1`` backfill
+        partition instead, and — when the caller names the ``days`` it
+        is writing — any stale ``batch=N/day=D`` leftovers for those
+        days are dropped so the overwrite stays whole-day idempotent."""
         if self.use_iceberg:
             df.writeTo(f"{self.base}.{sink}").overwritePartitions()
-        else:
-            (
-                df.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(self._path(sink))
-            )
+            return
+        if self._has_batch_layout(sink):
+            self.write_batch_partitions(df, sink, BACKFILL_BATCH_ID, partition_col)
+            if days:
+                import shutil
+
+                root = self._path(sink)
+                for bdir in os.listdir(root):
+                    if bdir.startswith("batch=") and bdir != f"batch={BACKFILL_BATCH_ID}":
+                        for d in days:
+                            shutil.rmtree(
+                                os.path.join(root, bdir, f"{partition_col}={d}"),
+                                ignore_errors=True,
+                            )
+            return
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(self._path(sink))
+        )
 
     def write_batch_partitions(
         self, df: DataFrame, sink: str, batch_id: int, partition_col: str = "day"
@@ -162,8 +208,19 @@ class SinkCatalog:
             out[day] = (len(old_files), n_new)
         return out
 
-    def recover_compactions(self, sink: str, partition_col: str = "day") -> dict:
+    def recover_compactions(self, sink: str, partition_col: str | None = None) -> dict:
         """Repair partially-applied :meth:`compact_partitions` swaps.
+
+        Scans for the generic ``.compact-aside-`` / ``.compact-stage-``
+        prefixes and parses the ``<col>=<val>`` suffix from each dir
+        name, so a crash during a compaction run with ANY partition
+        column is repaired by every subsequent :meth:`read` — not only
+        by a maintenance call that happens to pass the same column
+        (round-3 advice: the old form took the column as an argument and
+        defaulted to ``day``, leaving e.g. an ``hour=``-compacted sink's
+        partition invisible until someone guessed the right column).
+        ``partition_col`` is accepted for backward compatibility and
+        ignored.
 
         Crash windows and their repairs (all idempotent):
         * after the staging write, before the aside rename → live dir
@@ -172,39 +229,39 @@ class SinkCatalog:
           completed (``_SUCCESS``), finish the swap; else restore the
           aside;
         * after the swap, before the aside delete → drop the aside.
-        Returns {day: action}."""
+        Returns {"<col>=<val>": action}."""
         import shutil
 
         path = self._path(sink)
         if not os.path.isdir(path):
             return {}
         actions: dict[str, str] = {}
-        stage_pre = f".compact-stage-{partition_col}="
-        aside_pre = f".compact-aside-{partition_col}="
+        stage_pre = ".compact-stage-"
+        aside_pre = ".compact-aside-"
         for name in sorted(os.listdir(path)):
-            if not name.startswith(aside_pre):
+            if not name.startswith(aside_pre) or "=" not in name:
                 continue
-            day = name[len(aside_pre):]
-            day_dir = os.path.join(path, f"{partition_col}={day}")
-            staging = os.path.join(path, f".compact-stage-{partition_col}={day}")
+            part = name[len(aside_pre):]  # "<col>=<val>"
+            part_dir = os.path.join(path, part)
+            staging = os.path.join(path, stage_pre + part)
             aside = os.path.join(path, name)
-            if os.path.isdir(day_dir):
+            if os.path.isdir(part_dir):
                 shutil.rmtree(aside)
-                actions[day] = "finished_swap"
+                actions[part] = "finished_swap"
             elif os.path.exists(os.path.join(staging, "_SUCCESS")):
-                os.rename(staging, day_dir)
+                os.rename(staging, part_dir)
                 shutil.rmtree(aside)
-                actions[day] = "completed_swap"
+                actions[part] = "completed_swap"
             else:
-                os.rename(aside, day_dir)
+                os.rename(aside, part_dir)
                 shutil.rmtree(staging, ignore_errors=True)
-                actions[day] = "restored_original"
+                actions[part] = "restored_original"
         for name in sorted(os.listdir(path)):
-            if name.startswith(stage_pre):
-                day = name[len(stage_pre):]
-                if os.path.isdir(os.path.join(path, f"{partition_col}={day}")):
+            if name.startswith(stage_pre) and "=" in name:
+                part = name[len(stage_pre):]
+                if os.path.isdir(os.path.join(path, part)):
                     shutil.rmtree(os.path.join(path, name))
-                    actions.setdefault(day, "dropped_stale_staging")
+                    actions.setdefault(part, "dropped_stale_staging")
         return actions
 
     def read_bucketed(self, sink: str) -> DataFrame:
@@ -252,14 +309,23 @@ class SinkCatalog:
             tbl = f"{self.base}._lineage"
             if not self.spark.catalog.tableExists(tbl):
                 return set()
-            rows = (
+            recs = (
                 self.spark.read.table(tbl)
-                .filter(~F.col("run_id").startswith("retracted:"))
-                .select("sink", "day")
+                .select("sink", "day", "run_id")
                 .distinct()
                 .collect()
             )
-            return {(r.sink, r.day) for r in rows}
+            rows = [(r.sink, r.day, str(r.run_id)) for r in recs]
+            retracted = {
+                (s, d, r[len("retracted:"):])
+                for s, d, r in rows
+                if r.startswith("retracted:")
+            }
+            return {
+                (s, d)
+                for s, d, r in rows
+                if not r.startswith("retracted:") and (s, d, r) not in retracted
+            }
         path = self._path("_lineage")
         if not os.path.isdir(path):
             return set()
@@ -268,14 +334,28 @@ class SinkCatalog:
         t = ds.dataset(path, format="parquet").to_table(
             columns=["sink", "day", "run_id"]
         )
-        return {
-            (s, d)
-            for s, d, r in zip(
+        rows = list(
+            zip(
                 t.column("sink").to_pylist(),
                 t.column("day").to_pylist(),
-                t.column("run_id").to_pylist(),
+                (str(r) for r in t.column("run_id").to_pylist()),
             )
-            if not str(r).startswith("retracted:")
+        )
+        # A retraction SUPERSEDES its original even if the original row
+        # is still on disk: retract() writes the rewritten log before
+        # deleting the old files, so a crash in between leaves both the
+        # (sink, day, run_id) original and its "retracted:"+run_id twin.
+        # Without this rule that crash window was PERMANENT (round-3
+        # advice): the full-key lineage dedup keeps both rows forever and
+        # the purged day counted as committed, re-enabling the
+        # silent-skip-on-backfill bug retraction exists to prevent.
+        retracted = {
+            (s, d, r[len("retracted:"):]) for s, d, r in rows if r.startswith("retracted:")
+        }
+        return {
+            (s, d)
+            for s, d, r in rows
+            if not r.startswith("retracted:") and (s, d, r) not in retracted
         }
 
     def retract(self, pairs: set[tuple[str, str]]) -> int:
@@ -401,6 +481,28 @@ class SinkCatalog:
             .group_by(["sink", "day", "rows", "run_id", "seq"])
             .aggregate([])
         )
+        # drop originals superseded by a retracted twin (the leftover of
+        # a crash inside retract()'s write-then-delete window) so the
+        # inconsistency heals permanently instead of relying on every
+        # reader to re-apply the supersede rule
+        runs = [str(r) for r in t.column("run_id").to_pylist()]
+        sinks_l = t.column("sink").to_pylist()
+        days_l = t.column("day").to_pylist()
+        retracted = {
+            (s, d, r[len("retracted:"):])
+            for s, d, r in zip(sinks_l, days_l, runs)
+            if r.startswith("retracted:")
+        }
+        if retracted:
+            import pyarrow as pa
+
+            mask = pa.array(
+                [
+                    r.startswith("retracted:") or (s, d, r) not in retracted
+                    for s, d, r in zip(sinks_l, days_l, runs)
+                ]
+            )
+            t = t.filter(mask)
         pq.write_table(
             t, os.path.join(path, f"commit-compact-{uuid.uuid4().hex}.parquet")
         )

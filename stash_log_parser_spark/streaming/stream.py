@@ -241,6 +241,7 @@ def streaming_ingest(
     checkpoint: str,
     sinks: dict | None = None,
     max_files_per_trigger: int | None = None,
+    backfill: bool = True,
 ) -> dict:
     """Route a STREAM of tokenized sequences into the same per-analysis
     sinks as plans/routing.run_pipeline, via foreachBatch.
@@ -424,4 +425,22 @@ def streaming_ingest(
     # a long-lived stream appends lineage every batch
     if not catalog.use_iceberg:
         progress["lineage_compaction"] = catalog.compact_lineage(max_files=512)
+    # Auto-backfill (round-3 verdict item): the guard purged + RETRACTED
+    # every order-sensitive (sink, day) that spanned micro-batches, so a
+    # batch-pipeline pass over the same input sees exactly those pairs as
+    # pending and rebuilds them with whole-day (order-exact) semantics.
+    # Scoped to the affected sinks — additive sinks stay committed and
+    # are skipped by lineage. After this, a misaligned ingest ends
+    # sink-for-sink equal to the batch pipeline on ALL sinks, not just
+    # the additive ones. Writes into the streaming batch= layout nest
+    # under the reserved batch=-1 partition (SinkCatalog.write_partitions).
+    if backfill and progress["order_sensitive_skipped"]:
+        from ..plans.routing import run_pipeline
+
+        affected = {
+            n: sinks[n] for n in sorted(progress["order_sensitive_skipped"])
+        }
+        progress["backfill"] = run_pipeline(
+            spark, input_dir, output, run_id="stream-backfill", sinks=affected
+        )
     return progress

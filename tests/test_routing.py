@@ -410,7 +410,7 @@ def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
     shutil.copytree(day_dir, staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
     acts = cat.recover_compactions("s")
-    assert acts == {"2012-09-08": "dropped_stale_staging"}
+    assert acts == {"day=2012-09-08": "dropped_stale_staging"}
     assert not os.path.exists(staging) and rows() == truth
 
     # window 2: crash between the two renames, staging complete —
@@ -419,7 +419,7 @@ def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
     shutil.copytree(day_dir, staging)
     open(os.path.join(staging, "_SUCCESS"), "w").close()
     os.rename(day_dir, aside)
-    assert cat.recover_compactions("s") == {"2012-09-08": "completed_swap"}
+    assert cat.recover_compactions("s") == {"day=2012-09-08": "completed_swap"}
     assert rows() == truth and not os.path.exists(aside)
     os.remove(os.path.join(day_dir, "_SUCCESS"))  # swap artifact, not data
 
@@ -427,12 +427,12 @@ def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
     # (no _SUCCESS marker) — recovery restores the original.
     shutil.copytree(day_dir, staging)
     os.rename(day_dir, aside)
-    assert cat.recover_compactions("s") == {"2012-09-08": "restored_original"}
+    assert cat.recover_compactions("s") == {"day=2012-09-08": "restored_original"}
     assert rows() == truth and not os.path.exists(staging)
 
     # window 4: crash after the swap, before the aside delete.
     shutil.copytree(day_dir, aside)
-    assert cat.recover_compactions("s") == {"2012-09-08": "finished_swap"}
+    assert cat.recover_compactions("s") == {"day=2012-09-08": "finished_swap"}
     assert rows() == truth and not os.path.exists(aside)
 
     # and compact_partitions itself self-heals stale state, then
@@ -442,6 +442,33 @@ def test_compaction_crash_windows_never_double_rows(spark, tmp_path):
     assert rows() == truth
     assert report == {"2012-09-08": (6, 1)}
     assert not os.path.exists(staging) and not os.path.exists(aside)
+
+
+def test_compaction_recovery_is_partition_col_generic(spark, tmp_path):
+    """Round-3 advice: a crash while compacting a sink partitioned on a
+    NON-default column must be repaired by the very next plain
+    catalog.read() — which passes no column — not only by a maintenance
+    call that happens to guess the right one. recover_compactions now
+    parses <col>=<val> from the aside/stage dir names."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "sinks")
+    cat = SinkCatalog(spark, out)
+    df = spark.range(40).selectExpr("id", "'07' AS hour")
+    cat.write_partitions(df.repartition(4), "h", partition_col="hour")
+    truth = sorted(r.id for r in cat.read("h").collect())
+    root = f"{out}/h"
+    part_dir = os.path.join(root, "hour=07")
+    staging = os.path.join(root, ".compact-stage-hour=07")
+    aside = os.path.join(root, ".compact-aside-hour=07")
+    # crash between the two renames, staging complete → the partition
+    # is currently invisible (only the dot-prefixed aside holds it)
+    shutil.copytree(part_dir, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.rename(part_dir, aside)
+    assert sorted(r.id for r in cat.read("h").collect()) == truth  # plain read repairs
+    assert os.path.isdir(part_dir) and not os.path.exists(aside)
 
 
 def test_lineage_self_compaction(spark, tmp_path):

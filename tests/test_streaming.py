@@ -307,7 +307,8 @@ def test_streaming_ingest_guards_order_sensitive_sinks(spark, day_aligned_dir, t
     with W.catch_warnings(record=True) as caught:
         W.simplefilter("always")
         prog = streaming_ingest(
-            spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1
+            spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1,
+            backfill=False,
         )
     assert any("span micro-batches" in str(w.message) for w in caught)
     # every day hit the guard in at least one sink
@@ -351,6 +352,105 @@ def test_streaming_ingest_guards_order_sensitive_sinks(spark, day_aligned_dir, t
         assert rollup(sout, name) == rollup(bout, name), name
 
 
+def test_auto_backfill_on_partially_spanning_days(spark, day_aligned_dir, tmp_path):
+    """Partial mix (round-3 advice + verdict item): ONE day spans two
+    micro-batches while the other days are batch-aligned. The guard
+    purges only the spanning day; the surviving days keep their data
+    under batch=N/day=D. The automatic post-drain backfill must then
+    (a) write the purged day under the streaming layout's reserved
+    batch=-1 partition — a flat day= dir next to batch= dirs would make
+    every subsequent read fail with conflicting partition depths — and
+    (b) leave EVERY sink, order-sensitive included, sink-for-sink equal
+    to the uninterrupted batch pipeline after the per-batch rollup."""
+    import os
+
+    from stash_log_parser_spark.plans.routing import SINKS, run_pipeline
+    from stash_log_parser_spark.sources.catalog import SinkCatalog
+    from stash_log_parser_spark.streaming.stream import (
+        ORDER_SENSITIVE_SINKS,
+        streaming_ingest,
+    )
+
+    df = spark.read.parquet(day_aligned_dir)
+    days = sorted(
+        r.d
+        for r in df.select(
+            F.regexp_extract("source", r"(\d{4}-\d{2}-\d{2})", 1).alias("d")
+        ).distinct().collect()
+    )
+    split_day, aligned_days = days[0], days[1:]
+    src = str(tmp_path / "partial")
+    part = df.filter(F.col("source").contains(split_day))
+    for half in (0, 1):  # the split day spans two single-file batches
+        (
+            part.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    for day in aligned_days:  # the others stay batch-aligned
+        df.filter(F.col("source").contains(day)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sout = str(tmp_path / "sinks")
+    prog = streaming_ingest(
+        spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1
+    )
+    assert prog["order_sensitive_skipped"] == {
+        n: [split_day] for n in sorted(ORDER_SENSITIVE_SINKS)
+    }
+    assert prog["backfill"]["sinks"].keys() == ORDER_SENSITIVE_SINKS
+    # the backfill landed under batch=-1, next to the surviving batch dirs
+    for name in ORDER_SENSITIVE_SINKS:
+        root = os.path.join(sout, name)
+        assert os.path.isdir(os.path.join(root, "batch=-1", f"day={split_day}"))
+        assert any(
+            b.startswith("batch=") and b != "batch=-1" for b in os.listdir(root)
+        )
+    # lineage: the purged day is committed again (by the backfill run)
+    committed = SinkCatalog(spark, sout).committed()
+    for n in ORDER_SENSITIVE_SINKS:
+        assert (n, split_day) in committed
+
+    bout = str(tmp_path / "batch_twin")
+    run_pipeline(spark, day_aligned_dir, bout, run_id="twin")
+    for name in SINKS:
+        if name in (
+            "metrics", "protocol_counts_daily", "repository_stats_daily",
+            "git_operations", "protocol_by_hour", "duration_hist_daily",
+        ):
+            # additive partials: roll up across batch before comparing
+            sdf = spark.read.parquet(f"{sout}/{name}").drop("batch")
+            keys = [
+                c for c, t in sdf.dtypes
+                if t == "string" or c in ("day", "hour", "bucket")
+            ]
+            nums = [c for c in sdf.columns if c not in keys]
+            agg = sdf.groupBy(*keys).agg(
+                *[F.sum(c).cast("long").alias(c) for c in nums]
+            )
+            got = sorted(
+                tuple(str(v) for v in r)
+                for r in agg.select(*sorted(agg.columns)).collect()
+            )
+            bdf = spark.read.parquet(f"{bout}/{name}")
+            bagg = bdf.groupBy(*keys).agg(
+                *[F.sum(c).cast("long").alias(c) for c in nums]
+            )
+            want = sorted(
+                tuple(str(v) for v in r)
+                for r in bagg.select(*sorted(bagg.columns)).collect()
+            )
+        else:
+            # request_durations rows union directly; the order-sensitive
+            # sinks hold whole-day rows (one writer per day: a single
+            # batch or the backfill) so they compare exactly too
+            got = _sink_rows(spark, sout, name)
+            want = _sink_rows(spark, bout, name)
+        assert got == want, name
+
+
 def test_purged_days_are_retracted_and_backfillable(spark, day_aligned_dir, tmp_path):
     """After the guard purges an order-sensitive sink's spanning days,
     the lineage rows are RETRACTED: committed() no longer claims them,
@@ -375,7 +475,10 @@ def test_purged_days_are_retracted_and_backfillable(spark, day_aligned_dir, tmp_
             .parquet(src)
         )
     sout = str(tmp_path / "sinks")
-    streaming_ingest(spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1)
+    streaming_ingest(
+        spark, src, sout, str(tmp_path / "cp"), max_files_per_trigger=1,
+        backfill=False,
+    )
     cat = SinkCatalog(spark, sout)
     committed = cat.committed()
     assert not any(s in ORDER_SENSITIVE_SINKS for s, _ in committed)
