@@ -60,30 +60,85 @@ def fake_decoder(payload: bytes) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
 
 
-def real_decoder(payload: bytes, kind: str):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "media decode requires PIL (image) / soundfile (audio) / av (video); "
-        "not available in this environment — wire it here."
-    )
+def probe_real_decoder():
+    """Runtime probe for a real image decoder (round-3 verdict item): if
+    PIL is importable, return a callable decoding an image payload into
+    the same 16-dim feature shape (4×4 grayscale thumbnail, [0,1]);
+    otherwise return None. Called lazily INSIDE the Arrow stage, so on a
+    real cluster whose executors ship Pillow the stub self-upgrades with
+    no code change; in this container (no media libs) it returns None
+    and the deterministic fake stays in force."""
+    try:
+        import io  # noqa: F401
+
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def _decode(payload: bytes, kind: str) -> np.ndarray:
+        if kind != "image":
+            raise NotImplementedError(
+                f"real decode for kind={kind!r} requires soundfile (audio) / "
+                "av (video); only PIL was found"
+            )
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return (np.asarray(img, dtype=np.float32) / 255.0).reshape(FEATURE_DIM)
+
+    return _decode
+
+
+def real_decoder(payload: bytes, kind: str):
+    """Decode with the probed real library; raises if none is present."""
+    d = probe_real_decoder()
+    if d is None:
+        raise NotImplementedError(
+            "media decode requires PIL (image) / soundfile (audio) / av "
+            "(video); none importable in this environment — install Pillow "
+            "on the executors and probe_real_decoder() picks it up."
+        )
+    return d(payload, kind)
 
 
 def extract_features(
-    media: DataFrame, thumb: tuple[int, int] = (32, 32), use_real_decoder: bool = False
+    media: DataFrame,
+    thumb: tuple[int, int] = (32, 32),
+    use_real_decoder: bool | str = "auto",
 ) -> DataFrame:
     """Decode + featurize + 'resize' each payload, Arrow-batched.
 
     The payload column is consumed here and NOT carried forward — features
     leave the heavy bytes behind before any shuffle.
-    """
+
+    ``use_real_decoder``: ``"auto"`` (default) probes for PIL inside the
+    stage and uses it when importable, falling back to the deterministic
+    fake per-row when the payload doesn't decode (a corrupt image at
+    10^12-row scale must not kill the job) and everywhere the library is
+    absent; ``False`` pins the fake (the oracle-golden path — its output
+    never depends on what's installed); ``True`` forces the real decoder
+    and raises where it's missing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = None
+        if use_real_decoder == "auto":
+            decoder = probe_real_decoder()
         for pdf in batches:
             feats, nbytes = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
-                if use_real_decoder:
-                    real_decoder(b, kind)  # raises NotImplementedError
+                if use_real_decoder is True:
+                    feats.append(np.asarray(real_decoder(b, kind), dtype=np.float32))
+                    continue
+                if decoder is not None:
+                    try:
+                        feats.append(np.asarray(decoder(b, kind), dtype=np.float32))
+                        continue
+                    except Exception:
+                        pass  # corrupt/undecodable payload → deterministic fake
                 feats.append(fake_decoder(b))
             yield pd.DataFrame(
                 {

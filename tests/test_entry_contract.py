@@ -57,6 +57,20 @@ def test_query_matches_oracle(spark, duck, name):
     assert sr == orr
 
 
+@pytest.mark.parametrize(
+    "name", ["tpch_shipping_priority", "tpch_top_customers", "tpch_local_supplier_volume"]
+)
+def test_aqe_broadcasts_unhinted_fact_side_joins(spark, name):
+    """Round-3 verdict: customer/supplier are fact-proportional, so their
+    joins carry NO broadcast hint (a forced broadcast OOMs at 100×).
+    This pins the flip side: at test scale AQE still picks a broadcast
+    join on its own, so dropping the hints costs nothing locally."""
+    df = E.queries()[name](spark, SF)
+    df.collect()  # run so AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
 def test_rows_only_queries_execute(spark):
     for name in sorted(set(E.queries()) - set(E.oracle_sql())):
         df = E.queries()[name](spark, SF)

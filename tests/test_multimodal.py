@@ -33,6 +33,55 @@ def test_fake_decoder_deterministic(media):
     assert np.allclose(a["m00000"], expect, atol=1e-6)
 
 
+def test_auto_probe_falls_back_to_fake_without_pil(media):
+    """Default 'auto' mode: with no PIL in the container the probe
+    returns None and output equals the pinned fake-decoder path, so the
+    committed golden is decoder-environment-independent here."""
+    assert M.probe_real_decoder() is None  # no media libs in this sandbox
+    auto = {r.media_id: tuple(r.feature) for r in M.extract_features(media).collect()}
+    fake = {
+        r.media_id: tuple(r.feature)
+        for r in M.extract_features(media, use_real_decoder=False).collect()
+    }
+    assert auto == fake
+
+
+def test_probe_uses_pil_when_importable():
+    """Driver-side unit check of the self-upgrade path: inject a minimal
+    fake PIL and the probe returns a working image decoder (4×4 grayscale
+    → 16-dim [0,1] feature) that still refuses non-image kinds."""
+    import sys
+    import types
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (4, 4)
+            return np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda bio: _FakeImg()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    sys.modules["PIL"] = pil_mod
+    sys.modules["PIL.Image"] = image_mod
+    try:
+        d = M.probe_real_decoder()
+        assert d is not None
+        out = d(b"\x89PNG...", "image")
+        assert out.shape == (16,)
+        assert np.allclose(out, np.arange(16, dtype=np.float32) / 255.0)
+        with pytest.raises(NotImplementedError):
+            d(b"", "audio")
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
+    assert M.probe_real_decoder() is None  # probe is stateless
+
+
 def test_real_decoder_is_explicit_stub(media):
     with pytest.raises(Exception) as e:
         M.extract_features(media, use_real_decoder=True).collect()
