@@ -471,6 +471,42 @@ def test_compaction_recovery_is_partition_col_generic(spark, tmp_path):
     assert os.path.isdir(part_dir) and not os.path.exists(aside)
 
 
+def test_retract_crash_window_is_superseded_not_permanent(spark, tmp_path):
+    """Round-3 advice: retract() writes the rewritten log BEFORE deleting
+    the old files. If it crashes in between, the surviving original row
+    and its 'retracted:'-run_id twin coexist — committed() must treat the
+    retraction as superseding the original (else the purged day counts as
+    committed and a backfill silently skips it forever), and
+    compact_lineage must drop the stale original so the log heals."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "sinks")
+    cat = SinkCatalog(spark, out)
+    cat.commit([("s", "2012-09-08", 10), ("s", "2012-09-09", 11)], run_id="r1")
+    lineage = f"{out}/_lineage"
+    pre = [f for f in os.listdir(lineage) if f.endswith(".parquet")]
+    # snapshot the pre-retract files, retract, then put the old files
+    # back — exactly the state a crash between write and delete leaves
+    for f in pre:
+        shutil.copy(os.path.join(lineage, f), os.path.join(lineage, f) + ".bak")
+    assert cat.retract({("s", "2012-09-08")}) == 1
+    for f in pre:
+        os.rename(os.path.join(lineage, f) + ".bak", os.path.join(lineage, f))
+    # both the original and the retracted twin are now on disk...
+    runs = sorted(r.run_id for r in cat.read("_lineage").collect())
+    assert "r1" in runs and "retracted:r1" in runs
+    # ...but the retraction supersedes: the day is NOT committed
+    assert cat.committed() == {("s", "2012-09-09")}
+    # and compaction permanently removes the stale original
+    rep = cat.compact_lineage(max_files=0)
+    assert rep["files_after"] == 1
+    rows = [(r.sink, r.day, r.run_id) for r in cat.read("_lineage").collect()]
+    assert ("s", "2012-09-08", "r1") not in rows
+    assert ("s", "2012-09-08", "retracted:r1") in rows  # guard stays armed
+    assert cat.committed() == {("s", "2012-09-09")}
+
+
 def test_lineage_self_compaction(spark, tmp_path):
     """100 incremental commits fold into one lineage file with
     identical committed()/row contents; a crash-duplicated compact file
