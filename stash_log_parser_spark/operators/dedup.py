@@ -479,3 +479,32 @@ def simhash_near_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_dedup(
+    new_docs: DataFrame, ref_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Keep only the ``new_docs`` whose text does NOT already appear in
+    ``ref_docs`` — the incremental-crawl shape (dedupe tonight's crawl
+    against the corpus you already trained on) that pairwise dedup
+    can't express.
+
+    Shape: the reference side collapses to DISTINCT 16-byte md5 keys
+    (map-side partial agg — duplicate-heavy references shrink before
+    the shuffle), then a LEFT ANTI hash join keyed on the hash. The
+    text payload crosses the anti-join only on the new side and only as
+    join *value*; the reference's 100 TB of text never moves — just its
+    hash set. At 10^12-doc scale, land both sides bucketed by the hash
+    (sources/catalog.write_bucketed) and the anti-join is exchange-free;
+    a bloom filter on the reference hashes can pre-drop obvious
+    non-members executor-side before the join."""
+    h = F.md5(F.col(text_col))
+    ref_hashes = ref_docs.select(h.alias("_rh")).distinct()
+    return new_docs.join(
+        ref_hashes, h == F.col("_rh"), "left_anti"
+    )

@@ -296,3 +296,73 @@ def _fingerprint_arrow(narrowed: DataFrame) -> DataFrame:
             )
 
     return narrowed.mapInArrow(fold, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and repetition scoring
+# ---------------------------------------------------------------------------
+
+# Scrub patterns, applied IN THIS ORDER (email before url so an address
+# inside a query string is already gone when the url collapses; order is
+# part of the cross-engine contract and the SQL twin mirrors it). The
+# regex subset used (classes, +, {m,}, \b, \d) means the same thing to
+# Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / phone-shaped tokens and count each kind —
+    the pre-training privacy pass every large text corpus needs.
+
+    Pure Catalyst (regexp_count + chained regexp_replace): one
+    projection, no shuffle, embarrassingly parallel at any scale; the
+    scan reads only (doc_id, text). Counts are taken on the ORIGINAL
+    text (before any replacement) so they are order-independent even
+    where patterns could overlap."""
+    col = F.col(text_col)
+    out = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        col.alias("_t"),
+    )
+    clean = F.col("_t")
+    for _, pat, rep in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return out.select(
+        "doc_id", "n_email", "n_url", "n_phone", clean.alias("clean_text")
+    )
+
+
+def repetition_score(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Duplicate word-n-gram fraction per document (the Gopher-style
+    repetition quality signal: boilerplate and degenerate generations
+    repeat themselves; prose doesn't).
+
+    rep = 1 − distinct_ngrams / total_ngrams, quantized with round6 so
+    the SQL twin hashes identically. Single projection over the word
+    array (no explode, no shuffle): the n-gram list is built with
+    transform over an index sequence and deduplicated with
+    array_distinct — fine for document-sized arrays (the HOF runs
+    interpreted, but per-doc word counts are 10²-10³; the Arrow
+    alternative only wins on multi-MB docs, see fingerprint)."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.size(ws)
+    total = n_words - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_words - n),
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
+    )
+    rep = round6(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(total > 0, total).otherwise(F.lit(0)).alias("n_ngrams"),
+        F.when(total > 0, rep).otherwise(F.lit(0.0)).alias("rep_frac"),
+    )

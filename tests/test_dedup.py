@@ -198,3 +198,18 @@ def test_near_dup_clusters_diameter_beyond_default_bound(spark, tmp_path):
 def test_near_dup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert D.near_dup_clusters(pairs).count() == 0
+
+
+def test_cross_corpus_dedup(spark):
+    new = spark.createDataFrame(
+        [(1, "alpha"), (3, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(2, "beta"), (4, "delta"), (6, "beta")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in D.cross_corpus_dedup(new, ref).collect())
+    assert kept == [1, 5]  # 'beta' already in the reference corpus
+    # empty reference keeps everything; empty new keeps nothing
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.cross_corpus_dedup(new, empty).count() == 3
+    assert D.cross_corpus_dedup(empty, ref).count() == 0

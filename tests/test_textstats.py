@@ -183,3 +183,36 @@ def test_round6_equals_floor_scale_reference_on_boundaries(spark):
     got = {r.i: r.q for r in df.select("i", TS.round6(F.col("v")).alias("q")).collect()}
     for i, v in enumerate(vals):
         assert got[i] == math.floor(v * 1e6 + 0.5) / 1e6, (i, v, got[i])
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (1, "mail me at a.b+c@test-site.org or https://x.io/p?q=1 call 555-0110"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.de and z@w.co plus http://plain.example and 123-4567"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.pii_scrub(df).collect()}
+    assert (got[1].n_email, got[1].n_url, got[1].n_phone) == (1, 1, 1)
+    assert (got[2].n_email, got[2].n_url, got[2].n_phone) == (0, 0, 0)
+    assert (got[3].n_email, got[3].n_url, got[3].n_phone) == (2, 1, 1)
+    assert got[1].clean_text == "mail me at <EMAIL> or <URL> call <PHONE>"
+    assert got[3].clean_text == "two mails <EMAIL> and <EMAIL> plus <URL> and <PHONE>"
+    assert got[2].clean_text == "no pii here at all"
+    assert got[4].clean_text == ""
+
+
+def test_repetition_score_exact_values(spark):
+    rows = [
+        (1, "a b a b a b"),          # grams: aba bab aba bab -> 4 total 2 distinct
+        (2, "w x y z"),              # grams: wxy xyz -> all distinct
+        (3, "only two"),             # < 3 words -> no grams
+        (4, "r r r r r r r r"),      # 6 identical grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.repetition_score(df).collect()}
+    assert (got[1].n_words, got[1].n_ngrams, got[1].rep_frac) == (6, 4, 0.5)
+    assert (got[2].n_ngrams, got[2].rep_frac) == (2, 0.0)
+    assert (got[3].n_ngrams, got[3].rep_frac) == (0, 0.0)
+    assert (got[4].n_ngrams, got[4].rep_frac) == (6, pytest.approx(1 - 1 / 6, abs=1e-6))

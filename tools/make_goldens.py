@@ -41,7 +41,21 @@ def main() -> None:
         .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_sf001.parquet"))
     )
 
-    feats = extract_features(synth_media(spark, n=60, seed=42)).select(
+    from stash_log_parser_spark.operators.dedup import simhash_near_pairs
+
+    (
+        simhash_near_pairs(docs, max_hamming=8)
+        .orderBy("doc_a", "doc_b")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_pairs_sf001.parquet"))
+    )
+
+    # use_real_decoder=False: the golden must not depend on whether the
+    # generating machine has Pillow installed
+    feats = extract_features(
+        synth_media(spark, n=60, seed=42), use_real_decoder=False
+    ).select(
         "media_id",
         "kind",
         "n_bytes",
