@@ -229,6 +229,61 @@ def streaming_pair_requests(
     )
 
 
+def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateful streaming EXACT dedup: emit each distinct text once, on
+    first arrival, keyed GroupState over md5(text) — the
+    training-ingest shape (an unbounded crawl feed where tonight's
+    batch must not re-emit documents any earlier batch already kept;
+    batch dedup can't express 'first arrival wins across an unbounded
+    stream').
+
+    Per key and micro-batch the group's minimum doc_id is computed
+    pandas-side; if the key has state (seen in an earlier batch) the
+    group emits NOTHING, else it emits (text_hash, doc_id) and marks
+    the state. With doc_id-ordered input chunks the kept id equals the
+    batch keep-first answer (min doc_id per text), which is the oracle.
+
+    Scale: state is one boolean per distinct text, hash-partitioned by
+    the 16-byte key — memory-bounded by the distinct count, not the
+    stream length; at 10^12 docs use RocksDB state store and a
+    watermark-driven TTL if 'first in the last N days' is the wanted
+    semantics. NoTimeout here: the availableNow replay is finite.
+    Exception-free by design (a raising user function wedges the
+    stateful runner protocol — see streaming_pair_requests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("text_hash", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def keep_first(key, pdfs, state: GroupState):
+        mn = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                mn = m if mn is None or m < mn else mn
+        if state.exists or mn is None:
+            return iter(())
+        state.update((True,))
+        return iter([pd.DataFrame({"text_hash": [key[0]], "doc_id": [mn]})])
+
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id").cast("long")
+    )
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        keep_first,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest: the pipeline's streaming front door
 # ---------------------------------------------------------------------------

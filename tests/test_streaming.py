@@ -495,3 +495,44 @@ def test_purged_days_are_retracted_and_backfillable(spark, day_aligned_dir, tmp_
     run_pipeline(spark, day_aligned_dir, bout, run_id="twin")
     for name in ORDER_SENSITIVE_SINKS:
         assert _sink_rows(spark, sout, name) == _sink_rows(spark, bout, name), name
+
+
+def test_streaming_exact_dedup_suppresses_across_batches(spark, tmp_path):
+    """A re-crawled duplicate arriving BATCHES after its original must be
+    suppressed by keyed GroupState (in-batch grouping can't see it), and
+    an in-batch duplicate keeps the minimum doc_id."""
+    import os
+
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_exact_dedup,
+    )
+
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    c1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (7, "beta")], "doc_id long, text string"
+    )
+    c2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "beta")], "doc_id long, text string"
+    )
+    for i, c in enumerate((c1, c2), 1):
+        stage = str(tmp_path / f"stage{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"chunk-{i}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        os.utime(dst, (1_600_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_to_memory(streaming_exact_dedup(stream), "dd_test", output_mode="append")
+    got = {r.text_hash: r.doc_id for r in spark.table("dd_test").collect()}
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    # alpha kept from batch 1 (10 suppressed), beta kept min(2,7)=2
+    # (12 suppressed), gamma first seen in batch 2
+    assert got == {h("alpha"): 1, h("beta"): 2, h("gamma"): 11}
