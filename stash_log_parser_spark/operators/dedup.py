@@ -12,13 +12,17 @@ All variants are shuffle-conscious DataFrame compositions:
   O(n²); bucket width (bands × rows) tunes recall/cost.
 * SimHash: 64-bit signature from word-level xxhash64 bit votes —
   implemented as 64 conditional aggregates over the exploded words
-  (whole-stage codegen, no Python), near-dups via 16-bit chunk banding +
+  (whole-stage codegen, no Python), near-dups via chunk-PAIR banding
+  (C(c,2) two-slice keys — key space squares vs single slices) +
   hamming ≤ threshold.
 * n-gram Jaccard: exact pairwise similarity on candidate pairs only.
+* cross-corpus: LEFT ANTI join of new docs against the reference's
+  distinct md5 set (incremental-crawl dedup).
 
 At 10^12 docs: shingling/minhash are embarrassingly parallel; the only
-shuffles are the bucket join (bounded by bucket size — cap giant
-buckets, they're boilerplate/spam anyway) and the group-by on band keys.
+shuffles are the bucket join (bounded by the shared audited
+``apply_bucket_cap`` — degenerate buckets are boilerplate/spam anyway)
+and the group-by on band keys.
 """
 
 from __future__ import annotations
