@@ -122,6 +122,8 @@ def main() -> dict:
         "docs_exact_dedup",
         "docs_minhash_lsh_pairs",
         "docs_simhash",
+        "docs_simhash_pairs",
+        "docs_pii_scrub",
         "emb_knn_bruteforce",
         "emb_lsh_topk",
         "emb_ivf_topk",

@@ -44,7 +44,7 @@ def main() -> None:
     from stash_log_parser_spark.operators.dedup import simhash_near_pairs
 
     (
-        simhash_near_pairs(docs, max_hamming=8)
+        simhash_near_pairs(docs, max_hamming=4)
         .orderBy("doc_a", "doc_b")
         .coalesce(1)
         .write.mode("overwrite")
