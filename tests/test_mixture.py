@@ -1,0 +1,116 @@
+"""Mixture sampling and sequence packing (operators/mixture.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import mixture as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"src{i % 3}", 100 + (i * 37) % 900)  # lengths 100..999
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tok long").cache()
+
+
+def test_sample_mixture_matches_python_reference(docs):
+    rates = {"src0": 0.5, "src1": 0.0}
+
+    def kept(doc_id, source):
+        thr = {"src0": "800000", "src1": "000000"}.get(source, "zzzzzz")
+        key = hashlib.md5(f"{doc_id}:{source}".encode()).hexdigest()[:6]
+        return key < thr
+
+    want = {
+        (i, f"src{i % 3}") for i in range(60) if kept(i, f"src{i % 3}")
+    }
+    got = {
+        (r.doc_id, r.source)
+        for r in M.sample_mixture(docs, rates).select("doc_id", "source").collect()
+    }
+    assert got == want
+    assert all(s != "src1" for _, s in got)  # rate 0 drops everything
+    assert {s for _, s in got} >= {"src2"}  # default rate keeps unlisted
+    # deterministic: same membership on a repartitioned frame
+    again = {
+        (r.doc_id, r.source)
+        for r in M.sample_mixture(docs.repartition(7), rates)
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert again == got
+
+
+def test_sample_mixture_rejects_bad_rate():
+    with pytest.raises(ValueError, match="rate"):
+        M.rate_threshold(1.5)
+
+
+def _python_greedy(rows, budget):
+    out = {}
+    by_src = {}
+    for doc_id, src, ln in sorted(rows):
+        by_src.setdefault(src, []).append((doc_id, ln))
+    for src, docs_ in by_src.items():
+        pack, fill = 0, 0
+        for doc_id, ln in docs_:
+            if fill and fill + ln > budget:
+                pack, fill = pack + 1, 0
+            out[doc_id] = (pack, fill)
+            fill += ln
+            if fill >= budget:
+                pack, fill = pack + 1, 0
+    return out
+
+
+def test_pack_boundary_offsets_and_ids(docs):
+    got = {r.doc_id: r for r in M.pack_sequences(docs, budget=1000).collect()}
+    # per source, start offsets are the exclusive prefix sums in id order
+    rows = sorted((r.doc_id, r.source, r.n_tok) for r in docs.collect())
+    run = {}
+    for doc_id, src, ln in rows:
+        start = run.get(src, 0)
+        r = got[doc_id]
+        assert r.start_offset == start
+        assert r.pack_id == start // 1000
+        assert r.offset_in_pack == start % 1000
+        run[src] = start + ln
+
+
+def test_pack_greedy_matches_python_reference_and_invariants(docs):
+    budget = 1000
+    rows = [(r.doc_id, r.source, r.n_tok) for r in docs.collect()]
+    want = _python_greedy(rows, budget)
+    got = {r.doc_id: r for r in M.pack_sequences_greedy(docs, budget=budget).collect()}
+    assert {d: (r.pack_id, r.offset_in_pack) for d, r in got.items()} == want
+    # invariant: no pack exceeds the budget (no doc here is oversized)
+    fill = {}
+    for r in got.values():
+        key = (r.source, r.pack_id)
+        fill[key] = fill.get(key, 0) + r.length
+    assert max(fill.values()) <= budget
+    # greedy packs at least as tightly as boundary packing never worse
+    # than one pack per doc
+    assert len(fill) < len(rows)
+
+
+def test_pack_greedy_oversized_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 5000), (3, "s", 100)],
+        "doc_id long, source string, n_tok long",
+    )
+    got = {r.doc_id: r for r in M.pack_sequences_greedy(df, budget=1000).collect()}
+    assert got[1].pack_id == 0 and got[1].offset_in_pack == 0
+    assert got[2].pack_id == 1 and got[2].offset_in_pack == 0  # oversized, alone
+    assert got[3].pack_id == 2 and got[3].offset_in_pack == 0
+
+
+def test_pack_rejects_bad_budget(docs):
+    with pytest.raises(ValueError, match="budget"):
+        M.pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        M.pack_sequences_greedy(docs, budget=-5)

@@ -41,6 +41,16 @@ def main() -> None:
         .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_sf001.parquet"))
     )
 
+    from stash_log_parser_spark.operators.mixture import pack_sequences_greedy
+
+    (
+        pack_sequences_greedy(docs, budget=4096, len_col="n_chars")
+        .orderBy("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(GOLDEN_DIR, "corpus_pack_greedy_sf001.parquet"))
+    )
+
     from stash_log_parser_spark.operators.dedup import simhash_near_pairs
 
     (
