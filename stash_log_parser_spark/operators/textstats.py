@@ -366,3 +366,44 @@ def repetition_score(docs: DataFrame, n: int = 3, text_col: str = "text") -> Dat
         F.when(total > 0, total).otherwise(F.lit(0)).alias("n_ngrams"),
         F.when(total > 0, rep).otherwise(F.lit(0.0)).alias("rep_frac"),
     )
+
+
+def word_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-relative word-rarity quality signal: each word's global
+    frequency rank (1 = most common; ties broken by word), then the
+    per-document MEAN rank, round6-quantized. Common-word boilerplate
+    scores low, rare-token-dense docs score high — a corpus-calibrated
+    cousin of the stopword ratio that needs no fixed word list.
+
+    All-integer until the final ratio (sum of ranks / word count), so
+    the SQL twin hashes identically. The vocabulary is a DERIVED
+    dimension: explode → hash-agg (map-side partials absorb the zipf
+    head) → one global row_number. The rank window is a single total
+    order over the DISTINCT vocabulary — dimension-sized (zipf-bounded
+    ~10^7 rows at web scale, not corpus-sized), which is why a global
+    window is acceptable here and nowhere else in the engine; the
+    doc-side join against it is hash-keyed on the word and AQE
+    broadcasts the vocab while it fits."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w"))).cast("long"),
+        )
+        .select("w", "rank")
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            round6(F.sum("rank") / F.count("*")).alias("mean_rank"),
+        )
+    )

@@ -216,3 +216,15 @@ def test_repetition_score_exact_values(spark):
     assert (got[2].n_ngrams, got[2].rep_frac) == (2, 0.0)
     assert (got[3].n_ngrams, got[3].rep_frac) == (0, 0.0)
     assert (got[4].n_ngrams, got[4].rep_frac) == (6, pytest.approx(1 - 1 / 6, abs=1e-6))
+
+
+def test_word_rarity_exact_ranks(spark):
+    """Hand-checkable corpus: ranks by (freq desc, word asc); mean rank
+    is the exact integer ratio, round6-quantized."""
+    rows = [(1, "a a b"), (2, "b c"), (3, "a")]
+    # freqs: a=4, b=2, c=1 → ranks a=1, b=2, c=3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.mean_rank) for r in TS.word_rarity(df).collect()}
+    assert got[1] == (3, pytest.approx((1 + 1 + 2) / 3, abs=1e-6))
+    assert got[2] == (2, pytest.approx((2 + 3) / 2, abs=1e-6))
+    assert got[3] == (1, 1.0)
