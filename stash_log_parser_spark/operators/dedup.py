@@ -512,3 +512,50 @@ def cross_corpus_dedup(
     return new_docs.join(
         ref_hashes, h == F.col("_rh"), "left_anti"
     )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark n-gram decontamination: flag every training document
+    sharing ANY word n-gram with the benchmark/eval set (the standard
+    "13-gram collision" scrub, parameterized). Near-dup contamination
+    (docs_contamination) catches whole-document leaks; this catches a
+    single quoted passage.
+
+    Shape: both sides explode to (doc_id, gram) STRING n-grams, the
+    benchmark side collapses to a DISTINCT gram dimension, and one
+    LEFT SEMI join marks hit docs — the flag is then a left join of
+    doc_ids against the hit set (two key-only shuffles; text never
+    moves past the explode). The benchmark is eval-set-sized, so its
+    gram dimension broadcasts; the training side's exploded grams are
+    n× the corpus words but collapse to distinct (doc_id) immediately
+    after the semi join."""
+    def grams(df: DataFrame) -> DataFrame:
+        ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n_words = F.size(ws)
+        g = F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
+        )
+        return df.select(
+            "doc_id",
+            F.explode(F.when(n_words >= n, g).otherwise(F.array())).alias("gram"),
+        )
+
+    ref = grams(benchmark).select("gram").distinct()
+    hits = (
+        grams(docs)
+        .join(ref, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )

@@ -213,3 +213,21 @@ def test_cross_corpus_dedup(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert D.cross_corpus_dedup(new, empty).count() == 3
     assert D.cross_corpus_dedup(empty, ref).count() == 0
+
+
+def test_ngram_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps away"),   # shares a 5-gram
+            (2, "quick brown fox sleeps all day long here"), # only 3 shared words
+            (3, "completely unrelated words in this doc ok"),
+            (4, "tiny"),                                     # < n words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in D.ngram_decontaminate(docs, bench, n=5).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
