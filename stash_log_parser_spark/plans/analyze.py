@@ -120,7 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", default=None,
                     help="write plot data to this file instead of stdout")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--top", type=int, default=None, metavar="N",
+                    help="emit only the first N result rows (the reference's "
+                         "possible '--top N' CLI flag, SURVEY §3.6 O2; applied "
+                         "after the mode's own ordering, so e.g. "
+                         "repositoryStats --top 10 is the top-10 repos)")
     args = ap.parse_args(argv)
+    if args.top is not None and args.top <= 0:
+        ap.error("--top must be a positive integer")
     if args.format == "table" and args.output:
         # df.show renders to stdout (truncated at 1000 rows); silently
         # exiting 0 with an unwritten --output file was round-2 advice.
@@ -129,7 +136,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name=f"analyze-{args.mode}", master=args.master)
     parsed = _load_parsed(spark, args.inputs, args.since, args.until)
-    _emit(modes[args.mode](parsed), args.format, args.output)
+    result = modes[args.mode](parsed)
+    if args.top is not None:
+        # limit over the mode's own ordering → TakeOrderedAndProject in
+        # the physical plan (no full materialization of the result)
+        result = result.limit(args.top)
+    _emit(result, args.format, args.output)
     return 0
 
 

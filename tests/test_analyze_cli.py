@@ -81,3 +81,20 @@ def test_cli_rejects_table_format_with_output(tmp_path):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_cli_top_limits_rows(spark, log_dir, capsys):
+    """--top N (SURVEY §3.6 O2): first N rows of the mode's own
+    ordering — the full run's prefix, not a different ordering."""
+    rc = analyze.main(["repositoryStats", os.path.join(log_dir, "*")])
+    assert rc == 0
+    full = [l for l in capsys.readouterr().out.splitlines() if l]
+    rc = analyze.main(["repositoryStats", os.path.join(log_dir, "*"), "--top", "3"])
+    assert rc == 0
+    top = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert top == full[:3]
+
+
+def test_cli_top_rejects_nonpositive(log_dir):
+    with pytest.raises(SystemExit):
+        analyze.main(["repositoryStats", os.path.join(log_dir, "*"), "--top", "0"])
