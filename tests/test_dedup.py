@@ -231,3 +231,18 @@ def test_ngram_decontaminate(spark):
     )
     got = {r.doc_id: r.contaminated for r in D.ngram_decontaminate(docs, bench, n=5).collect()}
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_cross_dedup_text_never_in_an_exchange(spark):
+    """Scale invariant: the anti-join moves only md5 keys (and the new
+    side's payload as join value) — no Exchange is ever keyed on the
+    text column itself."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    df = D.cross_corpus_dedup(new, ref)
+    df.collect()  # AQE-final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "hashpartitioning(text" not in ln and "text#" not in ln.split("Exchange")[1].split(",")[0], ln

@@ -159,6 +159,10 @@ def test_text_queries_prune_scan_columns(spark):
         "docs_top_ngrams": {"text"},
         "docs_fingerprint": {"doc_id", "text"},
         "docs_langid": {"doc_id", "text"},
+        "docs_pii_scrub": {"doc_id", "text"},
+        "docs_repetition": {"doc_id", "text"},
+        "docs_word_rarity": {"doc_id", "text"},
+        "docs_subsample_k": {"doc_id", "source"},
     }
     for name, cols in want.items():
         df = E.queries()[name](spark, "/root/testdata/sf0.001")
