@@ -368,6 +368,111 @@ def repetition_score(docs: DataFrame, n: int = 3, text_col: str = "text") -> Dat
     )
 
 
+# Gopher rule-set stopword markers (Rae et al. 2021 §A.1.1, public):
+# a doc must contain >= 2 distinct members to pass the stopword rule.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter flags (Rae et al. 2021),
+    restated as INTEGER-exact predicates so the SQL twin hashes
+    identically — every threshold is a cross-multiplication of counters
+    (``3·n ≤ chars ≤ 10·n`` instead of ``3 ≤ chars/n ≤ 10``), which
+    removes the float-boundary parity risk round6 exists to paper over.
+
+    Rules (each a boolean column; ``passes`` is their conjunction):
+      word_count      min_words ≤ n_words ≤ max_words
+      mean_word_len   3 ≤ mean word length ≤ 10
+      alpha_words     ≥ 80 % of words contain a letter
+      stop_words      ≥ 2 distinct Gopher stopwords present
+      symbol_ratio    (# of '#' or '...') ≤ 10 % of words
+
+    One narrow projection, no shuffle, no Python: at 10^12 docs this is
+    an embarrassingly parallel scan reading only (doc_id, text)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    # sum of word lengths == chars of the trimmed text minus whitespace
+    sum_chars = F.length(F.regexp_replace(F.trim(F.lower(text)), r"\s+", ""))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPS]))
+    )
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))
+    f_count = (n_words >= min_words) & (n_words <= max_words)
+    f_mean = (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+    f_alpha = 5 * n_alpha >= 4 * n_words
+    f_stop = n_stop >= 2
+    f_sym = 10 * n_sym <= n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_distinct"),
+        n_sym.alias("n_symbols"),
+        f_count.alias("flag_word_count"),
+        f_mean.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stop_words"),
+        f_sym.alias("flag_symbol_ratio"),
+        (f_count & f_mean & f_alpha & f_stop & f_sym).alias("passes"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    signal used to stratify and dedupe web corpora by content.
+
+    tf = term count / doc word count; idf = ln(N / df) with df = number
+    of docs containing the term. Plan shape: explode → (doc_id, w)
+    hash-agg for tf → word-keyed hash-agg for df (the document
+    frequency relation is VOCABULARY-sized, a derived dimension like
+    word_rarity's rank table — zipf-bounded, so its join back to the
+    term relation is a narrow word-keyed shuffle AQE can broadcast
+    while it fits). N comes from a scalar count folded in as a crossed
+    1-row relation, not a driver collect. Top-k per doc is a bounded
+    per-doc-keyed window (rows-per-key = vocab hits per doc, never
+    corpus-sized). Scores are round6-quantized for the SQL twin; ties
+    break on the term string."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id",
+        F.explode(_words(F.col(text_col))).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_tbl = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_tbl, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            round6(
+                (F.col("n") / F.col("len"))
+                * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", F.col("w").alias("term"), "tfidf")
+    )
+
+
 def word_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-relative word-rarity quality signal: each word's global
     frequency rank (1 = most common; ties broken by word), then the

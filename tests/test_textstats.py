@@ -162,6 +162,8 @@ def test_text_queries_prune_scan_columns(spark):
         "docs_pii_scrub": {"doc_id", "text"},
         "docs_repetition": {"doc_id", "text"},
         "docs_word_rarity": {"doc_id", "text"},
+        "docs_gopher_quality": {"doc_id", "text"},
+        "docs_tfidf_terms": {"doc_id", "text"},
         "docs_subsample_k": {"doc_id", "source"},
     }
     for name, cols in want.items():
@@ -220,6 +222,52 @@ def test_repetition_score_exact_values(spark):
     assert (got[2].n_ngrams, got[2].rep_frac) == (2, 0.0)
     assert (got[3].n_ngrams, got[3].rep_frac) == (0, 0.0)
     assert (got[4].n_ngrams, got[4].rep_frac) == (6, pytest.approx(1 - 1 / 6, abs=1e-6))
+
+
+def test_gopher_quality_flags(spark):
+    """Hand-built docs triggering each rule independently; thresholds
+    are integer cross-multiplications, so values are exact."""
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs and cats with glee"] * 5
+    )  # 60 words, all alpha, has 'the'/'and'/'with', mean len in [3,10]
+    rows = [
+        (1, good),
+        (2, "too short to pass the word count rule with ease"),  # < 50 words
+        (3, " ".join(["ab"] * 60)),  # mean word len 2 < 3, no stopwords
+        (4, " ".join(["the", "and"] * 30) + " " + " ".join(["123"] * 40)),  # alpha 60/100 < 80%
+        (5, good + " " + " ".join(["#"] * 20)),  # 80 words, 20 symbols > 10%
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.gopher_quality(df).collect()}
+    assert got[1].passes
+    assert (got[1].n_words, got[1].n_alpha_words) == (60, 60)
+    assert not got[2].flag_word_count and got[2].flag_alpha_words
+    assert not got[3].flag_mean_word_len and not got[3].flag_stop_words
+    assert not got[4].flag_alpha_words and got[4].flag_stop_words
+    assert not got[5].flag_symbol_ratio and got[5].n_symbols == 20
+    assert not got[6].passes
+    for d in (2, 3, 4, 5, 6):
+        assert not got[d].passes
+
+
+def test_tfidf_top_terms_exact(spark):
+    """3-doc corpus with hand-computable tf-idf: 'x' appears only in
+    doc 1 (idf ln 3), 'c' in all docs (idf 0)."""
+    import math
+
+    rows = [(1, "x x c"), (2, "y c"), (3, "z c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TS.tfidf_top_terms(df, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out}
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert got[(1, 1)] == ("x", q(2 / 3 * math.log(3)))
+    # doc 1 rank 2: 'c' with tfidf 0 (idf ln(3/3)=0)
+    assert got[(1, 2)] == ("c", 0.0)
+    assert got[(2, 1)] == ("y", q(1 / 2 * math.log(3)))
+    assert got[(3, 1)] == ("z", q(1 / 3 * math.log(3)))
+    # ties at 0 break on the term string: doc 2 rank 2 is 'c'
+    assert got[(2, 2)][0] == "c"
 
 
 def test_word_rarity_exact_ranks(spark):
