@@ -559,3 +559,63 @@ def ngram_decontaminate(
         .join(hits, "doc_id", "left")
         .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 15,
+    max_docs: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-SEGMENT removal — the line-level dedup
+    pass of CCNet/RefinedWeb-style curation, restated over fixed-width
+    word windows (this corpus carries no newlines): any segment present
+    in more than ``max_docs`` distinct documents is dropped from every
+    document that contains it.
+
+    Output: doc_id, n_segments, n_kept, clean_md5 (md5 of the rejoined
+    kept text — binds the full edited document into the value hash
+    without shipping it through the compare).
+
+    Scale shape: the duplicate census shuffles ONLY
+    (doc_id, seg_idx, xxhash64(segment)) — the segment text never
+    leaves its origin row. Census = hash-keyed count-distinct (two-level
+    partial agg); survivors come back as a left_anti on the hash; the
+    per-doc kept-index list is a doc_id-keyed agg of bare ints; document
+    text is re-read ONCE via the final doc_id-keyed join and re-sliced
+    row-locally with a transform HOF. At 10^12 docs every exchange in
+    this plan carries ≤ 16 bytes/row of key + ints."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    seg_at = lambda i: F.concat_ws(
+        " ", F.slice(words, i * seg_words + 1, seg_words)
+    )
+    hashes = F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.xxhash64(seg_at(i)))
+    seg_tbl = docs.select(
+        "doc_id", F.posexplode(hashes).alias("idx", "h")
+    )
+    dup = (
+        seg_tbl.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("h")
+    )
+    kept_idx = (
+        seg_tbl.join(dup, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("idx")).alias("keep"),
+            F.count("*").cast("int").alias("n_kept"),
+        )
+    )
+    keep = F.coalesce(F.col("keep"), F.array().cast("array<int>"))
+    clean = F.concat_ws(" ", F.transform(keep, seg_at))
+    return (
+        docs.join(kept_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_seg.alias("n_segments"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.md5(clean).alias("clean_md5"),
+        )
+    )

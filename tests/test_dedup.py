@@ -246,3 +246,46 @@ def test_cross_dedup_text_never_in_an_exchange(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "hashpartitioning(text" not in ln and "text#" not in ln.split("Exchange")[1].split(",")[0], ln
+
+
+def test_segment_dedup_drops_shared_segments_only(spark):
+    """Boilerplate segment shared by 3 docs is dropped from all of
+    them; unique segments survive; a doc that is ALL boilerplate ends
+    empty (md5 of '')."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(5))          # one 5-word segment
+    rows = [
+        (1, boiler + " u1 u2 u3 u4 u5"),
+        (2, boiler + " v1 v2 v3 v4 v5"),
+        (3, boiler),
+        (4, "w1 w2 w3 w4 w5 w6 w7"),                       # 2 segments, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in D.segment_dedup(df, seg_words=5).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[1].n_segments, got[1].n_kept) == (2, 1)
+    assert got[1].clean_md5 == md5("u1 u2 u3 u4 u5")
+    assert got[2].clean_md5 == md5("v1 v2 v3 v4 v5")
+    assert (got[3].n_segments, got[3].n_kept) == (1, 0)
+    assert got[3].clean_md5 == md5("")
+    assert (got[4].n_segments, got[4].n_kept) == (2, 2)
+    assert got[4].clean_md5 == md5("w1 w2 w3 w4 w5 w6 w7")
+    # max_docs=3 tolerates triplication → nothing dropped
+    all_kept = D.segment_dedup(df, seg_words=5, max_docs=3).collect()
+    assert all(r.n_kept == r.n_segments for r in all_kept)
+
+
+def test_segment_dedup_never_shuffles_text(spark):
+    """Scale invariant: the census/anti-join exchanges carry only
+    (doc_id, idx, hash) — the text column appears in no Exchange key or
+    payload except the final doc_id-keyed re-attach join."""
+    rows = [(i, f"doc {i} words here repeated {' '.join(['x'] * 20)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.segment_dedup(df, seg_words=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            key = ln.split("hashpartitioning(")[1].split(")")[0]
+            assert "text" not in key, ln
