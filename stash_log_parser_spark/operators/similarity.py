@@ -604,3 +604,73 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+def _q6(col: Column) -> Column:
+    """floor(x·1e6 + 0.5)/1e6 — the repo's cross-engine-exact 6-decimal
+    quantization (see textstats.round6). For negative inputs the formula
+    rounds halves toward +∞; that is still ENGINE-CONSISTENT (both
+    engines evaluate the identical IEEE ops), which is all the oracle
+    compare needs."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label (domain/cluster) centroid of an embedding column, as
+    narrow (label, dim, n_vecs, centroid) rows — the domain-signature
+    primitive behind DoReMi-style mixture weighting and per-source
+    drift monitoring.
+
+    Scale shape: posexplode → hash-agg keyed (label, dim). Group
+    cardinality is |labels|·dim — DIMENSION-sized — so map-side partial
+    aggregation collapses every scan partition to at most that many
+    rows before the single tiny exchange; the vector column itself
+    never enters a shuffle. Centroids are 6-decimal-quantized: the
+    oracle's summation order necessarily differs, and quantization
+    absorbs the last-ulp drift."""
+    ex = emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    return ex.groupBy(label_col, "dim").agg(
+        F.count("*").alias("n_vecs"),
+        _q6(F.avg("v")).alias("centroid"),
+    )
+
+
+def centroid_similarity(
+    cents: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids
+    (label_a < label_b once per pair) — the domain-affinity matrix over
+    :func:`label_centroids` output.
+
+    Everything here is dimension-sized (|labels|·dim rows in, |labels|²
+    rows out): the dim-keyed self-join and the norm join are
+    broadcastable by AQE at any corpus scale because the input is
+    already an aggregate, not the corpus."""
+    norms = cents.groupBy(label_col).agg(
+        F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))).alias("nrm")
+    )
+    a = cents.select(
+        F.col(label_col).alias("label_a"), "dim", F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col(label_col).alias("label_b"), "dim", F.col("centroid").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col(label_col).alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(label_col).alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            _q6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )

@@ -280,3 +280,42 @@ def test_int8_quantization_error_bounded(emb, queries, spark):
         # and the approx IP is within 2% of the exact IP for the top hit
         exact = float(np.dot(raw[qid], raw[qid]))
         assert abs(rows[0].approx_ip - exact) / exact < 0.02
+
+
+def test_label_centroids_exact(spark):
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),   # label 0 centroid (2, 0)
+        (3, [0.0, 2.0], 1), (4, [0.0, 4.0], 1),   # label 1 centroid (0, 3)
+        (5, [1.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label, r.dim): (r.n_vecs, r.centroid) for r in S.label_centroids(df).collect()}
+    assert got[(0, 0)] == (2, 2.0) and got[(0, 1)] == (2, 0.0)
+    assert got[(1, 0)] == (2, 0.0) and got[(1, 1)] == (2, 3.0)
+    assert got[(2, 0)] == (1, 1.0)
+
+
+def test_centroid_similarity_orthogonal_and_parallel(spark):
+    rows = [
+        (1, [2.0, 0.0], 0),
+        (2, [0.0, 5.0], 1),
+        (3, [4.0, 0.0], 2),      # parallel to label 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sims = {(r.label_a, r.label_b): r.cosine
+            for r in S.centroid_similarity(S.label_centroids(df)).collect()}
+    assert sims[(0, 1)] == 0.0
+    assert sims[(0, 2)] == 1.0
+    assert sims[(1, 2)] == 0.0
+    assert len(sims) == 3  # each unordered pair exactly once
+
+
+def test_label_centroids_never_shuffle_the_vector(spark, emb):
+    """The centroid agg's exchange carries (label, dim) partials only —
+    the embedding array is consumed by posexplode before any shuffle."""
+    out = S.label_centroids(emb)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "embedding" not in ln, ln
