@@ -75,3 +75,36 @@ def test_rows_only_queries_execute(spark):
     for name in sorted(set(E.queries()) - set(E.oracle_sql())):
         df = E.queries()[name](spark, SF)
         assert df.count() >= 0, name
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """The round-4 TPC-H Q6 shape must push its date/discount/quantity
+    predicates into the parquet scan and read only the four columns the
+    query touches — the whole point of a filter-agg at 100 TB."""
+    import re
+
+    df = E.queries()["tpch_revenue_forecast"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    got = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert got <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, got
+
+
+def test_new_tpch_shapes_have_no_fact_side_broadcast_hints(spark):
+    """Of the round-4 TPC-H additions, only nation (fixed 25 rows) and
+    1-row scalar aggregates may carry explicit broadcast hints;
+    customer/orders/supplier/part joins must be AQE-decided."""
+    import inspect
+
+    for name in (
+        "tpch_order_count_dist", "tpch_promo_revenue", "tpch_small_qty_revenue",
+        "tpch_large_orders", "tpch_nation_volume", "tpch_idle_rich_customers",
+    ):
+        src = inspect.getsource(E.queries()[name])
+        for ln in src.splitlines():
+            if "F.broadcast" in ln:
+                assert "nation" in ln or "pos" in ln or "mx" in ln, (name, ln)
