@@ -536,3 +536,74 @@ def test_streaming_exact_dedup_suppresses_across_batches(spark, tmp_path):
     # alpha kept from batch 1 (10 suppressed), beta kept min(2,7)=2
     # (12 suppressed), gamma first seen in batch 2
     assert got == {h("alpha"): 1, h("beta"): 2, h("gamma"): 11}
+
+
+def test_interval_join_across_microbatches(spark, tmp_path):
+    """Stream-stream interval join: pairs straddling micro-batches still
+    match (the engine parks the unmatched leg in join state until the
+    watermark passes); a corpus-spanning watermark makes the availableNow
+    replay land exactly on the batch interval-join result."""
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.functions.parse import parse_corpus
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    p = str(tmp_path / "c.parquet")
+    corpus.write_corpus(p, n_requests_per_day=150, n_days=1, seed=33)
+    full = spark.read.parquet(p).select("doc_id", "tokens", "n_tok", "source")
+    rows = full.collect()
+    half = len(rows) // 2
+    d = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows[:half], full.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows[half:], full.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(full.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = run_to_memory(
+        streaming_interval_join(parse_corpus(stream), watermark="48 hours"),
+        "sjoin",
+        output_mode="append",
+    )
+    assert len(q.recentProgress) >= 2
+    got = {
+        (r.day, r.req_counter): (r.ts_in, r.ts_out, r.duration_ms)
+        for r in spark.sql("select * from sjoin").collect()
+    }
+
+    parsed = parse_corpus(full).filter(
+        F.col("is_parsed") & F.col("req_dir").isin("i", "o")
+    )
+    ins = parsed.filter("req_dir = 'i'").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("req_counter").alias("rc"),
+        F.col("ts").alias("ts_in"),
+    )
+    outs = parsed.filter("req_dir = 'o'").select(
+        F.col("day").cast("string").alias("day_o"),
+        F.col("req_counter").alias("rc_o"),
+        F.col("ts").alias("ts_out"),
+    )
+    want = {
+        (r.day, r.rc): (r.ts_in, r.ts_out, r.duration_ms)
+        for r in ins.join(
+            outs,
+            (F.col("day") == F.col("day_o"))
+            & (F.col("rc") == F.col("rc_o"))
+            & (F.col("ts_out") >= F.col("ts_in"))
+            & (F.col("ts_out") <= F.expr("ts_in + interval 1 hour")),
+        )
+        .select(
+            "day", "rc", "ts_in", "ts_out",
+            (F.unix_millis("ts_out") - F.unix_millis("ts_in")).alias("duration_ms"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
