@@ -108,6 +108,7 @@ def main() -> dict:
     for name in [
         "tpch_pricing_summary",
         "tpch_top_customers",
+        "tpch_nation_volume",
         "events_hourly_type_counts",
         "events_running_max",
         "events_sessionize",
@@ -121,6 +122,7 @@ def main() -> dict:
         "docs_fingerprint",
         "docs_exact_dedup",
         "docs_minhash_lsh_pairs",
+        "docs_segment_dedup",
         "docs_simhash",
         "docs_simhash_pairs",
         "docs_pii_scrub",
