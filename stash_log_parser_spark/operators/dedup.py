@@ -566,6 +566,7 @@ def segment_dedup(
     seg_words: int = 15,
     max_docs: int = 1,
     text_col: str = "text",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Cross-document duplicate-SEGMENT removal — the line-level dedup
     pass of CCNet/RefinedWeb-style curation, restated over fixed-width
@@ -610,6 +611,10 @@ def segment_dedup(
     )
     keep = F.coalesce(F.col("keep"), F.array().cast("array<int>"))
     clean = F.concat_ws(" ", F.transform(keep, seg_at))
+    extra = [clean.alias("clean_text")] if emit_text else []
+    # ``emit_text`` feeds downstream curation stages (the edited text is
+    # normalized: lowercased, whitespace-collapsed); the md5 remains the
+    # oracle-facing digest either way.
     return (
         docs.join(kept_idx, "doc_id", "left")
         .select(
@@ -617,5 +622,6 @@ def segment_dedup(
             n_seg.alias("n_segments"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
             F.md5(clean).alias("clean_md5"),
+            *extra,
         )
     )
