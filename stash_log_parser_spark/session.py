@@ -54,6 +54,10 @@ def build_session(
         # a no-op when attaching to an existing context.)
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Catalyst push filters into Python Data Sources (the
+        # stashlog connector turns file_day predicates into
+        # planning-time file pruning; off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Token-sequence rows expand ~4-8× from parquet to in-flight size
         # (int32 arrays + parquet list-writer state); 16 MB splits keep a
         # full wave of parse+write tasks well inside executor heaps and

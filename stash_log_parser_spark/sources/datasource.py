@@ -1,0 +1,174 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``) for
+raw access-log files: format ``"stashlog"`` — batch AND streaming.
+
+The built-in front door (:mod:`.logfiles`) reads log files through
+``spark.read.text``; this connector is the DataSource-V2-style sibling
+that owns its own planning, which buys three things the text source
+cannot give:
+
+* **Planning-time file pruning via filter pushdown** — Catalyst pushes
+  ``file_day`` predicates into :meth:`StashLogBatchReader.pushFilters`;
+  pruned files are never opened, never scheduled, never read. On a
+  10^12-line archive, ``WHERE file_day >= X`` touches only the matching
+  day files — the same partition-pruning contract an Iceberg table
+  gives, expressed through the public Python DS API.
+* **Stable per-file row ids for free** — exactly one reader task owns a
+  file, so ``doc_id = <file>#<line-number>`` is deterministic with NO
+  occurrence-window shuffle (the text-source path needs one; see
+  logfiles.read_log_files). At web scale that removes the only
+  non-narrow stage of raw-file ingest.
+* **A replayable streaming source** — ``spark.readStream.format(
+  "stashlog")`` replays the archive one file per micro-batch in
+  filename-date order (offset = file index), feeding the streaming
+  pipeline without a Kafka stand-in.
+
+Parallelism = one :class:`InputPartition` per file — the natural grain
+of log archives (day-sharded, ~100 MB each); gzip members are not
+splittable anyway. Executors decompress/decode locally; nothing is
+shuffled.
+
+Usage::
+
+    spark.dataSource.register(StashLogDataSource)
+    df = (spark.read.format("stashlog").option("path", log_dir).load()
+          .filter(F.col("file_day") >= "2012-09-09"))   # pruned at planning
+    stream = spark.readStream.format("stashlog").option("path", log_dir).load()
+
+Reference parity: S1 multi-file scan, S2 gzip decode, S3 filename-date
+ordering, S4 date-range pruning (SURVEY.md §3.1) — re-expressed through
+the public connector API instead of reader options.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import re
+from typing import Iterable, Iterator, List, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+from .logfiles import FILENAME_DATE_RE, sort_log_files
+
+SCHEMA_DDL = "doc_id string, line string, source string, file_day string"
+
+
+def _discover(path: str) -> List[str]:
+    """All .log/.log.gz files under ``path`` in filename-date order."""
+    if os.path.isfile(path):
+        return [path]
+    names = glob.glob(os.path.join(path, "*.log")) + glob.glob(
+        os.path.join(path, "*.log.gz")
+    )
+    return sort_log_files(names)
+
+
+def _file_day(name: str) -> str:
+    m = re.search(FILENAME_DATE_RE, os.path.basename(name))
+    return m.group(1) if m else ""
+
+
+def _read_lines(path: str) -> Iterator[str]:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            yield line.rstrip("\n")
+
+
+def _rows_for(path: str) -> Iterator[Tuple[str, str, str, str]]:
+    source = os.path.basename(path)
+    day = _file_day(path)
+    for i, line in enumerate(_read_lines(path)):
+        yield (f"{source}#{i}", line, source, day)
+
+
+class StashLogBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._files = _discover(options.get("path", ""))
+        since, until = options.get("since"), options.get("until")
+        if since:
+            self._files = [f for f in self._files if _file_day(f) >= since]
+        if until:
+            self._files = [f for f in self._files if _file_day(f) <= until]
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Absorb ``file_day`` comparisons as planning-time FILE pruning.
+
+        Every row of a file shares its file_day, so a file-level prune
+        implements the row-level predicate EXACTLY — absorbed filters
+        are not re-evaluated by Spark. Anything else is yielded back
+        (Spark keeps evaluating it above the scan)."""
+        for f in filters:
+            day_of = _file_day
+            if isinstance(f, EqualTo) and f.attribute == ("file_day",):
+                self._files = [x for x in self._files if day_of(x) == f.value]
+            elif isinstance(f, GreaterThan) and f.attribute == ("file_day",):
+                self._files = [x for x in self._files if day_of(x) > f.value]
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("file_day",):
+                self._files = [x for x in self._files if day_of(x) >= f.value]
+            elif isinstance(f, LessThan) and f.attribute == ("file_day",):
+                self._files = [x for x in self._files if day_of(x) < f.value]
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("file_day",):
+                self._files = [x for x in self._files if day_of(x) <= f.value]
+            else:
+                yield f
+
+    def partitions(self) -> List[InputPartition]:
+        return [InputPartition(f) for f in self._files]
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        yield from _rows_for(partition.value)
+
+
+class StashLogStreamReader(SimpleDataSourceStreamReader):
+    """One log file per micro-batch, filename-date order; the offset is
+    the index into the sorted file list, so replay from a checkpoint is
+    exact (files are immutable once rotated)."""
+
+    def __init__(self, options):
+        self._files = _discover(options.get("path", ""))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        idx = int(start["idx"])
+        if idx >= len(self._files):
+            return [], {"idx": idx}
+        # a LIST, not a generator: the simple-reader protocol prefetches
+        # on the driver and pickles the batch into the offset cache
+        return list(_rows_for(self._files[idx])), {"idx": idx + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        for idx in range(int(start["idx"]), int(end["idx"])):
+            yield from _rows_for(self._files[idx])
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to clean up
+
+
+class StashLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stashlog"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> StashLogBatchReader:
+        return StashLogBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> StashLogStreamReader:
+        return StashLogStreamReader(self.options)

@@ -1,0 +1,137 @@
+"""Custom Python Data Source ("stashlog"): batch read, gzip decode,
+planning-time filter pushdown, streaming replay."""
+
+import datetime
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark import corpus
+from stash_log_parser_spark.sources.datasource import (
+    StashLogBatchReader,
+    StashLogDataSource,
+)
+from stash_log_parser_spark.sources.logfiles import read_log_files
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dsrawlogs")
+    for day_idx in range(3):
+        lines = list(corpus.gen_day_lines(day_idx, 120, seed=5, malformed_rate=0.05))
+        day = (corpus.EPOCH_DAY0 + datetime.timedelta(days=day_idx)).isoformat()
+        name = f"atlassian-stash-access-{day}.0.log"
+        if day_idx == 2:
+            with gzip.open(d / (name + ".gz"), "wt") as f:
+                f.write("\n".join(lines) + "\n")
+        else:
+            (d / name).write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(StashLogDataSource)
+    return spark
+
+
+def test_batch_read_with_gzip_and_stable_ids(registered, log_dir):
+    df = registered.read.format("stashlog").option("path", log_dir).load()
+    rows = df.collect()
+    days = {r.file_day for r in rows}
+    assert days == {"2012-09-08", "2012-09-09", "2012-09-10"}  # .gz included
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 3
+    # doc_id = <file>#<lineno>: unique and stable across reads
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    again = registered.read.format("stashlog").option("path", log_dir).load()
+    assert sorted(ids) == sorted(r.doc_id for r in again.collect())
+
+
+def test_file_day_filter_prunes_at_planning_time(registered, log_dir):
+    """A file_day predicate must reach pushFilters and shrink the file
+    list BEFORE partition planning — observable as partition count."""
+    df = (
+        registered.read.format("stashlog").option("path", log_dir).load()
+        .filter(F.col("file_day") >= "2012-09-09")
+    )
+    assert {r.file_day for r in df.select("file_day").distinct().collect()} == {
+        "2012-09-09",
+        "2012-09-10",
+    }
+    assert df.rdd.getNumPartitions() == 2  # third file never scheduled
+
+    eq = (
+        registered.read.format("stashlog").option("path", log_dir).load()
+        .filter(F.col("file_day") == "2012-09-08")
+    )
+    assert eq.rdd.getNumPartitions() == 1
+
+
+def test_push_filters_unit_semantics(log_dir):
+    """Whitebox: absorbed vs yielded-back filters."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+    r = StashLogBatchReader({"path": log_dir})
+    assert len(r.partitions()) == 3
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("file_day",), "2012-09-09"),
+                StringContains(("line",), "ssh"),  # not ours — yielded back
+                EqualTo(("source",), "x"),  # not file_day — yielded back
+            ]
+        )
+    )
+    assert len(r.partitions()) == 2
+    assert len(leftover) == 2
+
+
+def test_matches_text_source_front_door(registered, log_dir):
+    """Same lines per (source, file_day) as the spark.read.text path."""
+    ds = registered.read.format("stashlog").option("path", log_dir).load()
+    txt = read_log_files(registered, log_dir)
+    a = sorted((r.source, r.file_day, r.line) for r in ds.collect())
+    b = sorted((r.source, r.file_day, r.line) for r in txt.collect())
+    assert a == b
+
+
+def test_streaming_replays_one_file_per_batch(registered, log_dir):
+    """The simple stream reader advances one file per micro-batch
+    (availableNow is not supported by the simple-reader protocol, so
+    poll a default-trigger query until the replay drains)."""
+    import time
+
+    want = registered.read.format("stashlog").option("path", log_dir).load().count()
+    stream = registered.readStream.format("stashlog").option("path", log_dir).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if registered.sql("select * from ds_stream").count() >= want:
+                break
+            time.sleep(0.5)
+        got = registered.sql("select * from ds_stream").count()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert got == want
+    assert len(batches) == 3  # one file per micro-batch
+
+
+def test_since_until_options(registered, log_dir):
+    df = (
+        registered.read.format("stashlog")
+        .option("path", log_dir)
+        .option("since", "2012-09-09")
+        .option("until", "2012-09-09")
+        .load()
+    )
+    assert {r.file_day for r in df.collect()} == {"2012-09-09"}
