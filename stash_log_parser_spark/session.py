@@ -88,4 +88,12 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # make format("stashlog") available out of the box (idempotent;
+        # re-registration under the same name just overwrites)
+        from .sources.datasource import StashLogDataSource
+
+        spark.dataSource.register(StashLogDataSource)
+    except Exception:  # pragma: no cover - never block session creation
+        pass
     return spark
