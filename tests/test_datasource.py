@@ -135,3 +135,48 @@ def test_since_until_options(registered, log_dir):
         .load()
     )
     assert {r.file_day for r in df.collect()} == {"2012-09-09"}
+
+
+def test_streaming_source_feeds_the_pipeline(registered, log_dir):
+    """stashlog streaming source → grok → per-hour git-op counts equals
+    the same computation over the batch read: the connector is a real
+    pipeline front door, not just a scan."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.functions.parse import parse_lines
+
+    def agg(parsed):
+        ops = parsed.filter(F.col("is_parsed") & F.col("op_type").isNotNull())
+        return ops.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "op_type"
+        ).agg(F.count("*").alias("n"))
+
+    batch = agg(
+        parse_lines(registered.read.format("stashlog").option("path", log_dir).load())
+    )
+    want = {(r.hour, r.op_type): r.n for r in batch.collect()}
+
+    stream = registered.readStream.format("stashlog").option("path", log_dir).load()
+    q = (
+        agg(parse_lines(stream))
+        .writeStream.format("memory")
+        .queryName("ds_pipe")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {
+                (r.hour, r.op_type): r.n
+                for r in registered.sql("select * from ds_pipe").collect()
+            }
+            if got == want:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == want and len(want) > 10
