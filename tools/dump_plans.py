@@ -1,0 +1,86 @@
+"""Regenerate PLANS.md: executed physical plans for headline operators
+with the scale-invariant lines the repo's tests pin (scan pruning,
+exchange keys, broadcast choices) highlighted.
+
+    python tools/dump_plans.py [sf_dir]   # default /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+QUERIES = [
+    (
+        "tpch_revenue_forecast",
+        "Q6 filter-agg: every predicate in PushedFilters, 4-column ReadSchema,"
+        " no exchange before the 1-row reduce.",
+    ),
+    (
+        "docs_segment_dedup",
+        "Census exchanges carry (doc_id, idx, xxhash64(seg)) only; text is"
+        " re-attached by ONE doc_id-keyed join and re-sliced row-locally.",
+    ),
+    (
+        "docs_minhash_lsh_pairs",
+        "Band entries are narrow (doc_id, band, sig); one exchange serves"
+        " sizing + cap + join; Jaccard verify touches candidate pairs only.",
+    ),
+    (
+        "emb_label_centroids",
+        "posexplode then (label, dim)-keyed hash-agg: partial_avg rows are"
+        " dimension-sized; the embedding array appears in no Exchange.",
+    ),
+    (
+        "emb_lsh_topk",
+        "No vector in any Exchange; bucket ids are single projections;"
+        " exact re-rank only on candidates.",
+    ),
+    (
+        "events_rolling_1h",
+        "RANGE-frame window after one user_id-keyed exchange; no global sort.",
+    ),
+]
+
+INVARIANT_RE = re.compile(
+    r"PushedFilters: \[[^\]]*[A-Za-z][^\]]*\]|ReadSchema: struct<[^>]*>"
+    r"|Exchange hashpartitioning\([^)]*\)|BroadcastHashJoin|SortMergeJoin"
+    r"|TakeOrderedAndProject|WholeStageCodegen"
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from stash_log_parser_spark.session import build_session
+
+    spark = build_session(
+        app_name="dump_plans", master="local[8]", shuffle_partitions=8
+    )
+    out = [
+        "# PLANS — executed physical plans of headline operators",
+        "",
+        f"Regenerate: `python tools/dump_plans.py` (sf_dir={sf_dir}).",
+        "Each section: the invariant the tests pin, then the executed plan",
+        "(AQE-final) with invariant-bearing lines marked `>>`.",
+        "",
+    ]
+    for name, why in QUERIES:
+        df = E.queries()[name](spark, sf_dir)
+        df.collect()  # run THIS execution so AQE finalizes it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = []
+        for ln in plan.splitlines():
+            mark = ">> " if INVARIANT_RE.search(ln) else "   "
+            lines.append(mark + ln.rstrip())
+        out += [f"## {name}", "", why, "", "```", *lines[:120], "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
