@@ -108,3 +108,16 @@ def test_new_tpch_shapes_have_no_fact_side_broadcast_hints(spark):
         for ln in src.splitlines():
             if "F.broadcast" in ln:
                 assert "nation" in ln or "pos" in ln or "mx" in ln, (name, ln)
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """The OR-of-ANDs predicate must decompose: quantity bands reach
+    the lineitem scan, the brand OR-list reaches the part scan."""
+    df = E.queries()["tpch_disjunctive_revenue"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li = next(ln for ln in scans if "lineitem" in ln)
+    part = next(ln for ln in scans if "/part.parquet" in ln)
+    assert "l_quantity" in li.split("PushedFilters: [")[1]
+    assert "EqualTo(p_brand,Brand#1)" in part.split("PushedFilters: [")[1]
