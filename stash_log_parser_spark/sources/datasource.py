@@ -108,22 +108,26 @@ class StashLogBatchReader(DataSourceReader):
 
         Every row of a file shares its file_day, so a file-level prune
         implements the row-level predicate EXACTLY — absorbed filters
-        are not re-evaluated by Spark. Anything else is yielded back
-        (Spark keeps evaluating it above the scan)."""
+        are not re-evaluated by Spark. Anything else is returned
+        (Spark keeps evaluating it above the scan). Pruning is applied
+        EAGERLY and a plain list returned — a generator here would
+        mutate the file list only when (and if) the engine drains it,
+        an ordering this implementation must not depend on."""
+        ops = {
+            EqualTo: lambda a, b: a == b,
+            GreaterThan: lambda a, b: a > b,
+            GreaterThanOrEqual: lambda a, b: a >= b,
+            LessThan: lambda a, b: a < b,
+            LessThanOrEqual: lambda a, b: a <= b,
+        }
+        leftover = []
         for f in filters:
-            day_of = _file_day
-            if isinstance(f, EqualTo) and f.attribute == ("file_day",):
-                self._files = [x for x in self._files if day_of(x) == f.value]
-            elif isinstance(f, GreaterThan) and f.attribute == ("file_day",):
-                self._files = [x for x in self._files if day_of(x) > f.value]
-            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("file_day",):
-                self._files = [x for x in self._files if day_of(x) >= f.value]
-            elif isinstance(f, LessThan) and f.attribute == ("file_day",):
-                self._files = [x for x in self._files if day_of(x) < f.value]
-            elif isinstance(f, LessThanOrEqual) and f.attribute == ("file_day",):
-                self._files = [x for x in self._files if day_of(x) <= f.value]
+            cmp = ops.get(type(f))
+            if cmp is not None and getattr(f, "attribute", None) == ("file_day",):
+                self._files = [x for x in self._files if cmp(_file_day(x), f.value)]
             else:
-                yield f
+                leftover.append(f)
+        return leftover
 
     def partitions(self) -> List[InputPartition]:
         return [InputPartition(f) for f in self._files]
