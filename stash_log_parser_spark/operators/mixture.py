@@ -156,3 +156,32 @@ def pack_sequences_greedy(
         id_col, source_col, F.col(len_col).cast("long").alias("_len")
     )
     return narrowed.groupBy(source_col).applyInPandas(pack, schema=out_schema)
+
+
+def quality_stratified_sample(
+    docs: DataFrame,
+    score_col: str,
+    tiers: list[tuple[float, float]],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware sampling: keep each row with the rate of the FIRST
+    tier (descending ``(min_score, rate)`` order) whose min_score the
+    row's quality reaches — high-quality docs kept densely, boilerplate
+    thinned, the standard quality-curriculum knob composed from the
+    same deterministic md5-threshold device as :func:`sample_mixture`
+    (stable across runs / engines / partitionings / corpus growth; the
+    ':q' salt decorrelates it from any other hash decision on the same
+    ids). Pure Catalyst, shuffle-free; the score column is whatever
+    upstream quality signal the caller computed (e.g. text_stats
+    quality_score, itself round6-quantized so tier boundary compares
+    are engine-exact)."""
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("q"))), 1, 6
+    )
+    thr = F.lit(rate_threshold(default_rate))
+    for min_score, rate in sorted(tiers, key=lambda t: t[0]):
+        thr = F.when(
+            F.col(score_col) >= min_score, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return docs.filter(key < thr)

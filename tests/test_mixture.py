@@ -114,3 +114,26 @@ def test_pack_rejects_bad_budget(docs):
         M.pack_sequences(docs, budget=0)
     with pytest.raises(ValueError, match="budget"):
         M.pack_sequences_greedy(docs, budget=-5)
+
+
+def test_quality_stratified_sample_tiers(spark):
+    """Tier resolution: highest matching tier wins; default applies
+    below every tier; rate 1.0 keeps everything in the tier."""
+    from stash_log_parser_spark.operators.mixture import quality_stratified_sample
+
+    rows = [(i, 0.9 if i < 40 else (0.72 if i < 80 else 0.1)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    kept = quality_stratified_sample(
+        df, "q", [(0.8, 1.0), (0.7, 0.5)], default_rate=0.0
+    ).collect()
+    by_tier = {"hi": 0, "mid": 0, "lo": 0}
+    for r in kept:
+        by_tier["hi" if r.q == 0.9 else "mid" if r.q == 0.72 else "lo"] += 1
+    assert by_tier["hi"] == 40          # rate 1.0 keeps all
+    assert 0 < by_tier["mid"] < 40      # rate 0.5 keeps roughly half
+    assert by_tier["lo"] == 0           # default 0.0 drops all
+    # determinism: exact same rows on a re-run
+    again = quality_stratified_sample(
+        df, "q", [(0.8, 1.0), (0.7, 0.5)], default_rate=0.0
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
