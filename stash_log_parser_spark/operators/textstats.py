@@ -512,3 +512,55 @@ def word_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             round6(F.sum("rank") / F.count("*")).alias("mean_rank"),
         )
     )
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-supervised bigram language-model quality proxy (the
+    KenLM-perplexity filter of CCNet-style curation, with the corpus
+    itself as the model): per document, the mean conditional
+    log-probability  avg ln( c(w1,w2) / c(w1,·) )  over its bigrams,
+    where both counts come from the whole corpus. Fluent
+    (corpus-typical) word sequences score near 0, improbable ones go
+    strongly negative.
+
+    Plan shape: one bigram explode feeds BOTH count tables — c(w1,w2)
+    by gram and c(w1,·) by first word — each a zipf-bounded DERIVED
+    dimension (map-side partials absorb the head); the doc-side join is
+    keyed on the gram/word strings and AQE broadcasts the dimensions
+    while they fit. Scores are round6-quantized for the SQL twin (the
+    ln drift argument of tfidf_top_terms applies)."""
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.when(n >= 2, grams).otherwise(F.array())).alias("gram"),
+    )
+    bi = doc_grams.groupBy("gram").agg(F.count("*").alias("cb"))
+    uni = (
+        doc_grams.select(F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cw"))
+    )
+    scored = (
+        doc_grams.join(bi, "gram")
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            round6(-F.avg(F.log(F.col("cb") / F.col("cw")))).alias("neg_avg_logp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("neg_avg_logp", F.lit(0.0)).alias("neg_avg_logp"),
+        )
+    )

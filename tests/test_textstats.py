@@ -280,3 +280,19 @@ def test_word_rarity_exact_ranks(spark):
     assert got[1] == (3, pytest.approx((1 + 1 + 2) / 3, abs=1e-6))
     assert got[2] == (2, pytest.approx((2 + 3) / 2, abs=1e-6))
     assert got[3] == (1, 1.0)
+
+
+def test_bigram_lm_score_exact(spark):
+    """Hand corpus: 'a b' occurs twice and 'a c' once → P(b|a)=2/3,
+    P(c|a)=1/3; a fully-predictable doc scores lower (better) than a
+    surprising one; <2-word docs come back 0/0.0."""
+    import math
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.bigram_lm_score(df).collect()}
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert got[1].n_bigrams == 1 and got[1].neg_avg_logp == q(-math.log(2 / 3))
+    assert got[3].neg_avg_logp == q(-math.log(1 / 3))
+    assert got[3].neg_avg_logp > got[1].neg_avg_logp  # rarer continuation
+    assert (got[4].n_bigrams, got[4].neg_avg_logp) == (0, 0.0)
