@@ -319,3 +319,36 @@ def test_label_centroids_never_shuffle_the_vector(spark, emb):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "embedding" not in ln, ln
+
+
+def test_ivf_index_persists_and_reloads(spark, emb, queries, tmp_path):
+    """Index-lifecycle: the IVF coarse index (k-means centroids + cell
+    assignments) is deterministic across builds, survives a parquet
+    round-trip, and a query over the reloaded table equals the query
+    over the original — i.e. the index can be BUILT ONCE and shipped,
+    which is the only viable mode at 10^12 vectors."""
+    import numpy as np
+
+    c1 = S.kmeans_centroids(emb, n_cells=8, iters=2)
+    c2 = S.kmeans_centroids(emb, n_cells=8, iters=2)
+    assert np.array_equal(c1, c2)  # rebuild is bit-identical
+
+    celled = S.with_ivf_cells(emb, c1)
+    p = str(tmp_path / "ivf_index.parquet")
+    celled.write.mode("overwrite").parquet(p)
+    reloaded = spark.read.parquet(p)
+
+    a = {(r.vec_id, r.cell) for r in celled.select("vec_id", "cell").collect()}
+    b = {(r.vec_id, r.cell) for r in reloaded.select("vec_id", "cell").collect()}
+    assert a == b and len(a) == emb.count()
+
+    want = sorted(map(tuple, S.ivf_topk(emb, queries, k=5, n_cells=8).collect()))
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_topk(
+                reloaded.drop("cell"), queries, k=5, n_cells=8
+            ).collect(),
+        )
+    )
+    assert got == want
