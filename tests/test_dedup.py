@@ -289,3 +289,55 @@ def test_segment_dedup_never_shuffles_text(spark):
         if "Exchange hashpartitioning" in ln:
             key = ln.split("hashpartitioning(")[1].split(")")[0]
             assert "text" not in key, ln
+
+
+def test_segment_dedup_matches_python_reference_on_random_corpora(spark):
+    """Property test: on random small corpora (shared vocab so segment
+    collisions actually occur), segment_dedup equals a 20-line pure
+    python reference exactly — counts and md5 of the rejoined text."""
+    import hashlib
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_reference(texts, seg_words, max_docs):
+        segs = {}  # seg -> set of doc ids
+        per_doc = {}
+        for i, t in texts:
+            ws = t.strip().lower().split()
+            chunks = [
+                " ".join(ws[j : j + seg_words])
+                for j in range(0, len(ws), seg_words)
+            ] or [""]
+            per_doc[i] = chunks
+            for c in chunks:
+                segs.setdefault(c, set()).add(i)
+        out = {}
+        for i, chunks in per_doc.items():
+            kept = [c for c in chunks if len(segs[c]) <= max_docs]
+            out[i] = (
+                len(chunks),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    vocab = [f"w{k}" for k in range(8)]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(0, 10_000))
+    def case(seed):
+        rng = random.Random(seed)
+        texts = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(rng.randint(2, 12))
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.clean_md5)
+            for r in D.segment_dedup(df, seg_words=3, max_docs=1).collect()
+        }
+        assert got == py_reference(texts, 3, 1)
+
+    case()
