@@ -121,3 +121,24 @@ def test_q19_disjunction_pushes_to_both_scans(spark):
     part = next(ln for ln in scans if "/part.parquet" in ln)
     assert "l_quantity" in li.split("PushedFilters: [")[1]
     assert "EqualTo(p_brand,Brand#1)" in part.split("PushedFilters: [")[1]
+
+
+def test_dau_wau_broadcasts_the_day_dimension(spark):
+    """The WAU range join must be a broadcast non-equi join against the
+    dimension-sized day list — never a shuffled cartesian."""
+    df = E.queries()["events_dau_wau"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_ratio_never_shuffles_text(spark):
+    """The per-source dup census hashes text to md5 BEFORE any
+    exchange; no Exchange line may reference the text column."""
+    df = E.queries()["docs_dup_ratio_by_source"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
