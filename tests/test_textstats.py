@@ -296,3 +296,55 @@ def test_bigram_lm_score_exact(spark):
     assert got[3].neg_avg_logp == q(-math.log(1 / 3))
     assert got[3].neg_avg_logp > got[1].neg_avg_logp  # rarer continuation
     assert (got[4].n_bigrams, got[4].neg_avg_logp) == (0, 0.0)
+
+
+def test_gopher_quality_matches_python_reference(spark):
+    """Property test: flags equal a pure-python reference on random
+    texts mixing words, digits, symbols, and ellipses."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["the", "be", "to", "of", "and", "cat", "dog", "x1", "123",
+             "#", "...", "ab", "supercalifragilistic"]
+
+    def ref(t):
+        ws = t.strip().lower().split()
+        n = len(ws) if ws else 1  # split('') → [''] in Spark: 1 token
+        if t.strip() == "":
+            ws = [""]
+            n = 1
+        sum_chars = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if any(c.isalpha() and c.isascii() for c in w))
+        stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        n_stop = len(set(ws) & stops)
+        n_sym = t.count("#") + t.count("...")
+        return (
+            50 <= n <= 100_000,
+            3 * n <= sum_chars <= 10 * n,
+            5 * n_alpha >= 4 * n,
+            n_stop >= 2,
+            10 * n_sym <= n,
+        )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(0, 10_000))
+    def case(seed):
+        rng = random.Random(seed)
+        texts = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 70))))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (
+                r.flag_word_count, r.flag_mean_word_len, r.flag_alpha_words,
+                r.flag_stop_words, r.flag_symbol_ratio,
+            )
+            for r in TS.gopher_quality(df).collect()
+        }
+        for i, t in texts:
+            assert got[i] == ref(t), (i, t, got[i], ref(t))
+
+    case()
