@@ -43,6 +43,12 @@ QUERIES = [
         "events_rolling_1h",
         "RANGE-frame window after one user_id-keyed exchange; no global sort.",
     ),
+    (
+        "events_dau_wau",
+        "The one justified BroadcastNestedLoopJoin: the trailing-7-day range"
+        " join targets the dimension-sized day list, after the event stream"
+        " collapsed to (user, day) distinct.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
