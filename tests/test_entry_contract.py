@@ -23,6 +23,15 @@ SUBSET = [
     "docs_text_stats",
     "docs_fingerprint",
     "emb_knn_bruteforce",
+    # session-2 families: segment dedup, Gopher gate, TF-IDF, centroids,
+    # rolling RANGE frame, bigram LM, curation chain v2
+    "docs_segment_dedup",
+    "docs_gopher_quality",
+    "docs_tfidf_terms",
+    "emb_label_centroids",
+    "events_rolling_1h",
+    "docs_bigram_lm",
+    "docs_curate_v2",
 ]
 
 
