@@ -1,5 +1,5 @@
 """Driver-contract conformance: entry() smoke + queries↔oracle parity on a
-representative subset at sf0.001 (the full 34-query sweep runs via
+representative subset at sf0.001 (the full 125-query sweep runs via
 tools/check_contract.py at sf0.01, mirroring the driver)."""
 
 import duckdb
