@@ -625,3 +625,54 @@ def segment_dedup(
             *extra,
         )
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate n-gram SPAN census — the per-position signal of
+    suffix-array dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499), restated as a
+    sliding-window hash census: a position is duplicated when its
+    n-word window occurs ≥ 2 times anywhere in the corpus (same doc
+    included). Output per doc: n_windows, n_dup_windows, dup_frac —
+    used both to drop boilerplate-heavy docs and to measure residual
+    duplication after MinHash passes (near-dup catches whole documents;
+    the span census catches templates INSIDE otherwise-unique docs).
+
+    Scale shape: windows explode to ~L rows per doc, but every
+    exchanged row is (doc_id, xxhash64) — 16 bytes; the census is a
+    two-level partial hash-agg on the window hash and the dup flags
+    return through the same hash-keyed join. Window text never enters
+    an exchange. Reference parity: SURVEY.md §2 has no span dedup (the
+    reference dedups nothing); this is a beyond-reference training-data
+    operator."""
+    from .textstats import round6
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    upper = F.size(words) - n + 1
+    wins = F.when(
+        upper >= 1,
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = docs.select("doc_id", F.explode(wins).alias("h"))
+    census = pos.groupBy("h").agg(F.count("*").alias("cnt"))
+    per = (
+        pos.join(census, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        round6(
+            F.coalesce(F.col("n_dup") / F.col("n_windows"), F.lit(0.0))
+        ).alias("dup_frac"),
+    )

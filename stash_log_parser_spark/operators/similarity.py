@@ -674,3 +674,93 @@ def centroid_similarity(
             _q6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal direction of an embedding table by distributed
+    power iteration — the whitening / drift-monitoring primitive (the
+    dominant axis of a healthy embedding space is stable; a sudden
+    rotation means the encoder or the corpus changed).
+
+    Each iteration computes w = Xᵀ(Xv) in ONE narrow pass:
+    ``mapInPandas`` folds every Arrow batch into a d-length float64
+    partial (two BLAS matvecs per batch — the vectors never leave the
+    executor unreduced), the partials meet in a 64-row hash-agg, and
+    the d-row result is collected driver-side exactly like the k-means
+    centroid step (dimension-sized, never fact-sized). v is re-quantized
+    to 1e-6 after every normalization so the iterate — and therefore
+    the whole trajectory — is bit-identical across engines and
+    accumulation orders; the final Rayleigh quotient λ = Σ(x·v)² rides
+    the same partial-fold shape. Cost: ``iters + 1`` scans, zero
+    fact-sized shuffles, O(d·n_batches) exchanged bytes.
+
+    Output: one row per dimension (dim, loading) plus the constant
+    (eigenvalue, n_vecs) columns. Sign is pinned by the deterministic
+    all-positive init (1/√d, quantized)."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    first = emb.select(vec_col).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double, n_vecs long"
+        )
+    d = len(first[0])
+
+    def q6(a: np.ndarray) -> np.ndarray:
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    v = q6(np.full(d, 1.0 / np.sqrt(d)))
+
+    def xtxv_pass(v_cur: np.ndarray):
+        def fold(batches):
+            acc = np.zeros(d)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                acc += (X @ v_cur) @ X
+            yield pd.DataFrame({"j": np.arange(1, d + 1), "w": acc})
+
+        rows = (
+            emb.select(vec_col)
+            .mapInPandas(fold, "j int, w double")
+            .groupBy("j")
+            .agg(F.sum("w").alias("w"))
+            .collect()
+        )
+        w = np.zeros(d)
+        for r in rows:
+            w[r["j"] - 1] = r["w"]
+        return w
+
+    for _ in range(iters):
+        w = xtxv_pass(v)
+        v = q6(w / np.sqrt((w * w).sum()))
+
+    def lam_fold(batches):
+        acc, n = 0.0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = X @ v
+            acc += float(s @ s)
+            n += len(pdf)
+        yield pd.DataFrame({"lam": [acc], "n": [n]})
+
+    tot = (
+        emb.select(vec_col)
+        .mapInPandas(lam_fold, "lam double, n long")
+        .agg(F.sum("lam").alias("lam"), F.sum("n").alias("n"))
+        .first()
+    )
+    lam = float(np.floor(tot["lam"] * 1e4 + 0.5) / 1e4)
+    return spark.createDataFrame(
+        [(j + 1, float(v[j]), lam, int(tot["n"])) for j in range(d)],
+        "dim int, loading double, eigenvalue double, n_vecs long",
+    )

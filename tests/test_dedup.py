@@ -341,3 +341,50 @@ def test_segment_dedup_matches_python_reference_on_random_corpora(spark):
         assert got == py_reference(texts, 3, 1)
 
     case()
+
+
+def test_duplicate_ngram_spans_matches_python_reference_on_random_corpora(spark):
+    """Property test: on random small corpora (tiny shared vocab so
+    window collisions actually occur), duplicate_ngram_spans equals a
+    pure-python reference exactly — window counts, dup counts, and the
+    quantized fraction."""
+    import math
+    import random
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_reference(texts, n):
+        cnt = Counter()
+        per_doc = {}
+        for i, t in texts:
+            ws = t.strip().lower().split()
+            hs = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            per_doc[i] = hs
+            cnt.update(hs)
+        out = {}
+        for i, hs in per_doc.items():
+            nw, nd = len(hs), sum(1 for h in hs if cnt[h] >= 2)
+            frac = nd / nw if nw else 0.0
+            out[i] = (nw, nd, math.floor(frac * 1e6 + 0.5) / 1e6)
+        return out
+
+    vocab = [f"w{k}" for k in range(5)]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(0, 10_000))
+    def case(seed):
+        rng = random.Random(seed)
+        texts = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(rng.randint(2, 10))
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+            for r in D.duplicate_ngram_spans(df, n=3).collect()
+        }
+        assert got == py_reference(texts, 3)
+
+    case()

@@ -32,6 +32,14 @@ SUBSET = [
     "events_rolling_1h",
     "docs_bigram_lm",
     "docs_curate_v2",
+    # session-3 families: Markov transitions, MAD fence, span census,
+    # power-iteration PCA, z-order layout, Q21 window shape
+    "events_markov_transitions",
+    "events_mad_outliers",
+    "docs_dup_ngram_spans",
+    "emb_pca_power",
+    "docs_zorder_key",
+    "tpch_waiting_suppliers",
 ]
 
 

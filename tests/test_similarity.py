@@ -352,3 +352,42 @@ def test_ivf_index_persists_and_reloads(spark, emb, queries, tmp_path):
         )
     )
     assert got == want
+
+
+def test_pca_power_matches_numpy_mirror_and_finds_planted_direction(spark):
+    """pca_power_iteration equals a numpy mirror (same per-iteration
+    1e-6 quantization) EXACTLY, and two iterations recover a planted
+    dominant direction (|cos| > 0.95)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 200
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    X = rng.normal(scale=0.1, size=(n, d)) + np.outer(rng.normal(size=n) * 2.0, u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.pca_power_iteration(df, iters=2).orderBy("dim").collect()
+
+    def q6(a):
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    v = q6(np.full(d, 1 / np.sqrt(d)))
+    for _ in range(2):
+        w = (X @ v) @ X
+        v = q6(w / np.sqrt((w * w).sum()))
+    s = X @ v
+    lam = float(np.floor((s @ s) * 1e4 + 0.5) / 1e4)
+
+    got_v = np.array([r.loading for r in out])
+    assert np.array_equal(got_v, v)
+    assert out[0].eigenvalue == lam
+    assert out[0].n_vecs == n
+    assert abs(float(got_v @ u) / np.linalg.norm(got_v)) > 0.95
+
+
+def test_pca_power_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.pca_power_iteration(df).count() == 0
