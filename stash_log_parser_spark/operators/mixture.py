@@ -185,3 +185,165 @@ def quality_stratified_sample(
             F.col(score_col) >= min_score, F.lit(rate_threshold(rate))
         ).otherwise(thr)
     return docs.filter(key < thr)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed n-gram features are
+    under a TARGET domain's distribution than under the whole corpus's.
+    Docs that "look like" the target domain get positive scores — the
+    standard device for up-weighting a small high-quality domain when
+    resampling a huge crawl.
+
+    Model: unigrams + bigrams hashed into ``n_buckets`` buckets; both
+    the target distribution p and the corpus distribution q are
+    add-one-smoothed bucket categoricals. The importance log-weight of
+    a doc is  sum_g [ ln p(b_g) - ln q(b_g) ]  over its grams, which
+    factors as  sum_g llr(b_g) + n_grams * k  with
+    ``llr(b) = ln(t_b+1) - ln(c_b+1)`` (a per-bucket constant) and
+    ``k = ln(C+B) - ln(T+B)`` (a corpus scalar) — so the whole score
+    is a broadcast-join against a <= ``n_buckets``-row derived
+    dimension plus one scalar, never a per-doc ln.
+
+    Cross-engine exactness: each of the <= n_buckets+1 distinct ln
+    evaluations is quantized to integer MICRO units (floor(x*1e6+0.5)
+    as BIGINT) before any per-doc aggregation, and doc scores are
+    BIGINT sums of those micro units — order-independent and
+    bit-identical across engines (double sums are not; see
+    textstats.round6). The bucket hash is the first 6 md5 hex chars as
+    an integer, identical in Spark (conv) and DuckDB (hex cast).
+
+    Plan shape at 10^12 docs: one gram explode feeds (1) the corpus
+    bucket hash-agg and (2) the target bucket hash-agg — both bounded
+    by n_buckets rows after map-side partials, broadcast back onto the
+    doc-side gram stream; final agg shuffles (id) only. No global
+    windows, no Python.
+    """
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(ws)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+    )
+    grams = F.concat(ws, F.when(n >= 2, bigrams).otherwise(F.array()))
+    feats = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.when(n >= 1, grams).otherwise(F.array())).alias("gram"),
+    ).select(
+        id_col,
+        source_col,
+        (F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+    )
+    corpus = feats.groupBy("bucket").agg(F.count("*").alias("cb"))
+    target = (
+        feats.filter(F.col(source_col) == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tb"))
+    )
+    # llr dimension: <= n_buckets rows, micro-quantized BEFORE doc sums
+    llr = (
+        corpus.join(target, "bucket", "left")
+        .select(
+            "bucket",
+            F.floor(
+                (F.log(F.coalesce(F.col("tb"), F.lit(0)) + 1.0)
+                 - F.log(F.col("cb") + 1.0)) * 1e6 + 0.5
+            ).cast("long").alias("llr_micro"),
+        )
+    )
+    totals = corpus.join(target, "bucket", "left").agg(
+        F.sum("cb").alias("C"), F.sum(F.coalesce("tb", F.lit(0))).alias("T")
+    ).select(
+        F.floor(
+            (F.log(F.col("C") + F.lit(float(n_buckets)))
+             - F.log(F.col("T") + F.lit(float(n_buckets)))) * 1e6 + 0.5
+        ).cast("long").alias("k_micro")
+    )
+    scored = (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("llr_micro").alias("s_micro"),
+        )
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            "n_grams",
+            ((F.col("s_micro") + F.col("n_grams") * F.col("k_micro"))
+             / F.lit(1e6)).alias("dsir_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score"),
+        )
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget: int,
+    len_col: str = "n_chars",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    n_blocks: int = 100,
+) -> DataFrame:
+    """Quality-first token-budget selection: walk the corpus in
+    (score DESC, id ASC) order and keep documents until the cumulative
+    token count would exceed ``budget`` — "give me the best N tokens",
+    the selection knob every fixed-budget pretraining run needs.
+    A doc is kept iff the budget it would START at is < budget
+    (greedy prefix; the last kept doc may overflow the budget by up to
+    its own length, same overflow policy as pack_sequences).
+
+    The global prefix sum over a TOTAL order is the scale hazard: a
+    naive ``Window.orderBy(...)`` with no partition key collapses to
+    one task. This runs the same two-level parallel scan as
+    concurrency_timeline(two_level=True): (1) block key = the score
+    quantized into ``n_blocks`` descending strata (score is already
+    round6-quantized upstream, so block membership is engine-exact);
+    (2) per-block totals -> a <= n_blocks-row dimension whose own
+    prefix scan is a trivially small window; (3) the per-doc scan runs
+    WITHIN each block, partitioned by block key. Result is identical
+    to the single-window form (the SQL oracle) but every stage is
+    parallel over blocks.
+    """
+    block = F.floor(F.lit(n_blocks) * (F.lit(1.0) - F.col(score_col))).cast("long")
+    d = docs.withColumn("_blk", block)
+    per_block = d.groupBy("_blk").agg(F.sum(len_col).alias("_blk_len"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    block_base = per_block.select(
+        "_blk", F.coalesce(F.sum("_blk_len").over(wb), F.lit(0)).alias("_base")
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        d.withColumn("_within", F.coalesce(F.sum(len_col).over(ww), F.lit(0)))
+        .join(F.broadcast(block_base), "_blk")
+        .select(
+            id_col,
+            score_col,
+            F.col(len_col).cast("long").alias(len_col),
+            (F.col("_base") + F.col("_within")).cast("long").alias("cum_before"),
+        )
+        .filter(F.col("cum_before") < budget)
+    )
+    return out

@@ -764,3 +764,46 @@ def pca_power_iteration(
         [(j + 1, float(v[j]), lam, int(tot["n"])) for j in range(d)],
         "dim int, loading double, eigenvalue double, n_vecs long",
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query, the k candidates MOST similar by cosine whose label
+    differs from the query's — the near-misses a ranker learns the
+    most from (far negatives are trivial; same-label neighbors are
+    positives, not negatives).
+
+    Same plan as cosine_topk (broadcast the query set, scan the
+    corpus once, per-query k-row window) with the label inequality
+    pushed into the scan-side filter so excluded candidates never
+    reach the score computation. At 10^12 vectors swap the scan side
+    for the IVF/LSH candidate stage exactly as ivf_topk does — the
+    mining semantics (filter, then top-k) are unchanged.
+    """
+    from pyspark.sql import Window
+
+    j = embeddings.join(F.broadcast(queries)).filter(
+        F.col(label_col) != F.col(query_label_col)
+    )
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

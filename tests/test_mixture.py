@@ -137,3 +137,134 @@ def test_quality_stratified_sample_tiers(spark):
         df, "q", [(0.8, 1.0), (0.7, 0.5)], default_rate=0.0
     ).collect()
     assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+# ---------------------------------------------------------------------------
+# select_token_budget
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scored_docs(spark):
+    rows = [
+        (i, round((i * 17 % 100) / 100.0, 6), 100 + (i * 37) % 900)
+        for i in range(80)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_chars long"
+    ).cache()
+
+
+def test_select_token_budget_equals_global_window(scored_docs):
+    """The two-level parallel scan must be row-identical to the naive
+    single global prefix sum (the SQL oracle's form)."""
+    from pyspark.sql import Window
+
+    budget = 9_000
+    out = {
+        r.doc_id: (r.cum_before, r.n_chars)
+        for r in M.select_token_budget(scored_docs, budget=budget).collect()
+    }
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        r.doc_id: (r.cb, r.n_chars)
+        for r in scored_docs.withColumn(
+            "cb", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        )
+        .filter(F.col("cb") < budget)
+        .collect()
+    }
+    assert out == naive
+    # greedy-prefix property: kept docs are exactly a prefix of the
+    # quality-ordered corpus, and the budget is respected pre-overflow
+    kept_tot = sum(v[1] for v in out.values())
+    max_start = max(v[0] for v in out.values())
+    assert max_start < budget <= kept_tot + max(v[1] for v in out.values())
+
+
+def test_select_token_budget_edges(scored_docs):
+    # zero budget keeps nothing; huge budget keeps everything
+    assert M.select_token_budget(scored_docs, budget=0).count() == 0
+    assert (
+        M.select_token_budget(scored_docs, budget=10**12).count()
+        == scored_docs.count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+
+def _dsir_reference(rows, target_source, n_buckets=64):
+    """Pure-python mirror of dsir_importance's exact integer-micro
+    arithmetic."""
+    import math
+    import re
+
+    def grams_of(text):
+        ws = re.split(r"\s+", text.strip().lower())
+        gs = list(ws)
+        if len(ws) >= 2:
+            gs += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return gs
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % n_buckets
+
+    cb: dict[int, int] = {}
+    tb: dict[int, int] = {}
+    feats = []
+    for doc_id, source, text in rows:
+        bs = [bucket(g) for g in grams_of(text)]
+        feats.append((doc_id, bs))
+        for b in bs:
+            cb[b] = cb.get(b, 0) + 1
+            if source == target_source:
+                tb[b] = tb.get(b, 0) + 1
+    llr = {
+        b: math.floor(
+            (math.log(tb.get(b, 0) + 1.0) - math.log(c + 1.0)) * 1e6 + 0.5
+        )
+        for b, c in cb.items()
+    }
+    C, T = sum(cb.values()), sum(tb.values())
+    k = math.floor(
+        (math.log(C + float(n_buckets)) - math.log(T + float(n_buckets))) * 1e6
+        + 0.5
+    )
+    return {
+        doc_id: (len(bs), (sum(llr[b] for b in bs) + len(bs) * k) / 1e6)
+        for doc_id, bs in feats
+    }
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{(i * 7 + j) % 23}" for j in range(6)))
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_score)
+        for r in M.dsir_importance(df, "src0", n_buckets=64).collect()
+    }
+    assert got == _dsir_reference(rows, "src0", n_buckets=64)
+
+
+def test_dsir_importance_upweights_target_domain(spark):
+    """Docs sharing the target domain's distinctive vocabulary must
+    score above docs that don't."""
+    rows = (
+        [(i, "tgt", "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "crawl", "foo bar baz qux") for i in range(20)]
+        + [(200, "crawl", "alpha beta gamma delta"), (201, "crawl", "foo bar baz qux")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    s = {r.doc_id: r.dsir_score for r in M.dsir_importance(df, "tgt").collect()}
+    assert s[200] > s[201]  # target-looking crawl doc outranks off-domain
+    assert min(s[i] for i in range(20)) > max(
+        s[100 + i] for i in range(20)
+    )  # every target doc outranks every off-domain doc

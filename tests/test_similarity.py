@@ -391,3 +391,43 @@ def test_pca_power_matches_numpy_mirror_and_finds_planted_direction(spark):
 def test_pca_power_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert S.pca_power_iteration(df).count() == 0
+
+
+def test_hard_negatives_excludes_query_label_and_is_topk(spark):
+    """Every mined negative has a different label than its query, and
+    is exactly the cosine top-k of the label-filtered candidate set."""
+    import numpy as np
+
+    from stash_log_parser_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(emb, q, k=4).collect()
+    assert len(out) == 8
+    qlabel = {r.query_id: r.query_label for r in q.collect()}
+    assert all(r.label != qlabel[r.query_id] for r in out)
+    # equals cosine_topk over the pre-filtered candidate pool
+    for qid, lab in qlabel.items():
+        pool = emb.filter(F.col("label") != lab)
+        one_q = q.filter(F.col("query_id") == qid).drop("query_label")
+        expect = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(pool, one_q, k=4).collect()
+        ]
+        got = [
+            (r.vec_id, r.cosine) for r in sorted(
+                (r for r in out if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        assert got == expect
