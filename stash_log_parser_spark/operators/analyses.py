@@ -458,3 +458,54 @@ def integer_zscore_outliers(
         .drop("_lhs", "_rhs")
         .withColumnRenamed("_n", "n_in_group")
     )
+
+
+def repo_coaccess(
+    parsed: DataFrame, max_repos_per_user: int = 20, top_pairs: int = 20
+) -> DataFrame:
+    """Repo co-access graph (the market-basket shape): pairs of repos
+    fetched by the same user, ranked by how many distinct users share
+    them — the signal behind "people who clone X also clone Y" and
+    repo-clustering jobs.
+
+    The self-join-within-user is the quadratic hazard: a bot touching
+    50k repos would alone contribute 1.25e9 pairs. So the user×repo
+    incidence is first deduplicated (one hash-agg) and then CAPPED at
+    ``max_repos_per_user`` repos per user (kept deterministically by
+    per-user op count, ties by slug) — the same audited-cap discipline
+    as the LSH banding joins; the cap bounds the join at
+    C(cap, 2)·n_users pairs. Output is the global top ``top_pairs``
+    (TakeOrderedAndProject)."""
+    from pyspark.sql import Window
+
+    inc = (
+        parsed.filter(
+            F.col("is_parsed")
+            & F.col("op_type").isNotNull()
+            & F.col("repo_slug").isNotNull()
+            & F.col("username").isNotNull()
+        )
+        .groupBy("username", "repo_slug")
+        .agg(F.count("*").alias("n_ops"))
+    )
+    w = Window.partitionBy("username").orderBy(
+        F.desc("n_ops"), F.asc("repo_slug")
+    )
+    capped = (
+        inc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_repos_per_user)
+        .select("username", "repo_slug")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "username")
+        .filter(F.col("a.repo_slug") < F.col("b.repo_slug"))
+        .groupBy(
+            F.col("a.repo_slug").alias("repo_a"),
+            F.col("b.repo_slug").alias("repo_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    return pairs.orderBy(
+        F.desc("n_users"), F.asc("repo_a"), F.asc("repo_b")
+    ).limit(top_pairs)

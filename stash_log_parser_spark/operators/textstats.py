@@ -564,3 +564,54 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("neg_avg_logp", F.lit(0.0)).alias("neg_avg_logp"),
         )
     )
+
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space
+# symbols — the GPT-2 pretokenizer's shape minus the lookahead/unicode
+# classes neither engine's regex treats identically. Applied to
+# lowercased text so the alternation is engine-stable.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting under a BPE-ish pretokenizer — the
+    budget currency of every pretraining pipeline (words undercount
+    code/punctuation-heavy text badly). Splits into letter runs, digit
+    runs, and single symbols; reports the class mix so downstream
+    mixtures can weight code vs prose. Pure Catalyst (one
+    regexp_extract_all per row, no Python)."""
+    toks = F.regexp_extract_all(
+        F.trim(F.lower(F.col(text_col))), F.lit(TOKEN_RE), 0
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        alpha.cast("long").alias("n_alpha"),
+        digit.cast("long").alias("n_digit"),
+        (F.size(toks) - alpha - digit).cast("long").alias("n_symbol"),
+    )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    score_col: str,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile (rank) normalization of a score column:
+    percent_rank within each ``by_col`` group, so scores from sources
+    with different scales become comparable before cross-source
+    selection (the fix for "source A's quality model is systematically
+    optimistic"). One window per group partition — shuffles on the
+    group key only; round6 for the cross-engine twin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by_col).orderBy(F.asc(score_col), F.asc(id_col))
+    return docs.select(
+        id_col,
+        by_col,
+        score_col,
+        round6(F.percent_rank().over(w)).alias("q_norm"),
+    )

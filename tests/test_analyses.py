@@ -240,3 +240,39 @@ def test_integer_zscore_outliers_no_int64_overflow(spark):
 
     with pytest.raises(ValueError, match="k must be an integer"):
         A.integer_zscore_outliers(df, "user_id", "value_cents", k=1.5)
+
+
+def test_repo_coaccess_cap_bounds_pairs_and_matches_uncapped(spark):
+    """The per-user cap bounds the self-join; on data where no user
+    exceeds the cap, capped == uncapped. A hot user touching more
+    repos than the cap contributes exactly C(cap, 2) pairs."""
+    from stash_log_parser_spark.functions.parse import parse_corpus
+    from stash_log_parser_spark.operators.analyses import repo_coaccess
+
+    import itertools
+
+    from stash_log_parser_spark.corpus import write_corpus
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="slp_coaccess_")
+    path = f"{d}/c.parquet"
+    write_corpus(path, n_requests_per_day=400, n_days=1, seed=11)
+    parsed = parse_corpus(spark.read.parquet(path))
+    # a cap at (true per-user max) is lossless: equals the unbounded run
+    max_per_user = (
+        parsed.filter(F.col("repo_slug").isNotNull() & F.col("username").isNotNull())
+        .groupBy("username")
+        .agg(F.countDistinct("repo_slug").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    full = repo_coaccess(parsed, max_repos_per_user=10**6, top_pairs=10**6)
+    capped = repo_coaccess(parsed, max_repos_per_user=max_per_user, top_pairs=10**6)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, capped.collect()))
+
+    # synthetic hot user: 12 repos, cap 5 -> exactly C(5,2)=10 pairs
+    rows = [("bot", f"proj/r{i:02d}", "clone") for i in range(12)]
+    hot = spark.createDataFrame(rows, "username string, repo_slug string, op_type string") \
+        .withColumn("is_parsed", F.lit(True))
+    out = repo_coaccess(hot, max_repos_per_user=5, top_pairs=10**6).collect()
+    assert len(out) == len(list(itertools.combinations(range(5), 2)))

@@ -1,0 +1,67 @@
+"""Deterministic cross-engine HLL (operators/sketches.py)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators import sketches as S
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.createDataFrame(
+        [(f"user-{i % 700}",) for i in range(3000)], "k string"
+    ).cache()
+
+
+def _ref_registers(values):
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+        b, w = h >> 40, h & ((1 << 40) - 1)
+        rho = 41 - w.bit_length() if w > 0 else 41
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(keys):
+    got = {r.bucket: r.register for r in S.hll_registers(keys, "k").collect()}
+    assert got == _ref_registers([r.k for r in keys.collect()])
+
+
+def test_hll_estimate_accuracy_and_exact_form(keys):
+    """~700 distinct with 256 registers: the standard error is
+    1.04/sqrt(256) ~ 6.5 %; assert within 4 sigma, and that the
+    estimate equals the closed-form python computation exactly."""
+    est = S.hll_estimate(keys, "k").first().hll_estimate
+    assert abs(est - 700) / 700 < 0.26
+    regs = _ref_registers([r.k for r in keys.collect()])
+    m = 256
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / s
+    v = m - len(regs)
+    expect = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    assert est == math.floor(expect * 1e6 + 0.5) / 1e6
+
+
+def test_hll_estimate_empty_and_singleton(spark):
+    empty = spark.createDataFrame([], "k string")
+    assert S.hll_estimate(empty, "k").first().hll_estimate == 0.0
+    one = spark.createDataFrame([("x",)], "k string")
+    assert 0.9 < S.hll_estimate(one, "k").first().hll_estimate < 1.1
+
+
+def test_hll_registers_merge_by_elementwise_max(spark, keys):
+    """Mergeability — the property that makes the sketch shardable:
+    registers(union) == elementwise max of per-shard registers."""
+    a = keys.limit(1500)
+    b = keys.subtract(a.limit(0)).exceptAll(a)  # the complement shard
+    whole = {r.bucket: r.register for r in S.hll_registers(keys, "k").collect()}
+    ra = {r.bucket: r.register for r in S.hll_registers(a, "k").collect()}
+    rb = {r.bucket: r.register for r in S.hll_registers(b, "k").collect()}
+    merged = dict(ra)
+    for k, v in rb.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole

@@ -348,3 +348,45 @@ def test_gopher_quality_matches_python_reference(spark):
             assert got[i] == ref(t), (i, t, got[i], ref(t))
 
     case()
+
+
+def test_token_counts_matches_python_reference(spark):
+    import re
+
+    from stash_log_parser_spark.operators.textstats import TOKEN_RE, token_counts
+
+    rows = [
+        (1, "Hello, world! 42 foo_bar"),
+        (2, ""),
+        (3, "   "),
+        (4, "a1b2 --code() {x}"),
+        (5, "héllo wörld 3.14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_alpha, r.n_digit, r.n_symbol)
+        for r in token_counts(df).collect()
+    }
+    for doc_id, text in rows:
+        toks = re.findall(TOKEN_RE, text.strip().lower())
+        na = sum(1 for t in toks if re.fullmatch("[a-z]+", t))
+        nd = sum(1 for t in toks if re.fullmatch("[0-9]+", t))
+        assert got[doc_id] == (len(toks), na, nd, len(toks) - na - nd), doc_id
+
+
+def test_quantile_normalize_rank_properties(spark):
+    from stash_log_parser_spark.operators.textstats import quantile_normalize
+
+    rows = [(i, f"s{i % 2}", float(i % 7) / 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = quantile_normalize(df, "score").collect()
+    assert all(0.0 <= r.q_norm <= 1.0 for r in out)
+    # within a source, q_norm is strictly increasing along (score, doc_id)
+    for src in ("s0", "s1"):
+        grp = sorted(
+            (r for r in out if r.source == src),
+            key=lambda r: (r.score, r.doc_id),
+        )
+        qs = [r.q_norm for r in grp]
+        assert qs == sorted(qs) and len(set(qs)) == len(qs)
+        assert qs[0] == 0.0 and qs[-1] == 1.0
