@@ -509,3 +509,68 @@ def repo_coaccess(
     return pairs.orderBy(
         F.desc("n_users"), F.asc("repo_a"), F.asc("repo_b")
     ).limit(top_pairs)
+
+
+def cusum_drift(
+    series: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "hour",
+    value_col: str = "x",
+    threshold_mult: float = 3.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection per key: the classic
+    ``s_t = max(0, s_{t-1} + x_t - k)`` recurrence with reference
+    value k = the key's own mean (so a sustained shift above baseline
+    accumulates and trips the alarm, while noise resets to 0). The
+    reset recurrence is not a window aggregate in any engine — like
+    greedy packing it is the canonical custom-stateful shape: one
+    applyInPandas per key partition, numpy loop inside, keys-only
+    shuffle.
+
+    All state is integer micro-units (x and k scaled by 1e6, BIGINT
+    sums), so the trajectory is bit-exact across engines and the SQL
+    oracle can unroll the recurrence with a recursive CTE. Alarm when
+    s_t > threshold_mult · k.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, series.schema[key_col].dataType),
+            T.StructField(order_col, series.schema[order_col].dataType),
+            T.StructField("x", T.LongType()),
+            T.StructField("cusum_micro", T.LongType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        xs = pdf["_x"].to_numpy()
+        # k: the key's mean in micro units — sum*1e6/count is an exact
+        # double division of <2^53 integers, identical in DuckDB
+        import math
+
+        k_micro = math.floor(int(xs.sum()) * 1e6 / len(xs) + 0.5)
+        thr_micro = math.floor(threshold_mult * k_micro + 0.5)
+        s, out_s, out_a = 0, [], []
+        for x in xs:
+            s = max(0, s + int(x) * 1_000_000 - k_micro)
+            out_s.append(s)
+            out_a.append(s > thr_micro)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                order_col: pdf[order_col],
+                "x": pdf["_x"],
+                "cusum_micro": out_s,
+                "alarm": out_a,
+            }
+        )
+
+    narrowed = series.select(
+        key_col, order_col, F.col(value_col).cast("long").alias("_x")
+    )
+    return narrowed.groupBy(key_col).applyInPandas(scan, schema=out_schema)

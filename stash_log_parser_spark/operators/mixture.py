@@ -347,3 +347,36 @@ def select_token_budget(
         .filter(F.col("cum_before") < budget)
     )
     return out
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets an exponential race key
+    ``-ln(u)/w`` with u a uniform derived from md5(id) — the k
+    SMALLEST keys are a weight-proportional sample, stable across
+    runs, engines, and partitionings (same reason sample_mixture uses
+    an md5 threshold instead of df.sample). One narrow scan +
+    TakeOrderedAndProject; no shuffle of the payload.
+
+    The race key is quantized to 1e-6 (ties broken by id) so the
+    selection is engine-exact; quantization only coarsens the race
+    between nearly-tied candidates, never biases it."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / float(_HEX_SCALE + 1)  # in (0, 1]
+    key = F.floor(-F.log(u) / F.col(weight_col) * 1e6 + 0.5).cast("long")
+    return (
+        docs.withColumn("race_key", key)
+        .orderBy(F.asc("race_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -83,3 +83,41 @@ def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
     return agg.select(
         F.floor(est * 1e6 + F.lit(0.5)).cast("long").alias("est_micro")
     ).select((F.col("est_micro") / 1e6).alias("hll_estimate"))
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, by_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group — the OTHER
+    classic mergeable cardinality sketch (merge = union the value
+    lists, keep the k smallest). Same determinism discipline as the
+    HLL: md5 48-bit hashes, so the k-th minimum — and therefore the
+    estimate ``(k-1) · 2^48 / h_k`` — is identical on every engine
+    (one exact integer division in double, then round6).
+
+    Groups with fewer than k distinct values report their EXACT
+    count (the sketch is lossless below k). Plan: distinct hash-agg,
+    per-group k-row window, 2-column shuffle only."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    hashes = df.select(F.col(by_col), h.alias("h")).distinct()
+    w = Window.partitionBy(by_col).orderBy("h")
+    ranked = hashes.withColumn("r", F.row_number().over(w))
+    per_group = ranked.groupBy(by_col).agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.floor((F.lit(float(k - 1)) * F.lit(float(1 << 48)) / F.col("hk")) * 1e6 + 0.5)
+        / 1e6,
+    ).otherwise(F.col("n_exact").cast("double"))
+    return per_group.select(
+        by_col,
+        "n_exact",
+        est.alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )

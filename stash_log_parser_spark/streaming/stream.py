@@ -564,3 +564,22 @@ def streaming_ingest(
             spark, input_dir, output, run_id="stream-backfill", sinks=affected
         )
     return progress
+
+
+def streaming_native_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 days",
+) -> DataFrame:
+    """Built-in streaming dedup twin of streaming_exact_dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and suppresses re-arrivals for as long as the key stays inside the
+    watermark horizon — state is BOUNDED by the watermark (the whole
+    point of the native operator vs a grow-forever GroupState). With a
+    horizon longer than the replayed range it degenerates to exact
+    global keep-first, which is what the oracle checks; in production
+    the horizon is the dedup SLA ("suppress re-crawls within 10
+    days")."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

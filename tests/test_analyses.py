@@ -276,3 +276,34 @@ def test_repo_coaccess_cap_bounds_pairs_and_matches_uncapped(spark):
         .withColumn("is_parsed", F.lit(True))
     out = repo_coaccess(hot, max_repos_per_user=5, top_pairs=10**6).collect()
     assert len(out) == len(list(itertools.combinations(range(5), 2)))
+
+
+def test_cusum_drift_matches_python_reference_and_detects_shift(spark):
+    """The applyInPandas scan equals a pure-python recurrence; a
+    sustained level shift trips the alarm while the pre-shift half
+    stays quiet."""
+    import math
+
+    from stash_log_parser_spark.operators.analyses import cusum_drift
+
+    xs = [10] * 30 + [25] * 10  # sustained shift in the last quarter
+    rows = [("a", f"h{i:03d}", x) for i, x in enumerate(xs)] + [
+        ("b", f"h{i:03d}", 10) for i in range(40)  # flat control series
+    ]
+    df = spark.createDataFrame(rows, "event_type string, hour string, x long")
+    out = {
+        (r.event_type, r.hour): (r.cusum_micro, r.alarm)
+        for r in cusum_drift(df).collect()
+    }
+    # pure-python mirror
+    for key, series in (("a", xs), ("b", [10] * 40)):
+        k = math.floor(sum(series) * 1e6 / len(series) + 0.5)
+        thr = math.floor(3.0 * k + 0.5)
+        s = 0
+        for i, x in enumerate(series):
+            s = max(0, s + x * 1_000_000 - k)
+            assert out[(key, f"h{i:03d}")] == (s, s > thr), (key, i)
+    assert not any(a for (t, _), (_, a) in out.items() if t == "b")
+    assert any(a for (t, _), (_, a) in out.items() if t == "a")
+
+

@@ -268,3 +268,33 @@ def test_dsir_importance_upweights_target_domain(spark):
     assert min(s[i] for i in range(20)) > max(
         s[100 + i] for i in range(20)
     )  # every target doc outranks every off-domain doc
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    """Heavier rows are sampled more often (checked across disjoint
+    id-salted repetitions), and the same input yields the same
+    sample."""
+    rows = [(i, "s", 10 if i % 2 == 0 else 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out1 = [r.doc_id for r in M.weighted_sample(df, k=40, weight_col="n_chars").collect()]
+    out2 = [r.doc_id for r in M.weighted_sample(df, k=40, weight_col="n_chars").collect()]
+    assert out1 == out2 and len(out1) == 40
+    heavy = sum(1 for i in out1 if i % 2 == 1)
+    assert heavy >= 35  # 100x weight ratio -> overwhelmingly heavy picks
+    with pytest.raises(ValueError):
+        M.weighted_sample(df, k=0, weight_col="n_chars")
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, 50 + (i * 13) % 200) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.doc_id, r.race_key) for r in M.weighted_sample(df, k=10, weight_col="w").collect()]
+    keys = []
+    for i, w in rows:
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) + 1.0) / 16777217.0
+        keys.append((math.floor(-math.log(u) / w * 1e6 + 0.5), i))
+    expect = [(i, k) for k, i in sorted(keys)[:10]]
+    assert got == expect

@@ -65,3 +65,23 @@ def test_hll_registers_merge_by_elementwise_max(spark, keys):
     for k, v in rb.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == whole
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """Groups under k report exact counts (rel_err 0); groups over k
+    report the KMV estimate within 4/sqrt(k) of truth; estimate equals
+    the closed-form python computation."""
+    rows = [("small", f"v{i}") for i in range(30)] + [
+        ("big", f"x{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "source string, word string")
+    out = {r.source: r for r in S.kmv_distinct(df, "word", "source", k=64).collect()}
+    assert out["small"].n_exact == 30
+    assert out["small"].kmv_estimate == 30.0 and out["small"].rel_err == 0.0
+    assert out["big"].n_exact == 2000
+    assert abs(out["big"].kmv_estimate - 2000) / 2000 < 0.5
+    hs = sorted(
+        int(hashlib.md5(f"x{i}".encode()).hexdigest()[:12], 16) for i in range(2000)
+    )
+    expect = math.floor(63.0 * float(1 << 48) / hs[63] * 1e6 + 0.5) / 1e6
+    assert out["big"].kmv_estimate == expect
