@@ -460,13 +460,12 @@ def integer_zscore_outliers(
     )
 
 
-def repo_coaccess(
-    parsed: DataFrame, max_repos_per_user: int = 20, top_pairs: int = 20
+def coaccess_pairs(
+    parsed: DataFrame, max_repos_per_user: int = 20
 ) -> DataFrame:
-    """Repo co-access graph (the market-basket shape): pairs of repos
-    fetched by the same user, ranked by how many distinct users share
-    them — the signal behind "people who clone X also clone Y" and
-    repo-clustering jobs.
+    """The UNRANKED repo co-access edge set (repo_a < repo_b,
+    n_users) that repo_coaccess tops and the graph operators
+    (operators/graph.py) consume as their edge list.
 
     The self-join-within-user is the quadratic hazard: a bot touching
     50k repos would alone contribute 1.25e9 pairs. So the user×repo
@@ -474,8 +473,7 @@ def repo_coaccess(
     ``max_repos_per_user`` repos per user (kept deterministically by
     per-user op count, ties by slug) — the same audited-cap discipline
     as the LSH banding joins; the cap bounds the join at
-    C(cap, 2)·n_users pairs. Output is the global top ``top_pairs``
-    (TakeOrderedAndProject)."""
+    C(cap, 2)·n_users pairs."""
     from pyspark.sql import Window
 
     inc = (
@@ -497,7 +495,7 @@ def repo_coaccess(
         .select("username", "repo_slug")
     )
     a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
+    return (
         a.join(b, "username")
         .filter(F.col("a.repo_slug") < F.col("b.repo_slug"))
         .groupBy(
@@ -506,6 +504,18 @@ def repo_coaccess(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def repo_coaccess(
+    parsed: DataFrame, max_repos_per_user: int = 20, top_pairs: int = 20
+) -> DataFrame:
+    """Repo co-access graph (the market-basket shape): pairs of repos
+    fetched by the same user, ranked by how many distinct users share
+    them — the signal behind "people who clone X also clone Y" and
+    repo-clustering jobs. See coaccess_pairs for the capped edge
+    build; output is the global top ``top_pairs``
+    (TakeOrderedAndProject)."""
+    pairs = coaccess_pairs(parsed, max_repos_per_user=max_repos_per_user)
     return pairs.orderBy(
         F.desc("n_users"), F.asc("repo_a"), F.asc("repo_b")
     ).limit(top_pairs)

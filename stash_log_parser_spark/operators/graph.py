@@ -1,0 +1,163 @@
+"""Graph analytics over the repo co-access graph.
+
+The access log induces a natural graph — repos are nodes, and an edge
+joins two repos touched by the same user (the capped market-basket
+pairs from operators/analyses.py:coaccess_pairs). Reference parity:
+the upstream tool stops at flat per-repo counts; ranking repos by
+*structural* importance (PageRank) and clustering (triangle census)
+is the natural extension a fleet-analytics team runs on this data.
+
+Design for scale
+----------------
+* PageRank is the textbook bulk-synchronous iteration: ranks live in a
+  (node, rank) table co-partitioned with the edge list on ``src``;
+  every iteration is ONE co-partitioned join (ranks ⋈ edges) plus ONE
+  shuffle (groupBy dst). The edge list is hash-partitioned once and
+  cached — iterations reuse the same partitioning, so only the rank
+  table (|V| rows, tiny next to |E|) moves per round.
+* The iterate is re-quantized to 1e-6 after every update on BOTH
+  engines (`floor(x*1e6+0.5)/1e6`) — the same engine-exact trajectory
+  discipline as the PCA power iteration and k-means oracles — so a
+  5-iteration run value-hash matches the SQL oracle's unrolled CTEs.
+* Triangle counting uses the DEGREE-ORIENTED wedge join: each
+  undirected edge is oriented from its (degree, name)-smaller endpoint
+  to the larger. Every out-neighborhood then has O(sqrt(|E|)) size on
+  any graph (the classic Schank–Wagner / Cohen MapReduce bound), so
+  the wedge self-join is near-linear instead of quadratic in the max
+  hub degree — the difference between a plan that survives a social
+  graph and one that dies on the first celebrity node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _q6(col):
+    """Quantize to 1e-6 — identical to the round6 oracle discipline."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+def undirect(edges: DataFrame, src: str = "repo_a", dst: str = "repo_b") -> DataFrame:
+    """Both directions of an undirected (a < b) edge list."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "repo_a",
+    dst: str = "repo_b",
+) -> DataFrame:
+    """Unweighted PageRank over the undirected edge list ``edges``
+    (columns src/dst with src < dst per row).
+
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/deg(u),
+    quantized to 1e-6 after init and after every iteration so the
+    trajectory is bit-exact across engines (see module docstring).
+    Every node of the bidirectional edge set has deg ≥ 1, so there is
+    no dangling mass.
+
+    Returns (node, degree, pagerank) ordered by rank desc, node asc.
+    """
+    both = undirect(edges, src, dst)
+    # Partition the (static) adjacency once on the join key; cache so
+    # each iteration reuses the same co-partitioned build side.
+    adj = both.repartition("src").persist()
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg").persist()
+    n_nodes = nodes.count()  # one tiny job; also materializes the cache
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select(
+        "node", _q6(F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(nodes, "node")
+            .select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("deg")).alias("w"),
+            )
+            .join(adj, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = contrib.select(
+            "node", _q6(F.lit(base) + F.lit(damping) * F.col("s")).alias("rank")
+        )
+    out = ranks.join(nodes, "node").select(
+        "node",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("rank").alias("pagerank"),
+    )
+    return out.orderBy(F.desc("pagerank"), F.asc("node"))
+
+
+def triangle_census(
+    edges: DataFrame, src: str = "repo_a", dst: str = "repo_b"
+) -> DataFrame:
+    """Per-node triangle counts + degree over the undirected (a < b)
+    edge list, via the degree-oriented wedge join (module docstring).
+
+    Orientation key is (degree, node): each edge points at its larger
+    endpoint, every triangle {x,y,z} is emitted exactly once (from its
+    orientation-minimal vertex), and hub out-degrees are bounded by
+    O(sqrt(|E|)). All-integer pipeline — no float parity risk.
+
+    Returns (node, degree, triangles) for every node, ordered by
+    triangles desc, degree desc, node asc.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # Orient: src' = (deg,name)-smaller endpoint.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    keep_ab = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(keep_ab, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(keep_ab, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(keep_ab, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(keep_ab, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # Wedges rooted at u: out-neighbors v < w in orientation order;
+    # close the wedge iff oriented edge (v, w) exists.
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
+        (F.col("o1.dv") < F.col("o2.dv"))
+        | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("cv"), F.col("v").alias("cw")
+    )
+    tris = wedges.join(
+        closer,
+        (F.col("o1.v") == F.col("cv")) & (F.col("o2.v") == F.col("cw")),
+        "left_semi",
+    ).select(
+        F.col("o1.u").alias("x"), F.col("o1.v").alias("y"), F.col("o2.v").alias("z")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    return out.orderBy(
+        F.desc("triangles"), F.desc("degree"), F.asc("node")
+    )

@@ -1,0 +1,115 @@
+"""Graph operators (operators/graph.py): PageRank + triangle census.
+
+Hand-built edge lists with pure-python mirrors — same discipline as the
+packing/CUSUM reference tests.
+"""
+
+import math
+from itertools import combinations
+
+import pytest
+
+from stash_log_parser_spark.operators.graph import pagerank, triangle_census
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "repo_a string, repo_b string"
+    )
+
+
+def _q6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _pagerank_ref(pairs, iters=3, d=0.85):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    base = (1.0 - d) / n
+    r = {v: _q6(1.0 / n) for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = _q6(base + d * s)
+        r = nxt
+    return r, {v: len(adj[v]) for v in adj}
+
+
+class TestPagerank:
+    def test_k3_is_uniform_fixed_point(self, spark):
+        out = pagerank(_edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")]))
+        rows = {r["node"]: r for r in out.collect()}
+        assert set(rows) == {"a", "b", "c"}
+        for r in rows.values():
+            assert r["pagerank"] == pytest.approx(_q6(1 / 3), abs=1e-9)
+            assert r["degree"] == 2
+
+    def test_star_matches_python_mirror(self, spark):
+        pairs = [("hub", f"leaf{i}") for i in range(3)]
+        ref, deg = _pagerank_ref(pairs, iters=3)
+        rows = {r["node"]: r for r in pagerank(_edges_df(spark, pairs)).collect()}
+        assert set(rows) == set(ref)
+        for v in ref:
+            assert rows[v]["pagerank"] == pytest.approx(ref[v], abs=1e-9), v
+            assert rows[v]["degree"] == deg[v]
+        # hub strictly outranks every leaf and output is rank-ordered
+        ordered = pagerank(_edges_df(spark, pairs)).collect()
+        assert ordered[0]["node"] == "hub"
+
+    def test_random_graph_matches_python_mirror(self, spark):
+        # deterministic pseudo-random graph: 10 nodes, hash-picked edges
+        nodes = [f"n{i}" for i in range(10)]
+        pairs = [
+            (a, b)
+            for a, b in combinations(nodes, 2)
+            if hash((a, b)) % 3 == 0 or (a, b) in [("n0", "n1"), ("n8", "n9")]
+        ]
+        ref, _ = _pagerank_ref(pairs, iters=3)
+        rows = {r["node"]: r["pagerank"] for r in pagerank(_edges_df(spark, pairs)).collect()}
+        assert rows.keys() == ref.keys()
+        for v in ref:
+            assert rows[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
+def _triangles_ref(pairs):
+    es = set(pairs) | {(b, a) for a, b in pairs}
+    nodes = {v for e in pairs for v in e}
+    tri = dict.fromkeys(nodes, 0)
+    for x, y, z in combinations(sorted(nodes), 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return tri
+
+
+class TestTriangleCensus:
+    def test_triangle_plus_pendant(self, spark):
+        pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+        rows = {r["node"]: r for r in triangle_census(_edges_df(spark, pairs)).collect()}
+        assert {v: r["triangles"] for v, r in rows.items()} == {
+            "a": 1, "b": 1, "c": 1, "d": 0,
+        }
+        assert rows["c"]["degree"] == 3
+        assert rows["d"]["degree"] == 1
+
+    def test_k5_every_node_in_c42_triangles(self, spark):
+        pairs = list(combinations([f"v{i}" for i in range(5)], 2))
+        rows = triangle_census(_edges_df(spark, pairs)).collect()
+        assert all(r["triangles"] == 6 and r["degree"] == 4 for r in rows)
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        nodes = [f"n{i}" for i in range(12)]
+        pairs = [
+            (a, b) for a, b in combinations(nodes, 2) if hash((a, b)) % 4 != 0
+        ]
+        ref = _triangles_ref(pairs)
+        rows = {
+            r["node"]: r["triangles"]
+            for r in triangle_census(_edges_df(spark, pairs)).collect()
+        }
+        assert rows == ref
