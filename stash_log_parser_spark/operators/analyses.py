@@ -584,3 +584,51 @@ def cusum_drift(
         key_col, order_col, F.col(value_col).cast("long").alias("_x")
     )
     return narrowed.groupBy(key_col).applyInPandas(scan, schema=out_schema)
+
+
+def seasonal_naive_error(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast audit: predict each hour's event count
+    with the count from exactly ``period_hours`` earlier and report
+    per-key MAE — the standard baseline every real forecaster must
+    beat, and a drop-in data-quality monitor (a day whose traffic
+    stops matching yesterday's shape lights up here before any model
+    does).
+
+    Hours are exact integers (``unix_micros div 3600·10^6``), so the
+    lag join key and the absolute-error sum are engine-exact; only
+    the final MAE division is round6'd. Plan: one hourly hash-agg,
+    then a self-join on (key, hour−period) — both sides already
+    partitioned by the same agg keys, so AQE plans it without an
+    extra exchange."""
+    hourly = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(date_trunc('hour', {ts_col})) div 3600000000").alias(
+            "hr"
+        ),
+    ).agg(F.count("*").alias("x"))
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    joined = cur.join(
+        prev,
+        (F.col("cur.key") == F.col("prev.key"))
+        & (F.col("cur.hr") == F.col("prev.hr") + period_hours),
+    )
+    per_key = joined.groupBy(F.col("cur.key").alias(key_col)).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.abs(F.col("cur.x") - F.col("prev.x"))).alias("total_abs_err"),
+    )
+    return per_key.select(
+        key_col,
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("total_abs_err").cast("long").alias("total_abs_err"),
+        (
+            F.floor(
+                F.col("total_abs_err") / F.col("n_pairs") * 1000000.0 + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("mae"),
+    )

@@ -380,3 +380,49 @@ def weighted_sample(
         .orderBy(F.asc("race_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap — the slicing step that
+    turns curated documents into fixed-size training windows (the
+    HuggingFace ``return_overflowing_tokens`` shape), complementing
+    pack_sequences (which concatenates SHORT docs; this splits LONG
+    ones).
+
+    Word-level windows of ``window`` tokens every ``stride`` tokens;
+    the FINAL window is right-anchored at the document end (extra
+    overlap instead of a truncated tail), so every word is covered and
+    every chunk except possibly the only chunk of a short doc is full
+    width. All row-local array ops (split → sequence → posexplode →
+    slice): a narrow map stage, no shuffle, embarrassingly parallel at
+    any scale; the md5 chunk fingerprint binds the exact chunk text
+    into the output (and feeds chunk-level dedup downstream).
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    last = F.greatest(n - window, F.lit(0))
+    base = F.sequence(F.lit(0), last, F.lit(stride))
+    starts = F.when(last % stride == 0, base).otherwise(
+        F.concat(base, F.array(last))
+    )
+    chunked = docs.select(
+        id_col, ws.alias("_ws"), n.alias("_n"), F.posexplode(starts)
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("chunk_idx"),
+        F.col("col").cast("long").alias("start_word"),
+        F.slice(F.col("_ws"), F.col("col") + 1, window).alias("_chunk"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        "start_word",
+        F.size("_chunk").cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
+    )

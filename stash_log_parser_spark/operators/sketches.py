@@ -121,3 +121,71 @@ def kmv_distinct(
         est.alias("kmv_estimate"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 30,
+) -> DataFrame:
+    """Count-min sketch + heavy-hitter report: estimate every key's
+    frequency from a depth×width counter grid (est = min over rows of
+    the key's bucket counter; always ≥ exact), and emit the global
+    top ``top_k`` with exact and estimated counts side by side — the
+    streaming-frequency sketch you'd keep per shard and merge by
+    elementwise + (counters are additive), next to the HLL/KMV
+    cardinality sketches above.
+
+    Determinism discipline: bucket = first 8 md5 hex chars of
+    ``key:row`` mod width — a 32-bit integer identical on every
+    engine, so the whole grid and every estimate value-hash matches
+    the SQL oracle. Plan shape at scale: one exact per-key hash-agg
+    first (the explode then runs over DISTINCT keys, not rows), a
+    depth×width-row grid agg (map-side partials collapse it), and a
+    broadcast join of the tiny grid back to the keys.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n"))
+    rows = keyed.select(
+        "key",
+        "n",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    grid = rows.groupBy("d", "bucket").agg(F.sum("n").alias("c"))
+    est = (
+        rows.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy("key")
+        .agg(
+            F.max("n").cast("long").alias("exact_count"),
+            F.min("c").cast("long").alias("cms_est"),
+        )
+    )
+    return (
+        est.orderBy(F.desc("exact_count"), F.asc("key"))
+        .limit(top_k)
+        .select(
+            F.col("key").alias(key_col), "exact_count", "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+    )

@@ -615,3 +615,32 @@ def quantile_normalize(
         score_col,
         round6(F.percent_rank().over(w)).alias("q_norm"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) — a
+    classic compressibility/quality proxy: boilerplate, encoded blobs
+    and keyboard-mash score far from prose's ~4.1 bits/char, so
+    curation pipelines gate on it next to the Gopher rules.
+
+    H = log2 n − (Σ c·ln c)/(n·ln 2) over per-char counts c. The
+    explode looks expensive but isn't: chars shuffle only after the
+    map-side partial agg collapses them to ≤|alphabet| rows per doc,
+    so the exchange is ~doc_count × alphabet, not corpus characters.
+    round6 on the single final expression (ln-parity discipline of the
+    tfidf/bigram-LM oracles)."""
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = per_char.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    ent = (F.log(F.col("n")) - F.col("s") / F.col("n")) / ln2
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        round6(ent).alias("entropy_bits"),
+    )

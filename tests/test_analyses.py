@@ -307,3 +307,40 @@ def test_cusum_drift_matches_python_reference_and_detects_shift(spark):
     assert any(a for (t, _), (_, a) in out.items() if t == "a")
 
 
+
+
+class TestSeasonalNaive:
+    def test_mae_matches_hand_computation(self, spark):
+        import datetime as dt
+
+        # type A: day1 hours 0,0,1 ; day2 hours 0,0,0,1,1 -> day2 errs |3-2|=1? build explicitly:
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # day 1: hour0 -> 2 events, hour1 -> 1 event
+        rows += [(base.replace(hour=0),)] * 2 + [(base.replace(hour=1),)] * 1
+        # day 2: hour0 -> 5 events, hour1 -> 1 event
+        d2 = base + dt.timedelta(days=1)
+        rows += [(d2.replace(hour=0),)] * 5 + [(d2.replace(hour=1),)] * 1
+        ev = spark.createDataFrame(
+            [("A", ts) for (ts,) in rows], "event_type string, ts timestamp"
+        )
+        from stash_log_parser_spark.operators.analyses import seasonal_naive_error
+
+        out = seasonal_naive_error(ev).collect()
+        assert len(out) == 1
+        r = out[0]
+        # pairs: (5 vs 2) err 3, (1 vs 1) err 0 -> mae 1.5
+        assert r["n_pairs"] == 2
+        assert r["total_abs_err"] == 3
+        assert r["mae"] == 1.5
+
+    def test_no_pairs_for_single_day(self, spark):
+        import datetime as dt
+
+        ev = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, h)) for h in range(5)],
+            "event_type string, ts timestamp",
+        )
+        from stash_log_parser_spark.operators.analyses import seasonal_naive_error
+
+        assert seasonal_naive_error(ev).count() == 0

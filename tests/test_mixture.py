@@ -298,3 +298,45 @@ def test_weighted_sample_matches_python_reference(spark):
         keys.append((math.floor(-math.log(u) / w * 1e6 + 0.5), i))
     expect = [(i, k) for k, i in sorted(keys)[:10]]
     assert got == expect
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, window=4, stride=2):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return (
+            M.chunk_documents(df, window=window, stride=stride)
+            .orderBy("chunk_idx")
+            .collect()
+        )
+
+    def test_even_division_all_full_windows(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        rows = self._chunks(spark, " ".join(words))  # last=6, 6%2==0
+        assert [(r["chunk_idx"], r["start_word"], r["n_words"]) for r in rows] == [
+            (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4),
+        ]
+
+    def test_final_window_right_anchored(self, spark):
+        words = [f"w{i}" for i in range(11)]  # last=7, 7%2==1 -> extra start 7
+        rows = self._chunks(spark, " ".join(words))
+        assert [r["start_word"] for r in rows] == [0, 2, 4, 6, 7]
+        assert all(r["n_words"] == 4 for r in rows)
+
+    def test_short_doc_single_partial_chunk(self, spark):
+        rows = self._chunks(spark, "a b c")
+        assert len(rows) == 1
+        assert rows[0]["start_word"] == 0 and rows[0]["n_words"] == 3
+
+    def test_md5_binds_chunk_text(self, spark):
+        words = [f"tok{i}" for i in range(6)]
+        rows = self._chunks(spark, " ".join(words), window=4, stride=2)
+        want = hashlib.md5(" ".join(words[2:6]).encode()).hexdigest()
+        assert rows[1]["chunk_md5"] == want
+
+    def test_every_word_covered(self, spark):
+        words = [f"w{i}" for i in range(23)]
+        rows = self._chunks(spark, " ".join(words), window=7, stride=5)
+        covered = set()
+        for r in rows:
+            covered.update(range(r["start_word"], r["start_word"] + r["n_words"]))
+        assert covered == set(range(23))

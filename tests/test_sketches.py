@@ -85,3 +85,27 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     )
     expect = math.floor(63.0 * float(1 << 48) / hs[63] * 1e6 + 0.5) / 1e6
     assert out["big"].kmv_estimate == expect
+
+
+class TestCmsHeavyHitters:
+    def _df(self, spark):
+        rows = [(f"k{i % 10}",) for i in range(100)] + [("hot",)] * 50
+        return spark.createDataFrame(rows, "k string")
+
+    def test_exact_counts_and_order(self, spark):
+        out = S.cms_heavy_hitters(self._df(spark), "k", top_k=5).collect()
+        assert out[0]["k"] == "hot" and out[0]["exact_count"] == 50
+        assert all(r["exact_count"] == 10 for r in out[1:])
+        # ties broken by key asc
+        assert [r["k"] for r in out[1:]] == ["k0", "k1", "k2", "k3"]
+
+    def test_estimate_never_undercounts(self, spark):
+        out = S.cms_heavy_hitters(self._df(spark), "k", width=4, top_k=11).collect()
+        assert all(r["cms_est"] >= r["exact_count"] for r in out)
+        assert all(r["overcount"] == r["cms_est"] - r["exact_count"] for r in out)
+
+    def test_width_one_degenerates_to_total(self, spark):
+        df = self._df(spark)
+        total = df.count()
+        out = S.cms_heavy_hitters(df, "k", width=1, top_k=3).collect()
+        assert all(r["cms_est"] == total for r in out)

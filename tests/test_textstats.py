@@ -390,3 +390,32 @@ def test_quantile_normalize_rank_properties(spark):
         qs = [r.q_norm for r in grp]
         assert qs == sorted(qs) and len(set(qs)) == len(qs)
         assert qs[0] == 0.0 and qs[-1] == 1.0
+
+
+class TestCharEntropy:
+    def _ent(self, spark, text):
+        from stash_log_parser_spark.operators.textstats import char_entropy
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return char_entropy(df).collect()[0]
+
+    def test_uniform_char_is_zero_bits(self, spark):
+        r = self._ent(spark, "aaaa")
+        assert r["entropy_bits"] == 0.0 and r["n_chars"] == 4
+
+    def test_two_symbols_is_one_bit(self, spark):
+        assert self._ent(spark, "abab")["entropy_bits"] == pytest.approx(1.0)
+
+    def test_four_symbols_is_two_bits(self, spark):
+        assert self._ent(spark, "abcd")["entropy_bits"] == pytest.approx(2.0)
+
+    def test_matches_python_reference(self, spark):
+        import collections
+        import math
+
+        text = "the quick brown fox jumps over the lazy dog"
+        c = collections.Counter(text)
+        n = len(text)
+        want = -sum(v / n * math.log2(v / n) for v in c.values())
+        got = self._ent(spark, text)["entropy_bits"]
+        assert got == pytest.approx(want, abs=1e-6)
