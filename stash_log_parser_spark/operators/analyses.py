@@ -632,3 +632,47 @@ def seasonal_naive_error(
             / 1000000.0
         ).alias("mae"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_s: int = 1800,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top event-type TRIGRAM paths within user sessions — the
+    sequence-mining rollup on top of gap sessionization (the 3-gram
+    big sibling of the Markov transition matrix): which three-step
+    journeys dominate the product.
+
+    Sessions are the same 30-min-gap prefix-sum construction as
+    events_sessionize; trigrams come from two ``lead``s inside the
+    (user, session) window — all window work stays partitioned by
+    user (never global), then one hash-agg on the trigram string.
+    Gap compares exact MICROsecond integers (unix_micros / epoch_us)
+    — immune to the second-granularity truncate-vs-round divergence.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (epoch(F.col("ts")) - epoch(lag_ts) > gap_s * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("_sid", F.sum(new_s).over(w))
+    ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("_t3"),
+    ).filter(F.col("_t3").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(top_k)
+    )

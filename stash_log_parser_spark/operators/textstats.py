@@ -644,3 +644,86 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n").cast("long").alias("n_chars"),
         round6(ent).alias("entropy_bits"),
     )
+
+
+def url_domains(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Top URL domains mentioned in the corpus — the first step of
+    every web-pipeline domain-mix report (domain allow/deny lists,
+    per-domain sampling rates). One regexp_extract_all projection
+    (row-local), then a single hash-agg on the exploded domains."""
+    doms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"https?://([a-z0-9.-]+)"), 1
+            )
+        ).alias("domain"),
+    )
+    return (
+        doms.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("domain"))
+        .limit(top_k)
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    by_col: str,
+    lo_tenths: int = 1,
+    hi_tenths: int = 9,
+) -> DataFrame:
+    """Winsorized (clamped-tail) robust mean per group: order
+    statistics at the lo/hi deciles, values clamped into [lo, hi],
+    then an exact integer sum — the outlier-immune alternative to the
+    plain mean for skewed length/latency columns.
+
+    The decile boundaries are ORDER STATISTICS picked by integer rank
+    arithmetic (``rank = (tenths·n + 9) div 10`` — no float ceil, so
+    the boundary is engine-exact even at ranks where IEEE
+    ``0.1 · n`` rounds surprisingly). Two keyed shuffles: the
+    row_number window and the group agg; boundaries rejoin on the
+    group key (dimension-sized, broadcast)."""
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        by_col, F.col(value_col).cast("long").alias("_v")
+    ).withColumn("_r", F.row_number().over(Window.partitionBy(by_col).orderBy("_v")))
+    n_per = ranked.groupBy(by_col).agg(F.count("*").alias("n_rows"))
+    ranked2 = ranked.join(F.broadcast(n_per), by_col).withColumn(
+        "_rlo", F.expr(f"({lo_tenths} * n_rows + 9) div 10")
+    ).withColumn("_rhi", F.expr(f"({hi_tenths} * n_rows + 9) div 10"))
+    bounds = ranked2.groupBy(by_col).agg(
+        F.max(F.when(F.col("_r") == F.col("_rlo"), F.col("_v"))).alias("lo_val"),
+        F.max(F.when(F.col("_r") == F.col("_rhi"), F.col("_v"))).alias("hi_val"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), by_col).select(
+        by_col,
+        F.least(F.greatest(F.col("_v"), F.col("lo_val")), F.col("hi_val")).alias(
+            "_c"
+        ),
+        "lo_val",
+        "hi_val",
+    )
+    return (
+        clamped.groupBy(by_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("lo_val").cast("long").alias("lo_val"),
+            F.max("hi_val").cast("long").alias("hi_val"),
+            F.sum("_c").cast("long").alias("winsorized_sum"),
+        )
+        .withColumn(
+            "winsorized_mean",
+            F.floor(
+                F.col("winsorized_sum") / F.col("n_rows") * 1000000.0 + F.lit(0.5)
+            )
+            / 1000000.0,
+        )
+    )

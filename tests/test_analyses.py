@@ -344,3 +344,46 @@ class TestSeasonalNaive:
         from stash_log_parser_spark.operators.analyses import seasonal_naive_error
 
         assert seasonal_naive_error(ev).count() == 0
+
+
+class TestSessionPaths:
+    def test_trigrams_within_session_only(self, spark):
+        import datetime as dt
+
+        from stash_log_parser_spark.operators.analyses import session_paths
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # session 1: A B C D (1-min apart) -> A>B>C, B>C>D
+            (7, 1, base, "A"),
+            (7, 2, base + dt.timedelta(minutes=1), "B"),
+            (7, 3, base + dt.timedelta(minutes=2), "C"),
+            (7, 4, base + dt.timedelta(minutes=3), "D"),
+            # >30min gap, session 2: E F G -> E>F>G (no D>E>F across gap)
+            (7, 5, base + dt.timedelta(hours=2), "E"),
+            (7, 6, base + dt.timedelta(hours=2, minutes=1), "F"),
+            (7, 7, base + dt.timedelta(hours=2, minutes=2), "G"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        out = {r["path"]: r["n"] for r in session_paths(ev).collect()}
+        assert out == {"A>B>C": 1, "B>C>D": 1, "E>F>G": 1}
+
+    def test_counts_accumulate_across_users(self, spark):
+        import datetime as dt
+
+        from stash_log_parser_spark.operators.analyses import session_paths
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for uid in (1, 2, 3):
+            rows += [
+                (uid, uid * 10 + i, base + dt.timedelta(minutes=i), t)
+                for i, t in enumerate("XYZ")
+            ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        out = session_paths(ev).collect()
+        assert [(r["path"], r["n"]) for r in out] == [("X>Y>Z", 3)]

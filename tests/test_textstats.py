@@ -419,3 +419,54 @@ class TestCharEntropy:
         want = -sum(v / n * math.log2(v / n) for v in c.values())
         got = self._ent(spark, text)["entropy_bits"]
         assert got == pytest.approx(want, abs=1e-6)
+
+
+class TestWinsorizedStats:
+    def _stats(self, spark, values, extra=()):
+        from stash_log_parser_spark.operators.textstats import winsorized_stats
+
+        rows = [("s", v) for v in values] + list(extra)
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        return {
+            r["source"]: r
+            for r in winsorized_stats(df, "n_chars", "source").collect()
+        }
+
+    def test_deciles_of_1_to_10(self, spark):
+        r = self._stats(spark, list(range(1, 11)))["s"]
+        # rank_lo=(10+9)//10=1 -> 1, rank_hi=(90+9)//10=9 -> 9
+        assert (r["lo_val"], r["hi_val"]) == (1, 9)
+        assert r["winsorized_sum"] == 54  # sum 1..10 = 55, 10 clamped to 9
+        assert r["winsorized_mean"] == 5.4
+
+    def test_outlier_immune(self, spark):
+        base = self._stats(spark, list(range(1, 11)))["s"]
+        wild = self._stats(spark, list(range(1, 10)) + [10_000_000])["s"]
+        assert wild["winsorized_sum"] == base["winsorized_sum"]
+
+    def test_groups_independent(self, spark):
+        from stash_log_parser_spark.operators.textstats import winsorized_stats
+
+        rows = [("a", v) for v in range(1, 11)] + [("b", v * 100) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = {r["source"]: r for r in winsorized_stats(df, "n_chars", "source").collect()}
+        assert out["a"]["winsorized_sum"] * 100 == out["b"]["winsorized_sum"]
+
+
+class TestUrlDomains:
+    def test_extracts_and_counts(self, spark):
+        from stash_log_parser_spark.operators.textstats import url_domains
+
+        df = spark.createDataFrame(
+            [
+                (1, "go to https://a.example.com/x and http://b.example.org/y"),
+                (2, "again https://a.example.com/z"),
+                (3, "no urls here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["domain"]: r for r in url_domains(df).collect()}
+        assert out["a.example.com"]["n_mentions"] == 2
+        assert out["a.example.com"]["n_docs"] == 2
+        assert out["b.example.org"]["n_mentions"] == 1
+        assert set(out) == {"a.example.com", "b.example.org"}
