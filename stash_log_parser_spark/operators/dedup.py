@@ -676,3 +676,55 @@ def duplicate_ngram_spans(
             F.coalesce(F.col("n_dup") / F.col("n_windows"), F.lit(0.0))
         ).alias("dup_frac"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct word
+    n-grams whose FIRST corpus appearance (min doc_id) is this doc —
+    the "how much new content does each crawl snapshot add" census
+    behind incremental-dedup dashboards, and the document-level view of
+    the first-seen construction Heaps-law vocab growth uses per word.
+
+    Shingles are md5-hashed to a 48-bit key (engine-reproducible,
+    unlike the xxhash64 fast path in with_shingles) since the hash IS
+    the join key here. Two shuffles: min(doc_id) per shingle hash,
+    then re-agg by doc; the shingle strings themselves never move —
+    only (hash, doc_id) pairs."""
+    from .textstats import round6
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i, n)
+            ),
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        round6(F.col("n_novel") / F.col("n_shingles")).alias("novelty_ratio"),
+    )

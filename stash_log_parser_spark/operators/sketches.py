@@ -189,3 +189,99 @@ def cms_heavy_hitters(
             (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
         )
     )
+
+
+def hll_registers_by(df: DataFrame, key_col: str, by_col: str) -> DataFrame:
+    """(group, bucket, register) — the PER-GROUP mergeable sketch state
+    (one 256-row register table per group value)."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    bucket = F.shiftright(h, _WBITS)
+    w = h.bitwiseAND(F.lit((1 << _WBITS) - 1))
+    rho = F.when(w > 0, F.lit(_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_WBITS + 1)
+    )
+    return (
+        df.select(F.col(by_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(by_col, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate_by(regs: DataFrame, by_col: str) -> DataFrame:
+    """Per-group HLL estimate from a (group, bucket, register) table —
+    same exact-dyadic-rational estimate as hll_estimate, one row per
+    group."""
+    agg = regs.groupBy(by_col).agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), register)")
+        ).alias("s_present"),
+    )
+    s = F.coalesce(F.col("s_present"), F.lit(0.0)) + (F.lit(_M) - F.col("n_present"))
+    raw = F.lit(_ALPHA * _M * _M) / s
+    v = F.lit(_M) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * _M) & (v > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        by_col,
+        (F.floor(est * 1e6 + F.lit(0.5)).cast("long") / 1e6).alias("hll_estimate"),
+    )
+
+
+def hll_sliding_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_hours: int = 24,
+) -> DataFrame:
+    """Trailing-``window_hours`` distinct-``key_col`` estimate per hour
+    by MERGING hourly HLL register tables — the whole reason the
+    sketch is mergeable: the raw stream is scanned ONCE into per-hour
+    registers (≤256 rows/hour), and every sliding window is answered
+    by an elementwise-max over ≤ window·256 register rows instead of
+    re-scanning window·|hour| raw events. This is the
+    checkpointable state a streaming distinct-counter keeps.
+
+    The exact trailing distinct count rides along for the error audit
+    (that side DOES pay the range-join over the (hour, key)-distinct
+    pairs — precisely the cost the sketch path avoids).
+    """
+    hr = F.expr(
+        f"unix_micros(date_trunc('hour', {ts_col})) div 3600000000"
+    ).alias("hr")
+    keyed = events.select(hr, F.col(key_col).alias("k"))
+    regs = hll_registers_by(keyed, "k", "hr")
+    hours = regs.select("hr").distinct()
+    merged = (
+        hours.alias("h")
+        .join(
+            regs.alias("r"),
+            (F.col("r.hr") <= F.col("h.hr"))
+            & (F.col("r.hr") > F.col("h.hr") - window_hours),
+        )
+        .groupBy(F.col("h.hr").alias("hr"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.register").alias("register"))
+    )
+    est = hll_estimate_by(merged, "hr")
+    du = keyed.distinct()
+    exact = (
+        hours.alias("h")
+        .join(
+            du.alias("d"),
+            (F.col("d.hr") <= F.col("h.hr"))
+            & (F.col("d.hr") > F.col("h.hr") - window_hours),
+        )
+        .groupBy(F.col("h.hr").alias("hr"))
+        .agg(F.countDistinct("d.k").alias("n_exact"))
+    )
+    return exact.join(est, "hr").select(
+        F.col("hr").cast("long").alias("hr"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

@@ -388,3 +388,39 @@ def test_duplicate_ngram_spans_matches_python_reference_on_random_corpora(spark)
         assert got == py_reference(texts, 3)
 
     case()
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel_duplicate_fully_stale(self, spark):
+        from stash_log_parser_spark.operators.dedup import ngram_novelty
+
+        text = "alpha beta gamma delta epsilon"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+        assert out[1]["novelty_ratio"] == 1.0
+        assert out[2]["novelty_ratio"] == 0.0
+        assert out[1]["n_shingles"] == 3  # 5 words -> 3 trigrams
+
+    def test_partial_overlap_hand_computed(self, spark):
+        from stash_log_parser_spark.operators.dedup import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # trigrams: abc, bcd
+                (2, "b c d e"),          # bcd (stale), cde (novel) -> 0.5
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+        assert out[2]["n_shingles"] == 2
+        assert out[2]["n_novel"] == 1
+        assert out[2]["novelty_ratio"] == 0.5
+
+    def test_short_doc_single_gram(self, spark):
+        from stash_log_parser_spark.operators.dedup import ngram_novelty
+
+        df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+        r = ngram_novelty(df, n=3).collect()[0]
+        assert r["n_shingles"] == 1 and r["n_novel"] == 1

@@ -109,3 +109,55 @@ class TestCmsHeavyHitters:
         total = df.count()
         out = S.cms_heavy_hitters(df, "k", width=1, top_k=3).collect()
         assert all(r["cms_est"] == total for r in out)
+
+
+class TestHllSliding:
+    def test_register_merge_equals_union_registers(self, spark):
+        # the mergeability law: elementwise max of two register tables
+        # == registers of the union stream
+        a = spark.createDataFrame([(f"u{i}",) for i in range(200)], "k string")
+        b = spark.createDataFrame([(f"u{i}",) for i in range(150, 400)], "k string")
+        ra = {(r["bucket"], ) : r["register"] for r in S.hll_registers(a, "k").collect()}
+        rb = {(r["bucket"], ) : r["register"] for r in S.hll_registers(b, "k").collect()}
+        merged = {}
+        for k, v in list(ra.items()) + list(rb.items()):
+            merged[k] = max(merged.get(k, 0), v)
+        ru = {
+            (r["bucket"],): r["register"]
+            for r in S.hll_registers(a.union(b), "k").collect()
+        }
+        assert merged == ru
+
+    def test_sliding_exact_matches_bruteforce(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for h in range(30):
+            for u in range(h % 5 + 1):  # varying per-hour user sets
+                rows.append((base + dt.timedelta(hours=h), (h * 7 + u) % 13))
+        ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        out = {
+            r["hr"]: r for r in S.hll_sliding_distinct(ev, window_hours=6).collect()
+        }
+        # brute force trailing-6h distinct per present hour
+        hr0 = int(base.timestamp() // 3600)
+        by_hr = {}
+        for h in range(30):
+            by_hr.setdefault(hr0 + h, set()).update(
+                (h * 7 + u) % 13 for u in range(h % 5 + 1)
+            )
+        for hr, users in by_hr.items():
+            want = set()
+            for p in range(hr - 5, hr + 1):
+                want |= by_hr.get(p, set())
+            assert out[hr]["n_exact"] == len(want), hr
+
+    def test_small_range_estimate_is_near_exact(self, spark):
+        ev = spark.createDataFrame(
+            [("2024-01-01 00:00:00", i) for i in range(50)],
+            "ts string, user_id long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        r = S.hll_sliding_distinct(ev, window_hours=24).collect()[0]
+        assert r["n_exact"] == 50
+        assert abs(r["hll_estimate"] - 50) / 50 < 0.25
