@@ -104,3 +104,50 @@ def range_join_buckets(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
     return joined.drop("_cell")
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    key_col: str,
+    max_distance: int = 2,
+    len_band: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy self-match (record linkage): key pairs within
+    Levenshtein ``max_distance``, found without the O(n²) all-pairs
+    scan via the classic blocking discipline — candidates must share a
+    block key (first character) and sit within ``len_band`` of each
+    other's length; only candidates pay the edit-distance verify.
+
+    This is the same audited-approximation shape as the LSH banding
+    joins: blocking bounds the join at Σ per-block C(n_b, 2) instead
+    of C(n, 2), at a DOCUMENTED recall cost — a pair whose first
+    character differs is unreachable BY CONSTRUCTION (at web scale
+    you widen recall with multiple redundant blockings — prefix,
+    suffix, sorted-neighborhood — and union the candidates; the
+    single-blocking form keeps the shape honest and oracle-exact).
+    Levenshtein is integer and engine-identical, so the output
+    value-hashes across engines."""
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    ks = keys.select(
+        "k",
+        F.substring("k", 1, 1).alias("_blk"),
+        F.length("k").alias("_ln"),
+    )
+    a, b = ks.alias("a"), ks.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.abs(F.col("a._ln") - F.col("b._ln")) <= len_band),
+    )
+    return (
+        cand.select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.levenshtein(F.col("a.k"), F.col("b.k")).cast("long").alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy("key_a", "key_b")
+    )

@@ -99,3 +99,49 @@ def test_range_join_buckets(spark):
             if lo <= p <= hi
         }
         assert got == want, f"width={width}"
+
+
+def test_fuzzy_match_pairs_vs_bruteforce(spark):
+    from stash_log_parser_spark.operators.joins import fuzzy_match_pairs
+
+    names = [
+        "alice", "alicia", "alise", "bob", "bobb", "bobby",
+        "carol", "carole", "karol", "dave", "davey", "davd",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "k string")
+    got = {(r.key_a, r.key_b, r.distance)
+           for r in fuzzy_match_pairs(df, "k", max_distance=2).collect()}
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    # brute force restricted to the SAME blocking contract (shared first
+    # char, length band 2) — the blocking recall loss is by construction
+    want = {
+        (a, b, lev(a, b))
+        for a in names for b in names
+        if a < b and a[0] == b[0] and abs(len(a) - len(b)) <= 2
+        and lev(a, b) <= 2
+    }
+    assert got == want and len(got) >= 5
+    # and the documented miss: karol/carol differ in first char → absent
+    assert not any(k == ("carol", "karol", 1) for k in got)
+
+
+def test_fuzzy_match_plan_is_blocked_not_cartesian(spark):
+    from stash_log_parser_spark.operators.joins import fuzzy_match_pairs
+
+    df = spark.createDataFrame([(f"user{i}",) for i in range(50)], "k string")
+    plan = (fuzzy_match_pairs(df, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
