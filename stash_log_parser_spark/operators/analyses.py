@@ -676,3 +676,160 @@ def session_paths(
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, round6=None
+) -> DataFrame:
+    """Benford's-law audit of a positive metric column — the standard
+    data-forensics screen for synthetic or truncated measurements
+    (request durations, byte counts). Reports per leading digit d the
+    observed share vs the Benford expectation log10(1+1/d) and the
+    chi-square contribution n·(obs−exp)²/exp.
+
+    One hash-agg to 9 rows, then scalar math — nothing corpus-sized
+    leaves the map side. Shares are quantized with round6 in ONE
+    mirrored expression shape so the ln/log10 rounding matches the
+    DuckDB twin."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    v = F.col(value_col)
+    digits = (
+        df.filter(v >= 1)
+        .select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("n_total"))
+    j = digits.crossJoin(tot)
+    obs = F.col("n").cast("double") / F.col("n_total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi = (
+        F.col("n_total")
+        * (obs - exp)
+        * (obs - exp)
+        / exp
+    )
+    return j.select(
+        "digit",
+        "n",
+        _r6(obs).alias("obs_share"),
+        _r6(exp).alias("benford_share"),
+        _r6(chi).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def slo_burn_rate(
+    parsed: DataFrame,
+    threshold_ms: int = 1000,
+    slo: float = 0.99,
+    window_min: int = 5,
+) -> DataFrame:
+    """SRE-style SLO burn-rate series: per fixed window, the fraction
+    of requests slower than ``threshold_ms`` divided by the error
+    budget (1−slo). burn > 1 means the window is consuming budget
+    faster than the SLO allows — the multiwindow-burn-alert input.
+
+    Window key is integer epoch-microseconds floor-divided by the
+    window span (exact on both engines — the truncate-vs-round
+    epoch-second trap does not exist in integer µs). One hash-agg of
+    two conditional counts; the only double math is the final
+    quantized division."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    span_us = window_min * 60 * 1_000_000
+    base = parsed.filter(
+        F.col("is_parsed")
+        & (F.col("req_dir") == "o")
+        & F.col("duration_ms").isNotNull()
+    )
+    agg = (
+        base.select(
+            F.expr(f"unix_micros(ts) div {span_us}").alias("win"),
+            (F.col("duration_ms") > threshold_ms).cast("long").alias("bad"),
+        )
+        .groupBy("win")
+        .agg(
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    budget = 1.0 - slo
+    burn = F.col("n_bad").cast("double") / F.col("n_requests") / F.lit(budget)
+    return agg.select(
+        "win",
+        "n_requests",
+        "n_bad",
+        _r6(F.col("n_bad").cast("double") / F.col("n_requests")).alias(
+            "bad_frac"
+        ),
+        _r6(burn).alias("burn_rate"),
+        (burn > 1.0).alias("breach"),
+    ).orderBy("win")
+
+
+def key_skew_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Pre-shuffle skew audit for candidate partition keys: for each
+    key column, the key-count distribution's shape — max share, top-10
+    share, and Gini — the numbers that decide between a plain groupBy,
+    AQE skew handling, or explicit salting BEFORE burning a cluster
+    run. (The repo's repository_stats_salted exists because its key
+    failed exactly this audit.)
+
+    Per key: one corpus hash-agg to key counts, one key-cardinality
+    window for ranks (the window is over the KEY table, not the
+    corpus), integer Gini numerator 2·Σ(i·cᵢ)−(n+1)·Σc — exact in
+    BIGINT up to ~1e9 keys × 1e9 rows; cast to DECIMAL(38) beyond
+    (integer_zscore_outliers discipline)."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    outs = []
+    for key in key_cols:
+        counts = (
+            df.select(F.col(key).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        w_asc = Window.orderBy(F.asc("c"), F.asc("k"))
+        w_desc = Window.orderBy(F.desc("c"), F.asc("k"))
+        ranked = counts.select(
+            "c",
+            F.row_number().over(w_asc).alias("i"),
+            F.row_number().over(w_desc).alias("r_desc"),
+        )
+        agg = ranked.agg(
+            F.lit(key).alias("key_col"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_count"),
+            F.sum(F.col("i") * F.col("c")).cast("long").alias("_si"),
+            F.sum(F.when(F.col("r_desc") <= 10, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("_top10"),
+        )
+        outs.append(
+            agg.select(
+                "key_col",
+                "n_keys",
+                "n_rows",
+                "max_count",
+                _r6(F.col("max_count").cast("double") / F.col("n_rows")).alias(
+                    "max_share"
+                ),
+                _r6(F.col("_top10").cast("double") / F.col("n_rows")).alias(
+                    "top10_share"
+                ),
+                _r6(
+                    (
+                        2 * F.col("_si") - (F.col("n_keys") + 1) * F.col("n_rows")
+                    ).cast("double")
+                    / (F.col("n_keys").cast("double") * F.col("n_rows"))
+                ).alias("gini"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("key_col")

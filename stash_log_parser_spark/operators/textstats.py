@@ -727,3 +727,103 @@ def winsorized_stats(
             / 1000000.0,
         )
     )
+
+
+def token_pmi_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Top adjacent-token pairs by pointwise mutual information —
+    the classic collocation / multi-word-expression miner run before
+    choosing tokenizer merges or phrase-aware dedup keys.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P(a,b) over adjacent
+    bigrams (N total) and P(x) over unigrams (T total). Scale shape:
+    two corpus-wide hash-aggs (bigram counts, unigram counts) with
+    map-side partials, then two vocab-sized joins — no window over the
+    corpus, no Python. The two scalar totals ride in via single-row
+    cross joins (broadcast nested loop of one row). The ln argument is
+    assembled in ONE fixed expression shape mirrored by the SQL twin
+    so both engines round identically; round6 quantizes the result
+    (ln-parity discipline of the tfidf/bigram-LM oracles)."""
+    ws = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot_u = uni.agg(F.sum("c").alias("t_uni"))
+    tot_b = big.agg(F.sum("c_ab").alias("n_big"))
+    j = (
+        big.filter(F.col("c_ab") >= min_count)
+        .withColumn("w_a", F.split(F.col("pair"), " ")[0])
+        .withColumn("w_b", F.split(F.col("pair"), " ")[1])
+        .join(uni.withColumnRenamed("w", "w_a").withColumnRenamed("c", "c_a"), "w_a")
+        .join(uni.withColumnRenamed("w", "w_b").withColumnRenamed("c", "c_b"), "w_b")
+        .crossJoin(tot_u)
+        .crossJoin(tot_b)
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("t_uni") * F.col("t_uni"))
+        / (F.col("c_a").cast("double") * F.col("c_b") * F.col("n_big"))
+    )
+    return (
+        j.select(
+            "pair",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            F.col("c_a").cast("long").alias("n_left"),
+            F.col("c_b").cast("long").alias("n_right"),
+            round6(pmi).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer fertility: BPE-ish pre-tokens per
+    whitespace word and chars per token — the go/no-go metric when
+    budgeting a fixed-token training run across sources (code-heavy
+    sources tokenize fat; a 1.3× fertility gap is a 1.3× cost gap).
+    Pure Catalyst: one regexp_extract_all + one hash-agg on source.
+    Ratios are exact-integer divisions quantized with round6."""
+    toks = F.regexp_extract_all(
+        F.trim(F.lower(F.col(text_col))), F.lit(TOKEN_RE), 0
+    )
+    per = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("_t"),
+        F.size(_words(F.col(text_col))).cast("long").alias("_w"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("_c"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_c").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_chars",
+        round6(F.col("n_tokens") / F.col("n_words")).alias("tokens_per_word"),
+        round6(F.col("n_chars") / F.col("n_tokens")).alias("chars_per_token"),
+    )

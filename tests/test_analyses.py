@@ -1,6 +1,7 @@
 """Aggregation goldens — FIXTURES.md §4, standing in for the reference's
 tasty/HUnit aggregation fixtures (SURVEY.md §6.1)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from stash_log_parser_spark.operators import analyses as A
@@ -387,3 +388,61 @@ class TestSessionPaths:
         )
         out = session_paths(ev).collect()
         assert [(r["path"], r["n"]) for r in out] == [("X>Y>Z", 3)]
+
+
+def test_benford_first_digit_counts(spark):
+    from stash_log_parser_spark.operators.analyses import benford_first_digit
+
+    vals = [1, 12, 19, 2, 25, 3, 911, 0, None]  # 0/None dropped
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r.digit: r for r in benford_first_digit(df, "v").collect()}
+    assert {d: rows[d].n for d in rows} == {1: 3, 2: 2, 3: 1, 9: 1}
+    assert rows[1].obs_share == pytest.approx(3 / 7, abs=1e-6)
+    # Benford share of digit 1 is log10(2) ~ 0.301030
+    assert rows[1].benford_share == 0.30103
+    assert all(r.chi2_term >= 0 for r in rows.values())
+
+
+def test_slo_burn_rate_windows(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import slo_burn_rate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # window 0: 1 bad of 4 -> bad_frac 0.25, burn 25 (breach)
+        (t0, 2000, "o"), (t0, 10, "o"),
+        (dt.datetime(2024, 1, 1, 0, 4, 59), 10, "o"), (t0, 10, "o"),
+        # window 1: all good
+        (dt.datetime(2024, 1, 1, 0, 5, 0), 10, "o"),
+        # incoming + unparsed rows are excluded
+        (t0, 99999, "i"), (None, 5, "o"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, duration_ms long, req_dir string"
+    ).withColumn("is_parsed", F.col("ts").isNotNull())
+    out = slo_burn_rate(df, threshold_ms=1000, slo=0.99).collect()
+    assert [(r.n_requests, r.n_bad, r.breach) for r in out] == [
+        (4, 1, True),
+        (1, 0, False),
+    ]
+    assert out[0].bad_frac == 0.25
+    assert out[0].burn_rate == pytest.approx(25.0, abs=1e-5)
+
+
+def test_key_skew_audit_gini(spark):
+    from stash_log_parser_spark.operators.analyses import key_skew_audit
+
+    # uniform key -> gini 0; all-one-key -> max_share 1, gini 0 (n_keys=1)
+    rows = [(i % 4, 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "even long, const long")
+    out = {r.key_col: r for r in key_skew_audit(df, ["even", "const"]).collect()}
+    assert out["even"].n_keys == 4 and out["even"].gini == 0.0
+    assert out["even"].max_share == 0.25
+    assert out["const"].n_keys == 1 and out["const"].max_share == 1.0
+    # skewed: counts 1 and 7 -> gini = (2*(1*1+2*7)-3*8)/(2*8) = 0.375
+    df2 = spark.createDataFrame(
+        [(0,)] * 1 + [(1,)] * 7, "k long"
+    )
+    skew = key_skew_audit(df2, ["k"]).collect()[0]
+    assert skew.gini == 0.375 and skew.max_share == 0.875

@@ -470,3 +470,49 @@ class TestUrlDomains:
         assert out["a.example.com"]["n_docs"] == 2
         assert out["b.example.org"]["n_mentions"] == 1
         assert set(out) == {"a.example.com", "b.example.org"}
+
+
+def test_token_pmi_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    texts = {
+        1: "new york is a big city",
+        2: "new york has new ideas",
+        3: "the city is big and the city is loud",
+        4: "york new city big new york",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.pair: (r.n_pair, r.pmi)
+        for r in TS.token_pmi_pairs(docs, min_count=2, top_k=100).collect()
+    }
+    uni = Counter()
+    big = Counter()
+    for t in texts.values():
+        ws = t.split()
+        uni.update(ws)
+        big.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    T, N = sum(uni.values()), sum(big.values())
+    exp = {}
+    for p, c in big.items():
+        if c >= 2:
+            a, b = p.split()
+            pmi = math.log((c * T * T) / (uni[a] * uni[b] * N))
+            exp[p] = (c, math.floor(pmi * 1e6 + 0.5) / 1e6)
+    assert got == exp
+    assert got["new york"][0] == 3  # the planted collocation survives
+
+
+def test_tokenizer_fertility_ratios(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "ab cd"), (2, "a", "x1!")],
+        "doc_id long, source string, text string",
+    )
+    row = TS.tokenizer_fertility(docs).collect()[0]
+    # "ab cd" -> 2 tokens/2 words; "x1!" -> 3 tokens ("x","1","!")/1 word
+    assert row.n_tokens == 5 and row.n_words == 3 and row.n_chars == 8
+    assert row.tokens_per_word == pytest.approx(5 / 3, abs=1e-6)
+    assert row.chars_per_token == 1.6
