@@ -426,3 +426,42 @@ def chunk_documents(
         F.size("_chunk").cast("long").alias("n_words"),
         F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
     )
+
+
+def source_temperature_mix(
+    docs: DataFrame, by_col: str = "source"
+) -> DataFrame:
+    """Temperature-scaled (α=0.5) source mixing weights — the standard
+    multilingual/multi-source rebalancing rule w_i ∝ n_i^α that lifts
+    low-resource sources without letting them dominate. Reports raw
+    share, temperature weight, and the upsample factor (weight / raw
+    share) per source.
+
+    Cross-engine exactness: sqrt is a correctly-rounded IEEE op on both
+    engines, but a float SUM of sqrt values is not (partial-agg order
+    differs), so each sqrt(n_i) is quantized to integer micro-units
+    FIRST and the normalizing sum is exact BIGINT arithmetic — the
+    fixed-point discipline of the HLL/CMS sketches. One group-by plus
+    a single-row cross join; nothing corpus-sized moves."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    counts = docs.groupBy(by_col).agg(F.count("*").cast("long").alias("n"))
+    s = F.floor(F.sqrt(F.col("n")) * 1e6 + F.lit(0.5)).cast("long")
+    scaled = counts.withColumn("s", s)
+    tot = scaled.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+    )
+    j = scaled.crossJoin(tot)
+    return j.select(
+        by_col,
+        F.col("n").alias("n_docs"),
+        round6(F.col("n").cast("double") / F.col("n_tot")).alias("raw_share"),
+        round6(F.col("s").cast("double") / F.col("s_tot")).alias(
+            "temp_weight"
+        ),
+        round6(
+            (F.col("s").cast("double") * F.col("n_tot"))
+            / (F.col("s_tot").cast("double") * F.col("n"))
+        ).alias("upsample_factor"),
+    ).orderBy(by_col)

@@ -827,3 +827,83 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
         round6(F.col("n_tokens") / F.col("n_words")).alias("tokens_per_word"),
         round6(F.col("n_chars") / F.col("n_tokens")).alias("chars_per_token"),
     )
+
+
+# Token separator for the BPE symbol-string representation: every token
+# is wrapped as SEP+tok+SEP, so a pair (a,b) occurs exactly where the
+# substring SEP+a+SEP+SEP+b+SEP does, and a left-to-right replace-all is
+# exactly BPE's greedy left-to-right merge (overlapping runs like
+# "a a a" merge to "(aa) a", never "a (aa)"). 0x1f (unit separator)
+# cannot appear in whitespace-split words.
+BPE_SEP = "\x1f"
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed BPE merge learning — the first ``n_merges`` merge
+    rules a byte-pair-encoding tokenizer would learn from this corpus,
+    with corpus-weighted pair counts.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word table
+    (vocab-sized, with counts) — the same reduction every practical BPE
+    trainer (GPT-2, SentencePiece) applies, because pair statistics are
+    word-local. Each round is then: one explode + hash-agg over the
+    vocab for pair counts, a 1-row argmax collect (count desc, pair asc
+    — the deterministic tie-break mirrored in SQL), and a literal
+    string replace to apply the merge. No corpus-sized shuffle after
+    the initial word count; the evolving symbol strings never leave
+    their partitions.
+
+    Returns (merges_df, vocab_df): the learned rules (step, left,
+    right, merged, pair_count) and the final symbolized vocabulary."""
+    S = BPE_SEP
+    wc = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sym0 = F.concat(
+        F.lit(S),
+        F.array_join(F.split(F.col("word"), ""), S + S),
+        F.lit(S),
+    )
+    state = wc.select("word", "n", sym0.alias("sym")).cache()
+    spark = docs.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        toks = F.split(
+            F.substring(F.col("sym"), 2, F.length("sym") - 2), S + S
+        )
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            state.select(F.explode(pairs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].cnt
+        a, b = pair.split(" ")
+        merges.append((step, a, b, a + b, cnt))
+        state = state.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(S + a + S + S + b + S), F.lit(S + a + b + S)
+            ),
+        )
+    merges_df = spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+    return merges_df, state

@@ -340,3 +340,24 @@ class TestChunkDocuments:
         for r in rows:
             covered.update(range(r["start_word"], r["start_word"] + r["n_words"]))
         assert covered == set(range(23))
+
+
+def test_source_temperature_mix_exact(spark):
+    import math
+
+    from stash_log_parser_spark.operators.mixture import source_temperature_mix
+
+    rows = [("a",)] * 64 + [("b",)] * 4 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "source string")
+    out = {r.source: r for r in source_temperature_mix(df).collect()}
+    s = {k: math.floor(math.sqrt(n) * 1e6 + 0.5) for k, n in
+         {"a": 64, "b": 4, "c": 1}.items()}
+    st, nt = sum(s.values()), 69
+    for k, n in {"a": 64, "b": 4, "c": 1}.items():
+        assert out[k].raw_share == math.floor(n / nt * 1e6 + 0.5) / 1e6
+        assert out[k].temp_weight == math.floor(s[k] / st * 1e6 + 0.5) / 1e6
+    # temperature compresses the range: the rare source is upsampled
+    assert out["c"].upsample_factor > 1 > out["a"].upsample_factor
+    assert out["c"].upsample_factor == pytest.approx(
+        (s["c"] * nt) / (st * 1), abs=1e-5
+    )

@@ -516,3 +516,61 @@ def test_tokenizer_fertility_ratios(spark):
     assert row.n_tokens == 5 and row.n_words == 3 and row.n_chars == 8
     assert row.tokens_per_word == pytest.approx(5 / 3, abs=1e-6)
     assert row.chars_per_token == 1.6
+
+
+def test_bpe_learn_merges_matches_pure_python(spark):
+    from collections import Counter
+
+    texts = {
+        1: "low lower lowest low low",
+        2: "new newer newest new lower",
+        3: "低 low new",  # multibyte survives the char split
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    merges, vocab = TS.bpe_learn_merges(docs, n_merges=5)
+    got = [(r.step, r.left, r.right, r.pair_count) for r in merges.collect()]
+
+    wc = Counter(w for t in texts.values() for w in t.lower().split())
+    syms = {w: list(w) for w in wc}
+    exp = []
+    for step in range(1, 6):
+        pc = Counter()
+        for w, toks in syms.items():
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((step, a, b, cnt))
+        for w, toks in syms.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            syms[w] = out
+    assert got == exp
+    # 'lo'+'w' must be learned early ('low' appears in 7 words)
+    assert any(m[1] + m[2] == "low" for m in got[:3])
+    # final vocab symbolization is consistent with the python mirror
+    S = TS.BPE_SEP
+    vgot = {
+        r.word: r.sym.strip(S).split(S + S) for r in vocab.collect()
+    }
+    assert vgot == syms
+
+
+def test_bpe_greedy_left_to_right_overlap(spark):
+    # "aaa" under merge (a,a): greedy gives (aa)(a), never a(aa)
+    docs = spark.createDataFrame([(1, "aaa aaa b")], "doc_id long, text string")
+    merges, vocab = TS.bpe_learn_merges(docs, n_merges=1)
+    m = merges.collect()[0]
+    assert (m.left, m.right, m.pair_count) == ("a", "a", 4)
+    S = TS.BPE_SEP
+    syms = {r.word: r.sym for r in vocab.collect()}
+    assert syms["aaa"] == S + "aa" + S + S + "a" + S
