@@ -161,3 +161,77 @@ def triangle_census(
     return out.orderBy(
         F.desc("triangles"), F.desc("degree"), F.asc("node")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "repo_a",
+    dst: str = "repo_b",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly drop
+    every node whose degree in the surviving subgraph is < k. The
+    k-core is the standard "structurally engaged" community filter —
+    a node with k co-access partners who are themselves engaged.
+
+    Runs EXACTLY ``rounds`` peel rounds (peeling is idempotent once
+    converged, so a fixed unroll is engine-portable — the SQL oracle
+    unrolls the same rounds; the k-means/PageRank trajectory
+    discipline) and RAISES if the peel had not converged by then, so
+    an unconverged result can never be silently reported as the core.
+    All arithmetic is integer degree counting — no float anywhere.
+
+    Scale shape: each round is one join of the (static, cached)
+    bidirectional edge list against the shrinking alive-node set plus
+    one degree hash-agg — only (node) and (src,dst) keys shuffle; at
+    a 10^12-edge scale each round is a semi-join the optimizer can
+    run as a broadcast once the alive set collapses.
+
+    Returns (node, degree, core_degree, in_core) for every node of
+    the input graph, core_degree = degree inside the k-core (0 when
+    peeled)."""
+    both = undirect(edges, src, dst).persist()
+    deg0 = both.groupBy("src").agg(F.count("*").alias("degree"))
+    alive = deg0.filter(F.col("degree") >= k).select(F.col("src").alias("node"))
+    prev_n = None
+    for _ in range(rounds):
+        e = both.join(
+            alive.withColumnRenamed("node", "src"), "src"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst")
+        d = e.groupBy("src").agg(F.count("*").alias("dg"))
+        alive = d.filter(F.col("dg") >= k).select(F.col("src").alias("node"))
+        alive = alive.localCheckpoint(eager=True)
+        n = alive.count()
+        if prev_n == n:
+            break
+        prev_n = n
+    else:
+        # one verification round: converged iff the alive set is stable
+        e = both.join(
+            alive.withColumnRenamed("node", "src"), "src"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst")
+        d = e.groupBy("src").agg(F.count("*").alias("dg"))
+        if d.filter(F.col("dg") < k).limit(1).count() > 0:
+            raise RuntimeError(
+                f"kcore did not converge in {rounds} rounds; raise `rounds`"
+            )
+    core_e = both.join(
+        alive.withColumnRenamed("node", "src"), "src"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst")
+    core_d = core_e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+    out = (
+        deg0.select(F.col("src").alias("node"), F.col("degree").cast("long"))
+        .join(core_d, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("core_degree", F.lit(0)).cast("long").alias(
+                "core_degree"
+            ),
+            (F.coalesce("core_degree", F.lit(0)) >= k).alias("in_core"),
+        )
+    )
+    return out.orderBy(F.desc("core_degree"), F.asc("node"))

@@ -113,3 +113,37 @@ class TestTriangleCensus:
             for r in triangle_census(_edges_df(spark, pairs)).collect()
         }
         assert rows == ref
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from stash_log_parser_spark.operators.graph import kcore
+
+    # triangle a-b-c (2-core) with a pendant chain c-d-e (peels off)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "repo_a string, repo_b string",
+    )
+    out = {r.node: r for r in kcore(edges, k=2, rounds=4).collect()}
+    assert [out[n].in_core for n in "abc"] == [True, True, True]
+    assert [out[n].in_core for n in "de"] == [False, False]
+    # chain peeling takes 2 rounds: e first (deg 1), then d
+    assert out["c"].degree == 3 and out["c"].core_degree == 2
+    assert out["e"].core_degree == 0
+
+
+def test_kcore_raises_when_rounds_too_few(spark):
+    import pytest
+
+    from stash_log_parser_spark.operators.graph import kcore
+
+    # a path of 8 nodes has an empty 2-core reached by peeling one end
+    # pair per round — 1 round cannot converge and must raise
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(7)],
+        "repo_a string, repo_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, rounds=1)
+    # enough rounds: converges to the empty core
+    out = kcore(edges, k=2, rounds=4).collect()
+    assert all(not r.in_core for r in out)
