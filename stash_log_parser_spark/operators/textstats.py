@@ -907,3 +907,97 @@ def bpe_learn_merges(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
     return merges_df, state
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k most frequent words, at each k — the number
+    that decides a tokenizer's vocab size (and whether byte-fallback
+    will be hot). One corpus explode→hash-agg to the vocab, ONE
+    ranking window over the VOCAB table (dimension-sized, like
+    word_rarity — never the corpus), then one conditional agg; all
+    integer until the final quantized division."""
+    from pyspark.sql import Window
+
+    uni = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = uni.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))).alias("r")
+    )
+    one = ranked.agg(
+        F.sum("c").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_n"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"_cov{k}")
+            for k in ks
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"), F.col(f"_cov{k}").alias("cov")
+            )
+            for k in ks
+        ]
+    )
+    ex = one.select("_tot", "_n", F.explode(rows).alias("kv"))
+    return ex.select(
+        F.col("kv.k").alias("k"),
+        F.least(F.col("kv.k"), F.col("_n")).cast("long").alias("vocab_size"),
+        F.col("kv.cov").alias("covered_tokens"),
+        round6(F.col("kv.cov").cast("double") / F.col("_tot")).alias(
+            "coverage_frac"
+        ),
+    ).orderBy("k")
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 1000,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate of a frozen top-k train vocabulary on
+    the held-out split — the eval-side twin of vocab_coverage (a vocab
+    chosen on train must be judged on test). Split is the repo's
+    hash-stable train_test_split; the vocab is a top-k cut under the
+    strict (count desc, word asc) total order, so the selection is
+    deterministic at every scale. The vocab is a true k-row dimension
+    — broadcast by construction; test tokens never shuffle."""
+    split = train_test_split(docs, train_frac)
+    tagged = docs.join(split, "doc_id").select(
+        F.explode(_words(F.col(text_col))).alias("w"), "split"
+    )
+    vocab = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_k)
+        .select("w", F.lit(1).alias("_v"))
+    )
+    vs = vocab.agg(F.count("*").cast("long").alias("vocab_size"))
+    test = tagged.filter(F.col("split") == "test")
+    agg = test.join(F.broadcast(vocab), "w", "left").agg(
+        F.count("*").cast("long").alias("n_test_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return agg.crossJoin(vs).select(
+        "vocab_size",
+        "n_test_tokens",
+        "n_oov",
+        round6(F.col("n_oov").cast("double") / F.col("n_test_tokens")).alias(
+            "oov_rate"
+        ),
+    )

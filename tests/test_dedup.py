@@ -424,3 +424,18 @@ class TestNgramNovelty:
         df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
         r = ngram_novelty(df, n=3).collect()[0]
         assert r["n_shingles"] == 1 and r["n_novel"] == 1
+
+
+def test_near_dup_clusters_string_nodes(spark):
+    from stash_log_parser_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("bob", "bobb"), ("bobb", "bobby"), ("zed", "zedd")],
+        "doc_a string, doc_b string",
+    )
+    out = {r.doc_id: r.cluster for r in near_dup_clusters(pairs).collect()}
+    # transitive: bob~bobb~bobby all canonicalize to the min label
+    assert out == {
+        "bob": "bob", "bobb": "bob", "bobby": "bob",
+        "zed": "zed", "zedd": "zed",
+    }

@@ -161,3 +161,15 @@ class TestHllSliding:
         r = S.hll_sliding_distinct(ev, window_hours=24).collect()[0]
         assert r["n_exact"] == 50
         assert abs(r["hll_estimate"] - 50) / 50 < 0.25
+
+
+def test_hll_estimate_by_constant_group_equals_global(spark):
+    from stash_log_parser_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(i % 97,) for i in range(500)], "k long")
+    glob = SK.hll_estimate(df, "k").collect()[0].hll_estimate
+    regs = SK.hll_registers(df, "k").withColumn("_g", F.lit(1))
+    by = SK.hll_estimate_by(regs, "_g").collect()[0].hll_estimate
+    # the law the streaming-HLL query relies on: estimate-from-registers
+    # is the same function whether grouped or global
+    assert by == glob

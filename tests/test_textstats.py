@@ -574,3 +574,39 @@ def test_bpe_greedy_left_to_right_overlap(spark):
     S = TS.BPE_SEP
     syms = {r.word: r.sym for r in vocab.collect()}
     assert syms["aaa"] == S + "aa" + S + S + "a" + S
+
+
+def test_vocab_coverage_hand_counts(spark):
+    # counts: a=4, b=2, c=1 -> top-1 covers 4/7, top-2 covers 6/7
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c a")], "doc_id long, text string"
+    )
+    out = {r.k: r for r in TS.vocab_coverage(docs, ks=(1, 2, 10)).collect()}
+    assert (out[1].covered_tokens, out[1].coverage_frac) == (4, 0.571429)
+    assert (out[2].covered_tokens, out[2].coverage_frac) == (6, 0.857143)
+    assert out[10].vocab_size == 3 and out[10].coverage_frac == 1.0
+
+
+def test_oov_rate_matches_pure_python(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    texts = {i: f"w{i % 5} w{i % 3} common" for i in range(40)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = TS.oov_rate(docs, vocab_k=2, train_frac=0.8).collect()[0]
+    is_train = {
+        i: hashlib.md5(str(i).encode()).hexdigest()[:2] < "cc" for i in texts
+    }
+    tc = Counter(w for i, t in texts.items() if is_train[i] for w in t.split())
+    vocab = set(
+        w for w, _ in sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    )
+    test_toks = [w for i, t in texts.items() if not is_train[i] for w in t.split()]
+    n_oov = sum(w not in vocab for w in test_toks)
+    assert (got.vocab_size, got.n_test_tokens, got.n_oov) == (
+        2, len(test_toks), n_oov,
+    )
+    assert got.oov_rate == math.floor(n_oov / len(test_toks) * 1e6 + 0.5) / 1e6
