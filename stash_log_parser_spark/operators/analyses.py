@@ -833,3 +833,77 @@ def key_skew_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("key_col")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit of a quasi-identifier tuple —
+    the privacy gate a dataset passes before rows with those columns
+    are released or used for training. Reports how many equivalence
+    classes (distinct quasi-ID tuples) fall below ``k`` rows, the
+    share of ROWS sitting in those re-identifiable classes, and the
+    minimum l-diversity (distinct sensitive values) over all classes.
+
+    Two hash-aggs (rows → classes → one summary row), integer
+    everywhere except the one quantized share. countDistinct is exact
+    per class — at 100 TB the class table is the quasi-ID dimension,
+    orders smaller than the rows."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_div"),
+    )
+    agg = classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("n_rows") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("n_rows") < k, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("l_div").alias("min_l_diversity"),
+    )
+    return agg.select(
+        "k",
+        "n_classes",
+        "n_rows",
+        "n_risky_classes",
+        "n_risky_rows",
+        _r6(F.col("n_risky_rows").cast("double") / F.col("n_rows")).alias(
+            "risky_row_share"
+        ),
+        "min_l_diversity",
+    )
+
+
+def cumulative_users(df: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Cumulative distinct users per day — the growth-dashboard series.
+    The naive form (COUNT(DISTINCT user) OVER an expanding day window)
+    re-scans every prior day per day; the scalable rewrite computed
+    here is FIRST-SEEN day per user (one hash-agg) + a prefix sum over
+    the day dimension — O(rows) then O(days), no expanding window
+    anywhere. Day keys are integer epoch-days (exact both engines)."""
+    from pyspark.sql import Window
+
+    day = F.expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000")
+    first = (
+        df.select(F.col(user_col).alias("u"), day.alias("day"))
+        .groupBy("u")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("n_cum_users"),
+    ).orderBy("day")

@@ -1001,3 +1001,55 @@ def oov_rate(
             "oov_rate"
         ),
     )
+
+
+def bpe_apply_stats(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE rules on the WHOLE corpus, apply them,
+    and report per-source compression — chars per token and tokens per
+    word before/after — the acceptance readout for a tokenizer change
+    (a merge table that compresses source A 1.3× and source B 1.0×
+    shifts the token budget between them).
+
+    The apply side never touches the corpus text: per-(source, word)
+    counts join the already-symbolized global vocabulary (word-keyed,
+    vocab-sized) and every stat is a weighted integer sum. round6 only
+    on the two final ratios."""
+    from stash_log_parser_spark.operators.textstats import bpe_learn_merges
+
+    _, vocab = bpe_learn_merges(docs, n_merges=n_merges, text_col=text_col)
+    S = BPE_SEP
+    sw = (
+        docs.select(
+            "source", F.explode(_words(F.col(text_col))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    n_after = F.size(
+        F.split(F.substring(F.col("sym"), 2, F.length("sym") - 2), S + S)
+    )
+    j = sw.join(vocab.select("word", "sym"), "word").select(
+        "source",
+        "n",
+        F.length("word").cast("long").alias("_chars"),
+        n_after.cast("long").alias("_after"),
+    )
+    agg = j.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.col("_chars")).cast("long").alias("n_chars"),
+        F.sum(F.col("n") * F.col("_after")).cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        round6(F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+        round6(F.col("n_tokens").cast("double") / F.col("n_words")).alias(
+            "tokens_per_word"
+        ),
+    ).orderBy("source")

@@ -446,3 +446,42 @@ def test_key_skew_audit_gini(spark):
     )
     skew = key_skew_audit(df2, ["k"]).collect()[0]
     assert skew.gini == 0.375 and skew.max_share == 0.875
+
+
+def test_k_anonymity_audit_counts(spark):
+    from stash_log_parser_spark.operators.analyses import k_anonymity_audit
+
+    rows = (
+        [("http", "r1", f"u{i}") for i in range(6)]      # class of 6: safe
+        + [("ssh", "r1", "u1"), ("ssh", "r1", "u1")]      # class of 2: risky
+        + [("ssh", "r2", "u9")]                           # class of 1: risky
+    )
+    df = spark.createDataFrame(rows, "protocol string, repo string, user string")
+    out = k_anonymity_audit(df, ["protocol", "repo"], "user", k=5).collect()[0]
+    assert (out.n_classes, out.n_rows) == (3, 9)
+    assert (out.n_risky_classes, out.n_risky_rows) == (2, 3)
+    assert out.risky_row_share == 0.333333
+    assert out.min_l_diversity == 1
+
+
+def test_cumulative_users_first_seen(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import cumulative_users
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [
+        (t(1), 1), (t(1), 2), (t(1, 5), 1),   # day0: users 1,2
+        (t(2), 2), (t(2), 3),                  # day1: new user 3
+        (t(4), 1),                             # day3: no new users -> no row
+        (t(5), 4),                             # day4: new user 4
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = [(r.day, r.n_new_users, r.n_cum_users)
+           for r in cumulative_users(df).collect()]
+    base = out[0][0]
+    assert [(d - base, n, c) for d, n, c in out] == [
+        (0, 2, 2), (1, 1, 3), (4, 1, 4),
+    ]

@@ -610,3 +610,18 @@ def test_oov_rate_matches_pure_python(spark):
         2, len(test_toks), n_oov,
     )
     assert got.oov_rate == math.floor(n_oov / len(test_toks) * 1e6 + 0.5) / 1e6
+
+
+def test_bpe_apply_stats_compression(spark):
+    # 'aaaa' x4 + 'ab' x1: merges (a,a) then (aa,aa) collapse 'aaaa'
+    # to ONE token; 'ab' stays 2 chars -> 2 tokens (no 'ab' merge yet)
+    docs = spark.createDataFrame(
+        [(1, "s1", "aaaa aaaa ab"), (2, "s1", "aaaa aaaa")],
+        "doc_id long, source string, text string",
+    )
+    out = TS.bpe_apply_stats(docs, n_merges=2).collect()[0]
+    assert (out.n_words, out.n_chars) == (5, 18)
+    # 4x 'aaaa' -> 1 token each; 'ab' -> 2 tokens
+    assert out.n_tokens == 6
+    assert out.chars_per_token == 3.0
+    assert out.tokens_per_word == 1.2
