@@ -907,3 +907,141 @@ def cumulative_users(df: DataFrame, user_col: str = "user_id") -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("n_cum_users"),
     ).orderBy("day")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from an event log —
+    the gaps-and-islands collapse: consecutive rows with the SAME state
+    per key fold into one validity interval [valid_from, valid_to),
+    valid_to = the next interval's start (NULL while current).
+
+    Two windows, both partitioned by the KEY (never global): a lag to
+    mark state changes, a running sum to number the islands; then one
+    hash-agg per island and one lead over the per-key island table
+    (key-dimension sized). Tie order inside equal timestamps is pinned
+    by ``tie_col`` so the island numbering is total-order deterministic."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    marked = df.select(
+        key_col,
+        state_col,
+        ts_col,
+        tie_col,
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    runs = marked.withColumn(
+        "_run",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = runs.groupBy(key_col, "_run").agg(
+        # the state is constant within an island by construction, so a
+        # plain min is the deterministic pick (no arg-min needed)
+        F.min(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    return islands.select(
+        F.col(key_col),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    ).orderBy(key_col, "valid_from")
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, key_col: str) -> DataFrame:
+    """Apply a CDC change feed (op ∈ {'U','D'}, monotone seq per key,
+    payload columns matching ``base``) to a base snapshot — the MERGE
+    INTO semantics of a lakehouse table, expressed engine-neutrally:
+    base rows enter the race as op='I', seq=0; the LAST op per key
+    (max seq, deterministic) wins; a winning 'D' deletes the key.
+
+    One union + one per-key window over (key) — at scale this is the
+    standard CDC compaction shuffle, keyed and partials-friendly; no
+    join at all. Returns the post-merge snapshot."""
+    payload = [c for c in base.columns if c != key_col]
+    b = base.select(
+        key_col, *payload, F.lit("I").alias("op"), F.lit(0).cast("long").alias("seq")
+    )
+    c = changes.select(key_col, *payload, "op", F.col("seq").cast("long"))
+    allrows = b.unionByName(c)
+    w = Window.partitionBy(key_col).orderBy(F.desc("seq"))
+    last = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return last.filter(F.col("op") != "D").drop("op", "seq")
+
+
+def dq_expectations(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Data-quality expectation suite (the dbt-tests / Great-
+    Expectations shape): each check is one (check, n_checked,
+    n_failed, passed) row — null keys, value-range, referential
+    integrity. Every check is a conditional count folded into ONE
+    pass per table plus one anti-join for the FK orphan census; at
+    100 TB the FK check is the only shuffle and it's a key-only
+    semi-join."""
+    li = lineitem.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_key"),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("long")
+        ).alias("qty_range"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("price_pos"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("flag_domain"),
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("_orph"))
+    )
+    od = orders.agg(
+        F.count("*").alias("_no"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("total_pos"),
+    )
+    one = li.crossJoin(orphans).crossJoin(od)
+    checks = [
+        ("lineitem_orderkey_not_null", "_n", "null_key"),
+        ("lineitem_quantity_1_50", "_n", "qty_range"),
+        ("lineitem_price_positive", "_n", "price_pos"),
+        ("lineitem_returnflag_domain", "_n", "flag_domain"),
+        ("lineitem_fk_orders", "_n", "_orph"),
+        ("orders_totalprice_positive", "_no", "total_pos"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(nc).cast("long").alias("n_checked"),
+                F.col(fc).cast("long").alias("n_failed"),
+            )
+            for name, nc, fc in checks
+        ]
+    )
+    ex = one.select(F.explode(rows).alias("r"))
+    return ex.select(
+        F.col("r.check").alias("check"),
+        F.col("r.n_checked").alias("n_checked"),
+        F.col("r.n_failed").alias("n_failed"),
+        (F.col("r.n_failed") == 0).alias("passed"),
+    ).orderBy("check")

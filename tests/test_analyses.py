@@ -485,3 +485,77 @@ def test_cumulative_users_first_seen(spark):
     assert [(d - base, n, c) for d, n, c in out] == [
         (0, 2, 2), (1, 1, 3), (4, 1, 4),
     ]
+
+
+def test_scd2_intervals_islands(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import scd2_intervals
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, t(0), "view", 1), (1, t(1), "view", 2), (1, t(2), "click", 3),
+        (1, t(3), "view", 4),  # view again -> NEW island, not merged
+        (2, t(0), "click", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = scd2_intervals(df, "user_id", "event_type").collect()
+    u1 = [(r.state, r.valid_from.minute,
+           None if r.valid_to is None else r.valid_to.minute,
+           r.is_current, r.n_events)
+          for r in out if r.user_id == 1]
+    assert u1 == [
+        ("view", 0, 2, False, 2),
+        ("click", 2, 3, False, 1),
+        ("view", 3, None, True, 1),
+    ]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+
+
+def test_cdc_apply_last_op_wins(spark):
+    from stash_log_parser_spark.operators.analyses import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, "a3", "U", 2),      # last update wins
+            (2, "b", "D", 1),                            # delete
+            (3, "c2", "U", 1), (3, "c2", "D", 2),        # update then delete
+            (4, "new", "U", 1),                          # upsert of a new key
+        ],
+        "id long, v string, op string, seq long",
+    )
+    out = {r.id: r.v for r in cdc_apply(base, changes, "id").collect()}
+    assert out == {1: "a3", 4: "new"}
+
+
+def test_dq_expectations_flags_planted_violations(spark):
+    from stash_log_parser_spark.operators.analyses import dq_expectations
+
+    li = spark.createDataFrame(
+        [
+            (1, 5.0, 10.0, "A"),
+            (1, 99.0, 10.0, "N"),    # qty out of range
+            (2, 5.0, -1.0, "R"),     # non-positive price
+            (9, 5.0, 10.0, "X"),     # bad flag AND orphan orderkey
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, l_returnflag string",
+    )
+    od = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0)], "o_orderkey long, o_totalprice double"
+    )
+    out = {r.check: (r.n_failed, r.passed)
+           for r in dq_expectations(li, od).collect()}
+    assert out["lineitem_orderkey_not_null"] == (0, True)
+    assert out["lineitem_quantity_1_50"] == (1, False)
+    assert out["lineitem_price_positive"] == (1, False)
+    assert out["lineitem_returnflag_domain"] == (1, False)
+    assert out["lineitem_fk_orders"] == (1, False)
+    assert out["orders_totalprice_positive"] == (1, False)
