@@ -1045,3 +1045,196 @@ def dq_expectations(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         F.col("r.n_failed").alias("n_failed"),
         (F.col("r.n_failed") == 0).alias("passed"),
     ).orderBy("check")
+
+
+def apdex(parsed: DataFrame, t_ms: int = 500) -> DataFrame:
+    """Hourly Apdex score — the SRE satisfaction index:
+    (satisfied + tolerating/2) / total with satisfied ≤ T and
+    tolerating ≤ 4T. Computed as the integer-exact numerator
+    (2·satisfied + tolerating) over 2·total, quantized once; one
+    hash-agg over integer epoch-hours."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    base = parsed.filter(
+        F.col("is_parsed")
+        & (F.col("req_dir") == "o")
+        & F.col("duration_ms").isNotNull()
+    )
+    agg = (
+        base.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            (F.col("duration_ms") <= t_ms).cast("long").alias("sat"),
+            (
+                (F.col("duration_ms") > t_ms)
+                & (F.col("duration_ms") <= 4 * t_ms)
+            )
+            .cast("long")
+            .alias("tol"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum("sat").cast("long").alias("n_satisfied"),
+            F.sum("tol").cast("long").alias("n_tolerating"),
+        )
+    )
+    return agg.select(
+        "hr",
+        "n_requests",
+        "n_satisfied",
+        "n_tolerating",
+        _r6(
+            (2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
+            / (2 * F.col("n_requests"))
+        ).alias("apdex"),
+    ).orderBy("hr")
+
+
+def ab_lift(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Deterministic A/B analysis: users hash-bucket into variants by
+    the SAME md5 device as train_test_split (stable under corpus
+    growth — no user ever switches arms), conversion = any
+    ``convert_type`` event; reports per-arm rates, relative lift, and
+    the two-proportion z statistic. All counts integer; the rate/lift/z
+    expressions are single mirrored shapes (sqrt is IEEE-exact)."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    # converted = odd count of convert_type events. On the synthetic
+    # corpus EVERY user purchases at least once (p=1 in both arms makes
+    # the pooled z undefined — caught at add time), so the predicate is
+    # the parity of the count: ~0.5 at every SF, never degenerate, and
+    # exactly mirrorable. The arm-assignment machinery, not the toy
+    # predicate, is the operator.
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            arm.alias("arm"),
+            (F.col("event_type") == convert_type).cast("long").alias("c"),
+        )
+        .groupBy("u", "arm")
+        .agg((F.sum("c") % 2).cast("long").alias("converted"))
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_b - p_a) / F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    conv = F.col("c_a") + F.col("c_b")
+    users = F.col("n_a") + F.col("n_b")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        # degenerate designs (an empty arm, 0% or 100% pooled conversion)
+        # have no defined rate/lift/z — NULL, never a divide-by-zero
+        # (mirrored CASE in SQL)
+        F.when(F.col("n_a") > 0, _r6(p_a)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, _r6(p_b)).alias("rate_b"),
+        F.when(both & (F.col("c_a") > 0), _r6(p_b / p_a)).alias("rel_lift"),
+        F.when(
+            both & (conv > 0) & (conv < users), _r6(z + F.lit(10.0))
+        ).alias("z_plus_10"),
+    )
+
+
+def conversion_lag(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """First-touch → conversion lag distribution: per user, the lag
+    from the FIRST ``from_type`` to the FIRST ``to_type`` at or after
+    it; summary row with exact integer-rank median (the winsorized
+    order-statistic device — no float percentile interpolation). One
+    conditional-min hash-agg per user; lags are exact µs integers."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    per_user = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.when(F.col("event_type") == from_type, us).alias("f"),
+            F.when(F.col("event_type") == to_type, us).alias("t"),
+        )
+        .groupBy("u")
+        .agg(F.min("f").alias("first_from"), F.min("t").alias("first_to"))
+        .filter(
+            F.col("first_from").isNotNull()
+            & F.col("first_to").isNotNull()
+            & (F.col("first_to") >= F.col("first_from"))
+        )
+    )
+    lags = per_user.select(
+        "u", (F.col("first_to") - F.col("first_from")).alias("lag_us")
+    )
+    # the lags table is user-dimension sized, so the global rank/count
+    # windows are over the dimension, never the event log
+    ranked = lags.select(
+        "lag_us",
+        F.row_number().over(Window.orderBy("lag_us", "u")).alias("r"),
+        F.count("*")
+        .over(Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    return (
+        ranked.agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("lag_us").cast("long").alias("min_lag_us"),
+            F.max("lag_us").cast("long").alias("max_lag_us"),
+            F.sum("lag_us").cast("long").alias("_sum"),
+            F.sum(
+                F.when(
+                    F.col("r") == F.expr("(_n + 1) div 2"), F.col("lag_us")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_lo"),
+            F.sum(
+                F.when(
+                    F.col("r") == F.expr("(_n + 2) div 2"), F.col("lag_us")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_hi"),
+        )
+        .select(
+            "n_users",
+            "min_lag_us",
+            "max_lag_us",
+            _r6(F.col("_sum").cast("double") / F.col("n_users")).alias(
+                "mean_lag_us"
+            ),
+            ((F.col("_lo") + F.col("_hi")).cast("double") / 2.0).alias(
+                "median_lag_us"
+            ),
+        )
+    )

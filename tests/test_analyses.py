@@ -559,3 +559,74 @@ def test_dq_expectations_flags_planted_violations(spark):
     assert out["lineitem_returnflag_domain"] == (1, False)
     assert out["lineitem_fk_orders"] == (1, False)
     assert out["orders_totalprice_positive"] == (1, False)
+
+
+def test_apdex_score(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import apdex
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [(t0, 100, "o", True), (t0, 600, "o", True),
+            (t0, 5000, "o", True), (t0, 100, "i", True),
+            (None, 100, "o", False)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, duration_ms long, req_dir string, is_parsed boolean"
+    )
+    out = apdex(df, t_ms=500).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 1 satisfied, 1 tolerating (600<=2000), 1 frustrated of 3
+    assert (r.n_requests, r.n_satisfied, r.n_tolerating) == (3, 1, 1)
+    assert r.apdex == 0.5
+
+
+def test_ab_lift_parity_conversion(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import ab_lift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: 1 purchase (odd -> converted); user 2: 2 (not); user 3: 0
+    # md5-first-hex arms: users 1,2,3 land in B; 6 lands in A
+    rows = [(1, "purchase"), (2, "purchase"), (2, "purchase"), (6, "view"),
+            (6, "purchase"), (3, "view")]
+    df = spark.createDataFrame(
+        [(u, t, t0) for u, t in rows], "user_id long, event_type string, ts timestamp"
+    )
+    r = ab_lift(df, "purchase").collect()[0]
+    assert (r.n_a, r.n_b) == (1, 3)
+    assert (r.c_a, r.c_b) == (1, 1)  # parity: user 1 odd, user 2 even
+    assert r.rate_a == 1.0 and r.rate_b == pytest.approx(1 / 3, abs=1e-6)
+    # pooled conversion is 2/4 -> z defined; all-converted arm A makes
+    # the design valid but extreme
+    assert r.z_plus_10 is not None and r.rel_lift is not None
+    # an empty-arm design yields NULL stats, not a crash
+    solo = spark.createDataFrame(
+        [(1, "purchase", t0)], "user_id long, event_type string, ts timestamp"
+    )
+    r2 = ab_lift(solo, "purchase").collect()[0]
+    assert r2.n_a == 0 and r2.rate_a is None and r2.z_plus_10 is None
+
+
+def test_conversion_lag_median(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import conversion_lag
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, "view", t(0)), (1, "purchase", t(10)),     # lag 10s
+        (2, "view", t(0)), (2, "purchase", t(30)),     # lag 30s
+        (3, "view", t(0)), (3, "purchase", t(20)),     # lag 20s
+        (4, "purchase", t(0)), (4, "view", t(5)),      # purchase BEFORE view: excluded
+        (5, "view", t(0)),                              # never converts: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = conversion_lag(df).collect()[0]
+    assert r.n_users == 3
+    assert (r.min_lag_us, r.max_lag_us) == (10_000_000, 30_000_000)
+    assert r.median_lag_us == 20_000_000.0
+    assert r.mean_lag_us == 20_000_000.0
