@@ -573,3 +573,37 @@ def test_duration_sketch_rollup_matches_exact_within_bound(spark, corpus_path, t
             sv = int(s[name])
             assert sv <= target, (op, name, sv, target)
             assert target < sv + max(sv // 16, 1) + 1, (op, name, sv, target)
+
+
+def test_dynamic_partition_pruning_on_day_partitioned_sink(spark, tmp_path):
+    """A day-partitioned fact joined to a filtered dimension must scan
+    ONLY the surviving day partitions: Spark inserts a dynamicpruning
+    subquery on the partition column (DPP). This is the mechanism that
+    makes 'join last week's dims against a 100 TB day-partitioned
+    table' read 7 partitions, not 3650."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    rows = [
+        (dt.date(2024, 1, 1 + d).isoformat(), i, d * 100 + i)
+        for d in range(6)
+        for i in range(50)
+    ]
+    fact = spark.createDataFrame(rows, "day string, k long, v long")
+    fact.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [("2024-01-02", "keep"), ("2024-01-05", "keep")],
+        "day string, tag string",
+    ).filter(F.col("tag") == "keep")
+
+    f = spark.read.parquet(fact_dir)
+    joined = f.join(dim, "day").groupBy("day").agg(F.sum("v").alias("s"))
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower(), optimized[:2000]
+    # and the result is correct: only the two kept days survive
+    got = {str(r.day): r.s for r in joined.collect()}
+    assert set(got) == {"2024-01-02", "2024-01-05"}
+    assert got["2024-01-02"] == sum(100 + i for i in range(50))

@@ -49,6 +49,18 @@ QUERIES = [
         " join targets the dimension-sized day list, after the event stream"
         " collapsed to (user, day) distinct.",
     ),
+    (
+        "events_cum_users",
+        "Cumulative-distinct rewrite: the event log collapses to first-seen"
+        " per user (one hash-agg), then per-day counts; the only window runs"
+        " over the DAY dimension — no expanding-window distinct anywhere.",
+    ),
+    (
+        "docs_cdc_apply",
+        "MERGE INTO as union + last-op-per-key window: ONE doc_id-keyed"
+        " exchange, no join; the change feed rides the same shuffle as the"
+        " base snapshot.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
