@@ -460,19 +460,14 @@ def integer_zscore_outliers(
     )
 
 
-def coaccess_pairs(
+def capped_incidence(
     parsed: DataFrame, max_repos_per_user: int = 20
 ) -> DataFrame:
-    """The UNRANKED repo co-access edge set (repo_a < repo_b,
-    n_users) that repo_coaccess tops and the graph operators
-    (operators/graph.py) consume as their edge list.
-
-    The self-join-within-user is the quadratic hazard: a bot touching
-    50k repos would alone contribute 1.25e9 pairs. So the user×repo
-    incidence is first deduplicated (one hash-agg) and then CAPPED at
-    ``max_repos_per_user`` repos per user (kept deterministically by
-    per-user op count, ties by slug) — the same audited-cap discipline
-    as the LSH banding joins; the cap bounds the join at
+    """Deduplicated, per-user-CAPPED (username, repo_slug) incidence —
+    the shared basket relation behind coaccess_pairs and
+    association_rules. One hash-agg dedups, one user-keyed window caps
+    at ``max_repos_per_user`` (kept by per-user op count, ties by
+    slug) so every downstream self-join is bounded at
     C(cap, 2)·n_users pairs."""
     from pyspark.sql import Window
 
@@ -489,11 +484,28 @@ def coaccess_pairs(
     w = Window.partitionBy("username").orderBy(
         F.desc("n_ops"), F.asc("repo_slug")
     )
-    capped = (
+    return (
         inc.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= max_repos_per_user)
         .select("username", "repo_slug")
     )
+
+
+def coaccess_pairs(
+    parsed: DataFrame, max_repos_per_user: int = 20
+) -> DataFrame:
+    """The UNRANKED repo co-access edge set (repo_a < repo_b,
+    n_users) that repo_coaccess tops and the graph operators
+    (operators/graph.py) consume as their edge list.
+
+    The self-join-within-user is the quadratic hazard: a bot touching
+    50k repos would alone contribute 1.25e9 pairs. So the user×repo
+    incidence is first deduplicated (one hash-agg) and then CAPPED at
+    ``max_repos_per_user`` repos per user (kept deterministically by
+    per-user op count, ties by slug) — the same audited-cap discipline
+    as the LSH banding joins; the cap bounds the join at
+    C(cap, 2)·n_users pairs."""
+    capped = capped_incidence(parsed, max_repos_per_user)
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, "username")
@@ -1237,4 +1249,92 @@ def conversion_lag(
                 "median_lag_us"
             ),
         )
+    )
+
+
+def association_rules(
+    parsed: DataFrame,
+    max_repos_per_user: int = 20,
+    min_support: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Market-basket association rules over the user→repo baskets:
+    for every ordered repo pair (antecedent → consequent) co-accessed
+    by ≥ ``min_support`` users, confidence = P(consequent | antecedent)
+    and lift = confidence / P(consequent) — the "users who clone X
+    also clone Y" recommender readout on top of the capped incidence.
+
+    Scale shape: baskets come from capped_incidence (self-join bounded
+    by the per-user cap); item supports are one repo-keyed hash-agg;
+    the total-user count folds in as a crossed 1-row relation (no
+    driver collect). Both rule directions come from the one a<b pair
+    relation (union of the two orientations — no second self-join).
+    Confidence is a single IEEE division and lift divides two exact
+    integer products, so both are bit-identical across engines before
+    the round6 quantization; final order (lift desc, confidence desc,
+    pair asc) is driver-stable."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    capped = capped_incidence(parsed, max_repos_per_user)
+    item = capped.groupBy("repo_slug").agg(F.count("*").alias("n_item"))
+    n_users = capped.select(
+        F.count_distinct("username").cast("long").alias("n_users")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "username")
+        .filter(F.col("a.repo_slug") < F.col("b.repo_slug"))
+        .groupBy(
+            F.col("a.repo_slug").alias("repo_a"),
+            F.col("b.repo_slug").alias("repo_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    rules = pairs.select(
+        F.col("repo_a").alias("antecedent"),
+        F.col("repo_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("repo_b").alias("antecedent"),
+            F.col("repo_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    enriched = (
+        rules.join(
+            item.select(
+                F.col("repo_slug").alias("antecedent"),
+                F.col("n_item").alias("n_ant"),
+            ),
+            "antecedent",
+        )
+        .join(
+            item.select(
+                F.col("repo_slug").alias("consequent"),
+                F.col("n_item").alias("n_cons"),
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    return (
+        enriched.select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_ant").cast("long").alias("n_antecedent"),
+            F.col("n_cons").cast("long").alias("n_consequent"),
+            round6(F.col("n_both") / F.col("n_ant")).alias("confidence"),
+            round6(
+                (F.col("n_both") * F.col("n_users"))
+                / (F.col("n_ant") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"),
+            F.asc("antecedent"), F.asc("consequent"),
+        )
+        .limit(top)
     )

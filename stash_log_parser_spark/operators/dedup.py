@@ -728,3 +728,38 @@ def ngram_novelty(
         F.col("n_novel").cast("long").alias("n_novel"),
         round6(F.col("n_novel") / F.col("n_shingles")).alias("novelty_ratio"),
     )
+
+
+def pair_edit_distance(
+    docs: DataFrame,
+    pairs: DataFrame,
+    prefix_chars: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level verify stage for near-dup PAIRS: Levenshtein
+    distance between the two texts' first ``prefix_chars`` characters,
+    plus the length-normalized ratio. The prefix cap bounds the O(m·n)
+    DP at prefix² per pair — at 10^12 docs the pair list is already
+    LSH-bucketed and Jaccard-verified, so this is a constant-cost
+    polish pass, never a corpus-sized scan. Both engines implement
+    classic Levenshtein (integer-exact)."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    t = docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_t"),
+    )
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(t.withColumnRenamed(id_col, "doc_a").withColumnRenamed("_t", "_ta"), "doc_a")
+        .join(t.withColumnRenamed(id_col, "doc_b").withColumnRenamed("_t", "_tb"), "doc_b")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    denom = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("long").alias("edit_distance"),
+        round6(dist.cast("double") / denom).alias("edit_ratio"),
+    ).orderBy("doc_a", "doc_b")

@@ -235,3 +235,50 @@ def kcore(
         )
     )
     return out.orderBy(F.desc("core_degree"), F.asc("node"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "repo_a",
+    dst: str = "repo_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected edge list (src < dst per row): every node starts
+    labelled with itself; each round it adopts the most frequent label
+    among its NEIGHBOURS, ties broken by the smaller label — the
+    classic near-linear community heuristic (Raghavan et al. 2007),
+    made deterministic by the fixed tie-break and a FIXED round count
+    (the bulk-synchronous k-means/PageRank trajectory discipline, so
+    the SQL oracle unrolls the identical rounds as CTEs).
+
+    Scale shape: each round is one edge⋈label join (label relation is
+    node-sized, edges dominate) + one (node, label) hash-agg + one
+    node-keyed window — all shuffles keyed on node ids, never more
+    than O(E) rows in flight; `rounds` is a small constant, so the
+    lineage stays shallow (no iterative checkpoint needed at 3–5
+    rounds). All-integer/string — zero float risk."""
+    from pyspark.sql import Window
+
+    adj = undirect(edges, src, dst)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        labels = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select("node", "label", "community_size")
+        .orderBy("node")
+    )

@@ -807,3 +807,162 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    pool_k: int = 8,
+    select_k: int = 4,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick
+    ``select_k`` results from the exact top-``pool_k`` cosine pool,
+    each step maximizing λ·cos(q,x) − (1−λ)·max_{s∈S} cos(x,s) — the
+    standard de-redundancy re-rank between ANN retrieval and a RAG
+    context window.
+
+    Scale shape: the expensive part is the pool (one broadcast-queries
+    scan, the cosine_topk plan); everything after operates on
+    |queries|·pool_k rows — the greedy rounds are UNROLLED DataFrame
+    ops over that tiny relation (pairwise sims: one self-join), so no
+    Python, no driver loop over data. Every score is quantized with
+    the JVM-side F.round/_q6 discipline and the per-step argmax
+    tie-breaks on (score desc, id asc), so the SQL oracle unrolls the
+    identical rounds (k-means trajectory discipline). μ is computed as
+    the IEEE value of (1.0 − λ) on BOTH engines — never a Python
+    pre-folded constant."""
+    from pyspark.sql import Window
+
+    cands = cosine_topk(
+        embeddings, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, "cosine")
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = (
+        cands.select(query_id_col, F.col(id_col).alias("_xa"))
+        .join(vecs.withColumnRenamed(id_col, "_xa").withColumnRenamed("_v", "_va"), "_xa")
+    )
+    b = (
+        cands.select(query_id_col, F.col(id_col).alias("_xb"))
+        .join(vecs.withColumnRenamed(id_col, "_xb").withColumnRenamed("_v", "_vb"), "_xb")
+    )
+    cc = (
+        a.join(b, query_id_col)
+        .filter(F.col("_xa") != F.col("_xb"))
+        .select(
+            query_id_col,
+            "_xa",
+            "_xb",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("_sim"),
+        )
+    )
+    lam_c, mu_c = F.lit(lam), F.lit(1.0) - F.lit(lam)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    s1 = (
+        cands.select(
+            query_id_col, id_col, _q6(lam_c * F.col("cosine")).alias("score")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(query_id_col, id_col, F.lit(1).alias("step"), "score")
+    )
+    selected = s1
+    for step in range(2, select_k + 1):
+        rem = cands.join(
+            selected.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+        )
+        cc_sel = cc.join(
+            selected.select(query_id_col, F.col(id_col).alias("_xb")),
+            [query_id_col, "_xb"],
+            "left_semi",
+        )
+        pen = (
+            rem.withColumnRenamed(id_col, "_xa")
+            .join(cc_sel, [query_id_col, "_xa"])
+            .groupBy(query_id_col, F.col("_xa").alias(id_col), "cosine")
+            .agg(F.max("_sim").alias("_pen"))
+        )
+        pick = (
+            pen.select(
+                query_id_col,
+                id_col,
+                _q6(lam_c * F.col("cosine") - mu_c * F.col("_pen")).alias("score"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(query_id_col, id_col, F.lit(step).alias("step"), "score")
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy(query_id_col, "step")
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    pool_k: int = 10,
+    k: int = 5,
+    rrf_k: int = 60,
+    trunc_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retriever legs — the full-dim
+    exact cosine top-``pool_k`` list and the first-``trunc_dims``
+    Matryoshka-truncated cosine list — fused per (query, candidate) as
+    Σ 1/(rrf_k + rank), the standard hybrid-retrieval combiner (RRF,
+    Cormack et al.: rank-only fusion needs no score calibration across
+    legs, which is the whole point when legs live on different scales).
+
+    Scale shape: each leg is a cosine_topk plan (one corpus scan with
+    the query set broadcast); the fusion itself is a full-outer join of
+    two |queries|·pool_k relations — tiny, no corpus-sized shuffle.
+    The RRF score is a sum of exactly two doubles (order-free IEEE add)
+    round6-quantized; ranks come from each leg's deterministic
+    (cosine desc, id asc) window; final ties break on id. Missing-leg
+    ranks surface as NULL ints (hash-stable on both engines)."""
+    full = cosine_topk(
+        embeddings, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("rank_full"))
+    emb_t = embeddings.withColumn(vec_col, F.slice(F.col(vec_col), 1, trunc_dims))
+    q_t = queries.withColumn(
+        query_vec_col, F.slice(F.col(query_vec_col), 1, trunc_dims)
+    )
+    trunc = cosine_topk(
+        emb_t, q_t, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("rank_trunc"))
+    from pyspark.sql import Window
+
+    fused = full.join(trunc, [query_id_col, id_col], "full_outer")
+    contrib = lambda c: F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(c)), F.lit(0.0)
+    )
+    scored = fused.select(
+        query_id_col,
+        id_col,
+        "rank_full",
+        "rank_trunc",
+        _q6(contrib("rank_full") + contrib("rank_trunc")).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "rank_full", "rank_trunc",
+                "rrf_score")
+        .orderBy(query_id_col, "rank")
+    )

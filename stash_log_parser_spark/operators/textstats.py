@@ -1053,3 +1053,99 @@ def bpe_apply_stats(
             "tokens_per_word"
         ),
     ).orderBy("source")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 3,
+    q_terms: int = 8,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse lexical retrieval: Okapi BM25 top-``k`` "more-like-this"
+    over the corpus, with the first ``n_queries`` documents (by doc_id)
+    as queries and each query's first ``q_terms`` distinct words as its
+    term set. The standard keyword leg of a hybrid RAG retriever (the
+    dense leg is similarity.cosine_topk; similarity.rrf_fusion fuses
+    ranked lists).
+
+    score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the Lucene-style
+    non-negative variant.
+
+    Scale shape: ONE corpus pass builds the posting relation (explode →
+    (doc_id, w) hash-agg with map-side partials); doc lengths fall out
+    of the same relation. The query-term set is ≤ n_queries·q_terms
+    rows — a broadcast — so scoring is `postings ⋈ bcast(query_terms)`:
+    Catalyst turns the corpus-sized side into a broadcast-hash probe
+    with NO shuffle of the postings beyond the tf agg itself. df joins
+    against the ≤24-term set (not the full vocabulary) and N/avgdl fold
+    in as a crossed 1-row relation, never a driver collect. Per-term
+    scores and the final sum are round6-quantized (sums of 1e-6
+    multiples re-quantize identically on both engines), ties break on
+    doc_id, and k1+1 / 1−b are computed as IEEE ops on BOTH engines
+    rather than Python-folded constants."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qids = (
+        docs.orderBy("doc_id")
+        .limit(n_queries)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    w_first = Window.partitionBy("query_id").orderBy(F.asc("fpos"), F.asc("w"))
+    qterms = (
+        words.join(
+            F.broadcast(qids), words["doc_id"] == qids["query_id"]
+        )
+        .groupBy("query_id", "w")
+        .agg(F.min("pos").alias("fpos"))
+        .withColumn("_qr", F.row_number().over(w_first))
+        .filter(F.col("_qr") <= q_terms)
+        .select("query_id", "w")
+    )
+    dft = tf.groupBy("w").agg(F.count("*").alias("df"))
+    qdf = qterms.join(dft, "w")
+    k1_c = F.lit(k1)
+    one = F.lit(1.0)
+    b_c = F.lit(b)
+    hits = (
+        tf.join(F.broadcast(qdf), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        one
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("n") * (k1_c + one)) / (
+        F.col("n")
+        + k1_c * (one - b_c + b_c * F.col("dl") / F.col("avgdl"))
+    )
+    term_score = round6(idf * tf_part)
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        round6(F.sum(term_score)).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "score", "n_terms")
+        .orderBy("query_id", "rank")
+    )

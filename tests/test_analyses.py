@@ -630,3 +630,56 @@ def test_conversion_lag_median(spark):
     assert (r.min_lag_us, r.max_lag_us) == (10_000_000, 30_000_000)
     assert r.median_lag_us == 20_000_000.0
     assert r.mean_lag_us == 20_000_000.0
+
+
+def test_association_rules_matches_python_mirror(spark):
+    import math
+
+    from stash_log_parser_spark.operators.analyses import association_rules
+
+    baskets = {
+        "u1": ["p/a", "p/b", "p/c"],
+        "u2": ["p/a", "p/b"],
+        "u3": ["p/a", "p/b", "p/d"],
+        "u4": ["p/c", "p/d"],
+        "u5": ["p/a", "p/c"],
+    }
+    rows = [
+        (u, r, "clone") for u, rs in baskets.items() for r in rs
+    ]
+    df = spark.createDataFrame(
+        rows, "username string, repo_slug string, op_type string"
+    ).withColumn("is_parsed", F.lit(True))
+    out = [
+        (r.antecedent, r.consequent, r.n_both, r.n_antecedent,
+         r.n_consequent, r.confidence, r.lift)
+        for r in association_rules(df, min_support=2, top=100).collect()
+    ]
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n_users = len(baskets)
+    supp = {}
+    for rs in baskets.values():
+        for r in rs:
+            supp[r] = supp.get(r, 0) + 1
+    both = {}
+    for rs in baskets.values():
+        rs = sorted(rs)
+        for i, a in enumerate(rs):
+            for b in rs[i + 1:]:
+                both[(a, b)] = both.get((a, b), 0) + 1
+    expect = []
+    for (a, b), n in both.items():
+        if n < 2:
+            continue
+        for ant, cons in ((a, b), (b, a)):
+            conf = q6(n / supp[ant])
+            lift = q6((n * n_users) / (supp[ant] * supp[cons]))
+            expect.append((ant, cons, n, supp[ant], supp[cons], conf, lift))
+    expect.sort(key=lambda t: (-t[6], -t[5], t[0], t[1]))
+    assert out == expect
+    # lift > 1 for genuinely associated pairs (a,b co-occur 3/5 users)
+    top = out[0]
+    assert top[6] > 1.0

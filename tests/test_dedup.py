@@ -439,3 +439,34 @@ def test_near_dup_clusters_string_nodes(spark):
         "bob": "bob", "bobb": "bob", "bobby": "bob",
         "zed": "zed", "zedd": "zed",
     }
+
+
+def test_pair_edit_distance_exact(spark):
+    from stash_log_parser_spark.operators.dedup import pair_edit_distance
+
+    docs = spark.createDataFrame(
+        [(1, "kitten and cat"), (2, "sitting and cat"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in
+           pair_edit_distance(docs, pairs, prefix_chars=400).collect()}
+    # kitten->sitting is the classic distance-3 pair; suffix identical
+    assert out[(1, 2)].edit_distance == 3
+    assert out[(1, 2)].edit_ratio == round(3 / 15, 6)
+    assert out[(1, 3)].edit_distance > 10
+
+
+def test_pair_edit_distance_prefix_cap(spark):
+    from stash_log_parser_spark.operators.dedup import pair_edit_distance
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 1000), (2, "a" * 500 + "b" * 500)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = pair_edit_distance(docs, pairs, prefix_chars=100).collect()[0]
+    # identical 100-char prefixes -> distance 0 under the cap
+    assert r.edit_distance == 0 and r.edit_ratio == 0.0

@@ -147,3 +147,58 @@ def test_kcore_raises_when_rounds_too_few(spark):
     # enough rounds: converges to the empty core
     out = kcore(edges, k=2, rounds=4).collect()
     assert all(not r.in_core for r in out)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from stash_log_parser_spark.operators.graph import label_propagation
+
+        # two triangles {a,b,c} and {x,y,z} joined by one bridge c-x
+        pairs = [
+            ("a", "b"), ("a", "c"), ("b", "c"),
+            ("x", "y"), ("x", "z"), ("y", "z"),
+            ("c", "x"),
+        ]
+        out = {
+            r.node: (r.label, r.community_size)
+            for r in label_propagation(_edges_df(spark, pairs), rounds=3).collect()
+        }
+        # triangle members converge to the min label of their clique
+        assert out["a"][0] == out["b"][0] == "a"
+        assert out["y"][0] == out["z"][0]
+        assert out["a"][1] >= 2
+        # every node is labelled
+        assert set(out) == {"a", "b", "c", "x", "y", "z"}
+
+    def test_matches_python_mirror(self, spark):
+        from stash_log_parser_spark.operators.graph import label_propagation
+
+        # deterministic pseudo-random graph
+        import hashlib
+
+        nodes = [f"n{i}" for i in range(12)]
+        pairs = []
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                h = hashlib.md5(f"{u}|{v}".encode()).hexdigest()
+                if int(h[:2], 16) < 70:
+                    pairs.append((u, v))
+        out = {
+            r.node: r.label
+            for r in label_propagation(_edges_df(spark, pairs), rounds=3).collect()
+        }
+        # pure-python synchronous mirror
+        adj = {}
+        for u, v in pairs:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        labels = {n: n for n in adj}
+        for _ in range(3):
+            nxt = {}
+            for n, nbrs in adj.items():
+                counts = {}
+                for m in nbrs:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                nxt[n] = min(counts, key=lambda L: (-counts[L], L))
+            labels = nxt
+        assert out == labels

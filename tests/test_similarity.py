@@ -431,3 +431,110 @@ def test_hard_negatives_excludes_query_label_and_is_topk(spark):
             )
         ]
         assert got == expect
+
+
+def test_mmr_topk_displaces_redundant_candidate(spark):
+    import math
+
+    from stash_log_parser_spark.operators.similarity import mmr_topk
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    qv = [1.0, 0.0, 0.0]
+    vecs = {
+        1: [0.98, 0.199, 0.0],   # most relevant
+        2: [0.979, 0.2, 0.0],    # near-duplicate of 1
+        3: [0.7, 0.0, 0.714],    # diverse, still relevant
+        4: [0.0, 1.0, 0.0],      # weakly relevant
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(9, qv)], "query_id long, query_vec array<double>"
+    )
+    lam = 0.5
+    out = [
+        (r.step, r.vec_id, r.score)
+        for r in mmr_topk(emb, q, pool_k=4, select_k=3, lam=lam).collect()
+    ]
+    # pure-python mirror with the same quantization
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / max(na * nb, 1e-12), 6)
+
+    rel = {k: cos(v, qv) for k, v in vecs.items()}
+    sel = [1]                                     # step 1: pure relevance
+    expect = [(1, 1, q6(lam * rel[1]))]
+    for step in (2, 3):
+        best = None
+        for k in vecs:
+            if k in sel:
+                continue
+            pen = max(cos(vecs[k], vecs[s]) for s in sel)
+            score = q6(lam * rel[k] - (1.0 - lam) * pen)
+            cand = (-score, k)
+            if best is None or cand < best:
+                best = cand
+        expect.append((step, best[1], -best[0]))
+        sel.append(best[1])
+    assert out == expect
+    # the diverse candidate must beat the near-duplicate at step 2
+    assert out[1][1] == 3 and out[2][1] == 2
+
+
+def test_rrf_fusion_both_legs_beat_single_leg(spark):
+    import math
+
+    from stash_log_parser_spark.operators.similarity import rrf_fusion
+
+    # 4-dim vectors, truncation keeps first 2 dims
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],    # query
+        2: [0.9, 0.1, 0.0, 0.1],    # strong in both legs
+        3: [0.9, 0.1, -0.9, 0.0],   # strong truncated, weak full
+        4: [0.6, 0.0, 0.3, 0.0],    # moderate in both
+        5: [-1.0, 0.0, 0.0, 0.0],   # weak everywhere
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(1, vecs[1])], "query_id long, query_vec array<double>"
+    )
+    out = rrf_fusion(emb, q, pool_k=2, k=4, rrf_k=60, trunc_dims=2).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / max(na * nb, 1e-12), 6)
+
+    full = sorted(vecs, key=lambda k: (-cos(vecs[k], vecs[1]), k))[:2]
+    trunc = sorted(
+        vecs, key=lambda k: (-cos(vecs[k][:2], vecs[1][:2]), k)
+    )[:2]
+    rrf = {}
+    for pool, col in ((full, "f"), (trunc, "t")):
+        for r, vid in enumerate(pool, 1):
+            rrf[vid] = rrf.get(vid, 0.0) + 1.0 / (60 + r)
+    order = sorted(rrf, key=lambda k: (-rrf[k], k))
+    assert [r.vec_id for r in out] == order
+    # a candidate present in BOTH pools outranks any single-pool one
+    both = set(full) & set(trunc)
+    single = (set(full) | set(trunc)) - both
+    best_single_rank = min(
+        r.rank for r in out if r.vec_id in single
+    )
+    assert all(
+        r.rank < best_single_rank for r in out if r.vec_id in both
+    )
+    # missing-leg ranks surface as NULLs
+    for r in out:
+        if r.vec_id not in full:
+            assert r.rank_full is None
+        if r.vec_id not in trunc:
+            assert r.rank_trunc is None

@@ -625,3 +625,77 @@ def test_bpe_apply_stats_compression(spark):
     assert out.n_tokens == 6
     assert out.chars_per_token == 3.0
     assert out.tokens_per_word == 1.2
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    import math
+
+    from stash_log_parser_spark.operators.textstats import bm25_topk
+
+    corpus = {
+        1: "apple banana cherry",
+        2: "apple apple durian",
+        3: "banana cherry cherry durian",
+        4: "elderberry fig grape",
+        5: "apple banana elderberry elderberry",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = [
+        (r.query_id, r.rank, r.doc_id, r.score, r.n_terms)
+        for r in bm25_topk(
+            docs, n_queries=2, q_terms=8, k=3, k1=1.2, b=0.75
+        ).collect()
+    ]
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    expect = []
+    for qid in (1, 2):
+        qset = list(dict.fromkeys(toks[qid]))[:8]
+        scored = []
+        for d, ws in toks.items():
+            if d == qid:
+                continue
+            s, nt = 0.0, 0
+            for t in qset:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                dl = len(ws)
+                s += q6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                nt += 1
+            if nt:
+                scored.append((-q6(s), d, nt))
+        scored.sort()
+        for rank, (neg, d, nt) in enumerate(scored[:3], 1):
+            expect.append((qid, rank, d, -neg, nt))
+    assert out == expect
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from stash_log_parser_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra common common"),
+            (2, "zebra common"),
+            (3, "common common common"),
+            (4, "common filler filler"),
+            (5, "filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, n_queries=1, q_terms=8, k=3).collect()
+    # query doc 1 = {zebra, common}; doc 2 shares the rare 'zebra' -> top
+    assert out[0].query_id == 1 and out[0].doc_id == 2
