@@ -1338,3 +1338,69 @@ def association_rules(
         )
         .limit(top)
     )
+
+
+def theil_sen_trend(
+    xy: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Theil–Sen robust trend: median of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) over the series, plus the matching median
+    intercept — the outlier-proof twin of the explicit-sums OLS in
+    log_hourly_trend (one traffic spike can drag least squares
+    arbitrarily; the pairwise-slope median has a 29% breakdown point).
+
+    Intended for DIMENSION-sized series (hours, days, vocabulary
+    ranks): the C(n,2) self-join and the global order-by-slope window
+    are quadratic in the series length, which is fine at 10^3–10^4
+    points and is the standard regime for the estimator. Each slope is
+    ONE IEEE division on exact integer deltas, the median averages at
+    most two doubles — bit-identical on any engine before the final
+    round6."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    a, b = xy.alias("a"), xy.alias("b")
+    slopes = a.join(
+        b, F.col(f"a.{x_col}") < F.col(f"b.{x_col}")
+    ).select(
+        (
+            (F.col(f"b.{y_col}") - F.col(f"a.{y_col}")).cast("double")
+            / (F.col(f"b.{x_col}") - F.col(f"a.{x_col}")).cast("double")
+        ).alias("v")
+    )
+
+    def median1(df):
+        ranked = df.withColumn(
+            "r", F.row_number().over(Window.orderBy("v"))
+        )
+        cnt = df.agg(F.count("*").alias("n"))
+        return (
+            ranked.crossJoin(F.broadcast(cnt))
+            .filter(
+                (F.col("r") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+            )
+            .agg((F.sum("v") / F.count("*")).alias("med"))
+        )
+    slope = median1(slopes).select(F.col("med").alias("slope"))
+    resid = xy.crossJoin(F.broadcast(slope)).select(
+        (
+            F.col(y_col).cast("double")
+            - F.col("slope") * F.col(x_col).cast("double")
+        ).alias("v")
+    )
+    intercept = median1(resid).select(F.col("med").alias("intercept"))
+    n_points = xy.agg(F.count("*").cast("long").alias("n_points"))
+    n_pairs = slopes.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        n_points.crossJoin(n_pairs)
+        .crossJoin(slope)
+        .crossJoin(intercept)
+        .select(
+            "n_points",
+            "n_pairs",
+            round6(F.col("slope")).alias("ts_slope"),
+            round6(F.col("intercept")).alias("ts_intercept"),
+        )
+    )

@@ -151,3 +151,82 @@ def fuzzy_match_pairs(
         .filter(F.col("distance") <= max_distance)
         .orderBy("key_a", "key_b")
     )
+
+
+def bloom_semi_audit(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_key: str,
+    dim_key: str,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter semi-join pruning with a false-positive audit —
+    the runtime-filter device behind Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``: build a
+    Bloom filter from the (selective) dim-side keys, probe the fact
+    side through it BEFORE the shuffle, and measure how many
+    non-matching keys leak through (the FP rate that decides whether
+    the filter pays for itself).
+
+    Engine-portable construction: hash_j(key) = the j-th 4-hex-char
+    slice of md5(key) — 16-bit buckets, ``n_hashes`` ≤ 8 independent
+    slices, so "bit positions" are (j, hex4) STRING pairs and the
+    identical filter materializes on any engine with md5 (no
+    platform-hash divergence, the sample_mixture discipline). The
+    filter relation is n_hashes·|dim_keys| rows, distinct-compressed —
+    broadcast-sized exactly when a Bloom filter would be worthwhile.
+    A probe key passes iff ALL n_hashes slices hit the filter: one
+    broadcast join + a count == n_hashes group — never a shuffle of
+    the fact table. The audit compares against the exact semi-join.
+
+    Returns ONE row: dim/probe key counts, filter size, pass/true/FP
+    counts and the FP rate among true negatives."""
+    dkeys = dim.select(F.col(dim_key).cast("string").alias("k")).distinct()
+    pkeys = probe.select(F.col(probe_key).cast("string").alias("k")).distinct()
+
+    def slices(df):
+        h = F.md5(F.col("k"))
+        pos = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring(h, 1 + 4 * j, 4).alias("pos"),
+                )
+                for j in range(n_hashes)
+            ]
+        )
+        return df.select("k", F.explode(pos).alias("e")).select(
+            "k", F.col("e.j").alias("j"), F.col("e.pos").alias("pos")
+        )
+
+    bloom = slices(dkeys).select("j", "pos").distinct()
+    hits = (
+        slices(pkeys)
+        .join(F.broadcast(bloom), ["j", "pos"], "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").alias("nh"))
+        .filter(F.col("nh") == n_hashes)
+        .select("k")
+    )
+    true_pos = pkeys.join(dkeys, "k", "left_semi")
+    stats = (
+        pkeys.agg(F.count("*").alias("n_probe_keys"))
+        .crossJoin(dkeys.agg(F.count("*").alias("n_dim_keys")))
+        .crossJoin(bloom.agg(F.count("*").alias("n_filter_entries")))
+        .crossJoin(hits.agg(F.count("*").alias("n_pass")))
+        .crossJoin(true_pos.agg(F.count("*").alias("n_true")))
+    )
+    from stash_log_parser_spark.operators.textstats import round6
+
+    return stats.select(
+        F.col("n_dim_keys").cast("long").alias("n_dim_keys"),
+        F.col("n_probe_keys").cast("long").alias("n_probe_keys"),
+        F.col("n_filter_entries").cast("long").alias("n_filter_entries"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.col("n_true").cast("long").alias("n_true"),
+        (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
+        round6(
+            (F.col("n_pass") - F.col("n_true"))
+            / F.greatest(F.col("n_probe_keys") - F.col("n_true"), F.lit(1))
+        ).alias("fp_rate"),
+    )

@@ -683,3 +683,38 @@ def test_association_rules_matches_python_mirror(spark):
     # lift > 1 for genuinely associated pairs (a,b co-occur 3/5 users)
     top = out[0]
     assert top[6] > 1.0
+
+
+def test_theil_sen_matches_python_mirror_and_resists_outlier(spark):
+    import math
+
+    from stash_log_parser_spark.operators.analyses import theil_sen_trend
+
+    # clean line y = 3x + 7 with one wild outlier
+    pts = [(x, 3 * x + 7) for x in range(10)]
+    pts[5] = (5, 1000)
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = theil_sen_trend(df).collect()[0]
+
+    def med(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        return (vals[lo] + vals[hi]) / 2
+
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    ]
+    s = med(slopes)
+    b = med([y - s * x for x, y in pts])
+
+    def q6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert r.n_points == 10 and r.n_pairs == 45
+    assert r.ts_slope == q6(s)
+    assert r.ts_intercept == q6(b)
+    # the outlier does not drag the robust fit off the true line
+    assert abs(r.ts_slope - 3.0) < 0.5

@@ -145,3 +145,44 @@ def test_fuzzy_match_plan_is_blocked_not_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_semi_audit_counts_and_fp_rate(spark):
+    from stash_log_parser_spark.operators.joins import bloom_semi_audit
+
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    # probe: 50 members + 200 non-members
+    probe = spark.createDataFrame([(i,) for i in range(250)], "k long")
+    r = bloom_semi_audit(probe, dim, "k", "k", n_hashes=4).collect()[0]
+    assert r.n_dim_keys == 50 and r.n_probe_keys == 250
+    assert r.n_true == 50
+    # no false negatives ever: every true member passes
+    assert r.n_pass >= r.n_true
+    assert r.n_false_pos == r.n_pass - r.n_true
+    # 16-bit buckets, 50 keys: P(single-slice collision) ~ 50/65536,
+    # all-4 ~ (1e-3)^4 -> expect zero FPs on 200 negatives
+    assert r.n_false_pos == 0 and r.fp_rate == 0.0
+
+
+def test_bloom_semi_audit_matches_python_mirror(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.joins import bloom_semi_audit
+
+    dim_keys = [f"d{i}" for i in range(30)]
+    probe_keys = [f"d{i}" for i in range(10, 90)]
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k string")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k string")
+    r = bloom_semi_audit(probe, dim, "k", "k", n_hashes=4).collect()[0]
+
+    def slices(k):
+        h = hashlib.md5(k.encode()).hexdigest()
+        return {(j, h[4 * j:4 * j + 4]) for j in range(4)}
+
+    bloom = set()
+    for k in dim_keys:
+        bloom |= slices(k)
+    n_pass = sum(1 for k in probe_keys if slices(k) <= bloom)
+    n_true = len(set(dim_keys) & set(probe_keys))
+    assert (r.n_pass, r.n_true) == (n_pass, n_true)
+    assert r.n_filter_entries == len(bloom)
