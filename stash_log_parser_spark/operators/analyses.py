@@ -1404,3 +1404,247 @@ def theil_sen_trend(
             round6(F.col("intercept")).alias("ts_intercept"),
         )
     )
+
+
+def ewma_halflife(
+    xy: DataFrame, x_col: str = "x", y_col: str = "y", window: int = 20
+) -> DataFrame:
+    """EWMA smoothing with half-life 1 step (α = 1/2), adjusted form:
+
+        ewma_t = Σ_{k=0..w-1} y_{t-k}·2^{-k}  /  Σ_{k=0..w-1} 2^{-k}
+
+    The decay base is EXACTLY representable (powers of two), so every
+    term y·2^{-k} is an exact IEEE product; with ``window`` ≤ 20 and
+    integer y < 2^14 every partial sum fits in < 53 significand bits,
+    making numerator and denominator BIT-EXACT on any engine and in any
+    summation order — the same dyadic-rational discipline as
+    decayed_engagement. One final division + round6.
+
+    The windowed self-join is bounded at ``window`` rows per output
+    point and is intended for DIMENSION-sized series (hours/days);
+    at 10^4 points it is 2·10^5 join rows — noise. An unbounded EWMA
+    would instead be the cumulative-recurrence shape (see cusum_drift's
+    applyInPandas) — the finite window is what keeps it a plain join.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    a, b = xy.alias("a"), xy.alias("b")
+    k = F.col(f"b.{x_col}") - F.col(f"a.{x_col}")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{x_col}") <= F.col(f"b.{x_col}"))
+            & (F.col(f"a.{x_col}") > F.col(f"b.{x_col}") - window),
+        )
+        .groupBy(F.col(f"b.{x_col}").alias(x_col))
+        .agg(
+            F.max(
+                F.when(k == 0, F.col(f"a.{y_col}"))
+            ).cast("long").alias(y_col),
+            (
+                F.sum(F.col(f"a.{y_col}") * F.pow(F.lit(0.5), k))
+                / F.sum(F.pow(F.lit(0.5), k))
+            ).alias("_e"),
+        )
+        .select(x_col, y_col, round6(F.col("_e")).alias("ewma"))
+        .orderBy(x_col)
+    )
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    n_shards: int = 32,
+    pred_start_pct: int = 40,
+    pred_days: int = 30,
+) -> DataFrame:
+    """Zone-map (per-file min/max) data-skipping audit — WHY sort/
+    cluster order matters at 100 TB. Lays the fact table out two ways:
+
+    * ``range``  — shards cluster on the timestamp (the sorted /
+      Z-ordered layout a writer produces with sortWithinPartitions);
+    * ``hash``   — shards assigned by an engine-portable md5 of the
+      key (the default unclustered layout).
+
+    then evaluates a ``pred_days``-wide timestamp window starting at
+    ``pred_start_pct``% of the data's day span, exactly the way a
+    parquet reader prunes row-groups: a shard is SCANNED iff its
+    [min,max] zone overlaps the predicate. One row per layout reports
+    shards scanned, rows scanned, rows actually matching, and the scan
+    efficiency — range-clustering should scan ~predicate-selectivity
+    of the data while hash layout scans everything.
+
+    All arithmetic is integer day ordinals from the global min (two
+    scalar aggregates, broadcast); the md5 shard hash is the same
+    hex-slice device as sketches.py, so both engines materialize the
+    identical layout. Scale: two hash aggregates over the fact table
+    (map-side partials) + a 2·n_shards-row audit — no shuffle of the
+    fact rows themselves.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    d = F.datediff(F.to_date(ts_col), F.lit("1992-01-01").cast("date"))
+    base = df.select(
+        d.cast("long").alias("d"),
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+        ).cast("long").alias("h4"),
+    )
+    span = base.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    sharded = (
+        base.crossJoin(F.broadcast(span))
+        .select(
+            "d",
+            "d_min",
+            "d_max",
+            F.floor(
+                (F.col("d") - F.col("d_min"))
+                * n_shards
+                / (F.col("d_max") - F.col("d_min") + 1)
+            ).alias("shard_range"),
+            (F.col("h4") % n_shards).alias("shard_hash"),
+            (
+                F.col("d_min")
+                + F.floor(
+                    (F.col("d_max") - F.col("d_min") + 1)
+                    * pred_start_pct
+                    / 100
+                )
+            ).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + pred_days - 1)
+        .withColumn(
+            "matches",
+            (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")),
+        )
+    )
+
+    def audit(layout: str, shard_col: str) -> DataFrame:
+        zones = sharded.groupBy(F.col(shard_col).alias("shard")).agg(
+            F.min("d").alias("z_min"),
+            F.max("d").alias("z_max"),
+            F.count("*").alias("rows"),
+            F.sum(F.col("matches").cast("long")).alias("rows_match"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        scanned = (F.col("z_max") >= F.col("lo")) & (
+            F.col("z_min") <= F.col("hi")
+        )
+        return zones.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum(scanned.cast("long")).cast("long").alias("shards_scanned"),
+            F.sum(F.when(scanned, F.col("rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("rows_match").cast("long").alias("rows_matched"),
+        )
+
+    out = audit("hash", "shard_hash").unionByName(
+        audit("range", "shard_range")
+    )
+    return out.select(
+        "layout",
+        "n_shards",
+        "shards_scanned",
+        "rows_scanned",
+        "rows_matched",
+        round6(F.col("rows_matched") / F.col("rows_scanned")).alias(
+            "scan_efficiency"
+        ),
+    ).orderBy("layout")
+
+
+def repo_jaccard(
+    parsed: DataFrame, max_repos_per_user: int = 20, top_pairs: int = 20
+) -> DataFrame:
+    """Repo–repo Jaccard similarity over distinct-user audiences:
+    J(a,b) = |U_a ∩ U_b| / |U_a ∪ U_b| — the normalized companion to
+    repo_coaccess (raw co-user counts rank hub repos first; Jaccard
+    surfaces genuinely coupled niche repos). Built on the SAME capped
+    incidence as coaccess_pairs so the self-join stays bounded and the
+    degrees are consistent with the pair counts: union = deg_a + deg_b
+    − inter, one broadcast-joinable degree table (|repos| rows).
+    Integer counts until one division + round6. Ties rank by
+    (jaccard desc, n_users desc, repo_a, repo_b)."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    capped = capped_incidence(parsed, max_repos_per_user)
+    deg = capped.groupBy(F.col("repo_slug")).agg(
+        F.count("*").alias("deg")
+    )
+    pairs = coaccess_pairs(parsed, max_repos_per_user=max_repos_per_user)
+    j = (
+        pairs.join(
+            F.broadcast(deg.withColumnRenamed("repo_slug", "repo_a")),
+            "repo_a",
+        )
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            F.broadcast(deg.withColumnRenamed("repo_slug", "repo_b")),
+            "repo_b",
+        )
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            F.col("n_users").cast("long").alias("n_users"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_users"))
+            .cast("long")
+            .alias("n_union"),
+            round6(
+                F.col("n_users")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_users"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(
+        F.desc("jaccard"), F.desc("n_users"), F.asc("repo_a"), F.asc("repo_b")
+    ).limit(top_pairs)
+
+
+def decayed_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_days: int = 1,
+    top: int = 20,
+) -> DataFrame:
+    """Time-decayed engagement score per user — the recency-weighted
+    activity ranking behind retention dashboards and training-data
+    user sampling: score = Σ_events 2^(−age_days/half_life), age in
+    WHOLE days from the dataset's max timestamp (a deterministic
+    anchor — never wall-clock).
+
+    With integer day ages and a power-of-two base every term 2^(−k) is
+    an exact IEEE double and per-user sums of a few hundred terms stay
+    dyadic-rational well inside 53 bits — BIT-EXACT across engines and
+    summation orders before the final round6 (the same discipline as
+    ewma_halflife). One scalar max (broadcast) + one hash aggregate;
+    top-k is TakeOrderedAndProject."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    anchor = events.agg(F.max(ts_col).alias("t_max"))
+    aged = events.crossJoin(F.broadcast(anchor)).select(
+        F.col(user_col),
+        (
+            F.datediff(F.to_date("t_max"), F.to_date(ts_col))
+            / half_life_days
+        ).cast("long").alias("age"),
+    )
+    return (
+        aged.groupBy(user_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("age").cast("long").alias("days_since_last"),
+            round6(F.sum(F.pow(F.lit(0.5), F.col("age")))).alias("score"),
+        )
+        .orderBy(
+            F.desc("score"), F.desc("n_events"), F.asc(user_col)
+        )
+        .limit(top)
+    )

@@ -1149,3 +1149,55 @@ def bm25_topk(
                 "doc_id", "score", "n_terms")
         .orderBy("query_id", "rank")
     )
+
+
+def readability_by_source(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Flesch reading-ease readability per corpus source — the classic
+    quality-stratification signal for training-data curation (pair it
+    with gopher_quality's structural gates):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with the standard cheap proxies: words = letter runs, sentences =
+    ``[.!?]+`` runs (min 1 per doc so fragments don't divide by zero),
+    syllables = vowel-group runs (``[aeiouyAEIOUY]+``) — all plain
+    character-class regex counts that Java regex and RE2 agree on
+    exactly.
+
+    Everything aggregates as EXACT integers per source; the score is
+    computed once per source from those integers with a fixed
+    expression order, so both engines perform the identical handful of
+    IEEE ops before round6. Pure Catalyst (regexp_count), one hash
+    aggregate — no shuffle beyond |sources| partial rows."""
+    col = F.col(text_col)
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.regexp_count(col, F.lit("[A-Za-z]+")).cast("long").alias("w"),
+        F.greatest(
+            F.regexp_count(col, F.lit("[.!?]+")).cast("long"), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(col, F.lit("[aeiouyAEIOUY]+")).cast("long").alias(
+            "y"
+        ),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("tot_words"),
+        F.sum("s").cast("long").alias("tot_sentences"),
+        F.sum("y").cast("long").alias("tot_syllables"),
+    )
+    wps = F.col("tot_words") / F.col("tot_sentences")
+    spw = F.col("tot_syllables") / F.col("tot_words")
+    return agg.select(
+        "source",
+        "n_docs",
+        "tot_words",
+        "tot_sentences",
+        "tot_syllables",
+        round6(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch"),
+        round6(wps).alias("words_per_sentence"),
+        round6(spw).alias("syllables_per_word"),
+    ).orderBy("source")

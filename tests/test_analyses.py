@@ -718,3 +718,91 @@ def test_theil_sen_matches_python_mirror_and_resists_outlier(spark):
     assert r.ts_intercept == q6(b)
     # the outlier does not drag the robust fit off the true line
     assert abs(r.ts_slope - 3.0) < 0.5
+
+
+def test_ewma_halflife_exact_dyadic(spark):
+    from stash_log_parser_spark.operators.analyses import ewma_halflife
+
+    pts = [(i, (i * 7) % 13 + 1) for i in range(30)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = {r.x: r for r in ewma_halflife(df, window=20).collect()}
+    assert len(rows) == 30
+    ys = {x: y for x, y in pts}
+    for t in (0, 5, 29):
+        ks = [k for k in range(20) if t - k >= 0]
+        num = sum(ys[t - k] * 0.5**k for k in ks)
+        den = sum(0.5**k for k in ks)
+        import math
+
+        assert rows[t].y == ys[t]
+        assert rows[t].ewma == math.floor(num / den * 1e6 + 0.5) / 1e6
+
+
+def test_zonemap_prune_range_beats_hash(spark):
+    from stash_log_parser_spark.operators.analyses import zonemap_prune_audit
+
+    # 400 rows over 100 consecutive days, 4 rows/day
+    import datetime as dt
+
+    base = dt.datetime(1994, 3, 1)
+    data = [
+        (i, base + dt.timedelta(days=i // 4)) for i in range(400)
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp")
+    out = {
+        r.layout: r
+        for r in zonemap_prune_audit(
+            df, "ts", "k", n_shards=10, pred_start_pct=40, pred_days=10
+        ).collect()
+    }
+    rng, hsh = out["range"], out["hash"]
+    # identical ground truth either way
+    assert rng.rows_matched == hsh.rows_matched == 40
+    # the clustered layout prunes to ~1 shard; hash scans everything
+    assert rng.shards_scanned == 1 and rng.rows_scanned == 40
+    assert hsh.shards_scanned == 10 and hsh.rows_scanned == 400
+    assert rng.scan_efficiency == 1.0
+    assert hsh.scan_efficiency == 0.1
+
+
+def test_repo_jaccard_hand_case(spark):
+    from stash_log_parser_spark.operators.analyses import repo_jaccard
+
+    # u1,u2 touch both A and B; u3 touches only B -> J(A,B) = 2/3
+    rows = []
+    for u, repo in [
+        ("u1", "A"), ("u1", "B"),
+        ("u2", "A"), ("u2", "B"),
+        ("u3", "B"),
+    ]:
+        rows.append((True, "clone", repo, u, 1))
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, op_type string, repo_slug string, "
+        "username string, n int"
+    )
+    out = repo_jaccard(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.repo_a, r.repo_b, r.n_users, r.n_union) == ("A", "B", 2, 3)
+    assert r.jaccard == 0.666667
+
+
+def test_decayed_engagement_exact_powers(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import decayed_engagement
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    data = [
+        # u1: events 0, 1, 3 days before anchor -> 1 + 0.5 + 0.125
+        (1, base), (1, base - dt.timedelta(days=1)),
+        (1, base - dt.timedelta(days=3)),
+        # u2: one event 2 days back -> 0.25
+        (2, base - dt.timedelta(days=2)),
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    out = decayed_engagement(df, top=10).collect()
+    assert [(r.user_id, r.n_events, r.days_since_last, r.score) for r in out] == [
+        (1, 3, 0, 1.625),
+        (2, 1, 2, 0.25),
+    ]

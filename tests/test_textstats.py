@@ -699,3 +699,30 @@ def test_bm25_rare_term_outweighs_common(spark):
     out = bm25_topk(docs, n_queries=1, q_terms=8, k=3).collect()
     # query doc 1 = {zebra, common}; doc 2 shares the rare 'zebra' -> top
     assert out[0].query_id == 1 and out[0].doc_id == 2
+
+
+def test_readability_by_source_hand_case(spark):
+    import math
+
+    from stash_log_parser_spark.operators.textstats import (
+        readability_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!", "a"),
+            (2, "no sentence punctuation here", "a"),
+            (3, "Incomprehensibility characterizes bureaucracy.", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in readability_by_source(docs).collect()}
+    # source a: doc1 w=6 s=2 y=6; doc2 w=4 s=1(min) y=9
+    a = out["a"]
+    assert (a.n_docs, a.tot_words, a.tot_sentences, a.tot_syllables) == (
+        2, 10, 3, 15,
+    )
+    f = 206.835 - 1.015 * (10 / 3) - 84.6 * (15 / 10)
+    assert a.flesch == math.floor(f * 1e6 + 0.5) / 1e6
+    b = out["b"]
+    assert b.tot_words == 3 and b.tot_sentences == 1
