@@ -34,6 +34,12 @@ Usage::
           .filter(F.col("file_day") >= "2012-09-09"))   # pruned at planning
     stream = spark.readStream.format("stashlog").option("path", log_dir).load()
 
+    # write path (batch + streaming sink): day-sharded .log.gz files a
+    # reader — this one or the reference CLI — consumes directly
+    df.write.format("stashlog").mode("overwrite").option("path", out).save()
+    q = (stream.writeStream.format("stashlog").option("path", out)
+         .option("checkpointLocation", ckpt).start())
+
 Reference parity: S1 multi-file scan, S2 gzip decode, S3 filename-date
 ordering, S4 date-range pruning (SURVEY.md §3.1) — re-expressed through
 the public connector API instead of reader options.
@@ -50,6 +56,8 @@ from typing import Iterable, Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -58,6 +66,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from .logfiles import FILENAME_DATE_RE, sort_log_files
@@ -163,6 +172,142 @@ class StashLogStreamReader(SimpleDataSourceStreamReader):
         pass  # files are immutable; nothing to clean up
 
 
+class _StagedFiles(WriterCommitMessage):
+    """Commit message: the staged (hidden) files one task produced,
+    as (staged_name, final_name) pairs relative to the sink dir."""
+
+    def __init__(self, pairs: List[Tuple[str, str]]):
+        self.pairs = pairs
+
+
+def _write_day_files(
+    path: str, tag: str, iterator, gz: bool
+) -> "_StagedFiles":
+    """Executor-side helper shared by the batch and stream writers:
+    drain the row iterator into one text file per file_day, staged
+    under a dot-prefixed name (``glob('*.log*')`` skips dotfiles, so
+    readers cannot observe an uncommitted write). Rows need ``line``;
+    ``file_day`` defaults to 1970-01-01 so schema-light frames still
+    round-trip."""
+    os.makedirs(path, exist_ok=True)
+    handles: dict = {}
+    pairs: List[Tuple[str, str]] = []
+    ext = ".log.gz" if gz else ".log"
+    try:
+        for row in iterator:
+            day = getattr(row, "file_day", None) or "1970-01-01"
+            h = handles.get(day)
+            if h is None:
+                final = f"stash-access-{day}.{tag}{ext}"
+                staged = "." + final
+                full = os.path.join(path, staged)
+                h = (
+                    gzip.open(full, "wt", encoding="utf-8")
+                    if gz
+                    else open(full, "wt", encoding="utf-8")
+                )
+                handles[day] = h
+                pairs.append((staged, final))
+            h.write(row.line + "\n")
+    finally:
+        for h in handles.values():
+            h.close()
+    return _StagedFiles(pairs)
+
+
+def _commit_staged(path: str, messages, overwrite: bool) -> None:
+    """Driver-side publish: optionally clear the sink, then atomically
+    rename every staged file into visibility. Rename is the commit
+    point — a crash before it leaves only invisible dotfiles."""
+    if overwrite:
+        for f in _discover(path):
+            os.remove(f)
+    for m in messages:
+        if m is None:
+            continue
+        for staged, final in m.pairs:
+            os.replace(os.path.join(path, staged), os.path.join(path, final))
+
+
+def _abort_staged(path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for staged, _final in m.pairs:
+            try:
+                os.remove(os.path.join(path, staged))
+            except FileNotFoundError:
+                pass
+
+
+class StashLogBatchWriter(DataSourceWriter):
+    """Round-trip write path: ``df.write.format("stashlog")`` lays the
+    frame back down as day-sharded access-log text files the batch and
+    stream READERS (and the reference CLI) consume directly.
+
+    Commit protocol = the classic staging rename: tasks write
+    dot-prefixed files (invisible to the reader's glob), the driver
+    renames them into place only after every task succeeded —
+    all-or-nothing visibility without a manifest. One file per
+    (file_day, task): the same day-grain the reader plans on, so a
+    written sink prunes identically to an original archive."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path", "")
+        self._gz = options.get("compression", "gzip") != "none"
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFiles:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tag = f"part-{tc.partitionId() if tc else 0}"
+        return _write_day_files(self._path, tag, iterator, self._gz)
+
+    def commit(self, messages) -> None:
+        _commit_staged(self._path, messages, self._overwrite)
+
+    def abort(self, messages) -> None:
+        _abort_staged(self._path, messages)
+
+
+class StashLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin: ``df.writeStream.format("stashlog")``.
+    Task files stage exactly as in batch; the driver renames them under
+    batch-qualified names at epoch commit, so a replayed micro-batch
+    (same batchId after recovery) republishes over its own files —
+    idempotent by construction, no write-ahead log needed."""
+
+    def __init__(self, options):
+        self._path = options.get("path", "")
+        self._gz = options.get("compression", "gzip") != "none"
+
+    def write(self, iterator) -> _StagedFiles:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        tag = f"part-{tc.partitionId() if tc else 0}"
+        return _write_day_files(self._path, tag, iterator, self._gz)
+
+    def commit(self, messages, batchId: int) -> None:
+        renamed = []
+        for m in messages:
+            if m is None:
+                continue
+            renamed.append(
+                _StagedFiles(
+                    [
+                        (staged, final.replace(".part-", f".b{batchId}-part-"))
+                        for staged, final in m.pairs
+                    ]
+                )
+            )
+        _commit_staged(self._path, renamed, overwrite=False)
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_staged(self._path, messages)
+
+
 class StashLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -176,3 +321,9 @@ class StashLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> StashLogStreamReader:
         return StashLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> StashLogBatchWriter:
+        return StashLogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> StashLogStreamWriter:
+        return StashLogStreamWriter(self.options)
