@@ -56,6 +56,18 @@ QUERIES = [
         " over the DAY dimension — no expanding-window distinct anywhere.",
     ),
     (
+        "tpch_zonemap_prune",
+        "Data-skipping audit: the fact table feeds two map-side-partial"
+        " hash-aggs (one per layout); exchanges carry only 2·n_shards zone"
+        " rows — the fact rows themselves are never shuffled.",
+    ),
+    (
+        "tpch_bloom_prune",
+        "Bloom semi-join: the filter relation broadcasts; the probe side's"
+        " only wide op is the per-key all-slices-hit count — no fact-table"
+        " shuffle before the filter applies.",
+    ),
+    (
         "docs_cdc_apply",
         "MERGE INTO as union + last-op-per-key window: ONE doc_id-keyed"
         " exchange, no join; the change feed rides the same shuffle as the"
