@@ -966,3 +966,111 @@ def rrf_fusion(
                 "rrf_score")
         .orderBy(query_id_col, "rank")
     )
+
+
+def ivf_nprobe_sweep(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobes: tuple = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The IVF tuning curve: recall@k AND candidate-scan cost as a
+    function of ``nprobe`` — the measurement that actually sizes an ANN
+    deployment (you buy recall with probed cells; this query shows the
+    price per point). One row per nprobe: queries answered, candidate
+    pairs scanned (the cost), exact-top-k hits, recall@k.
+
+    Shares one cell-assignment pass (the only touch of the full vector
+    table) across all sweep points: the probe table carries a row per
+    (nprobe, query, cell) with nested probe sets, so a single
+    cell-keyed broadcast join scores every sweep point at once —
+    sweeping never rescans or reshuffles the corpus. Recall is an
+    exact integer ratio hits/(queries·k); the only floats are the
+    same round-6 cosines the oracled ivf_topk/knn_bruteforce pair
+    already pins."""
+    from pyspark.sql import Window, types as T
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    cents = (
+        embeddings.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    )
+    C = np.array([r[1] for r in cents], dtype=np.float64)
+    e = with_ivf_cells(embeddings, C, vec_col)
+
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    order = np.argsort(-(qv @ cn.T), axis=1, kind="stable")
+    q_schema = T.StructType(
+        [
+            T.StructField("nprobe", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("_qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    probe = queries.sparkSession.createDataFrame(
+        [
+            (int(np_), int(order[i, p]), r[0], [float(x) for x in r[1]])
+            for np_ in nprobes
+            for i, r in enumerate(qrows)
+            for p in range(min(np_, order.shape[1]))
+        ],
+        q_schema,
+    )
+    cand = e.join(F.broadcast(probe), on="cell", how="inner")
+    scored = cand.select(
+        "nprobe",
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_expr(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("nprobe", query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    approx = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    exact = cosine_topk(
+        embeddings.withColumn(vec_col, F.col(vec_col).cast("array<double>")),
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, F.col(id_col).alias("_exact_id"))
+    hits = approx.join(
+        exact,
+        (approx[query_id_col] == exact[query_id_col])
+        & (approx[id_col] == exact["_exact_id"]),
+        "left_semi",
+    )
+    cost = scored.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    nq = F.lit(len(qrows))
+    hit_counts = hits.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        cost.join(hit_counts, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            nq.cast("long").alias("n_queries"),
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            round6(
+                F.coalesce("n_hits", F.lit(0)) / (nq * k)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

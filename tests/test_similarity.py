@@ -538,3 +538,29 @@ def test_rrf_fusion_both_legs_beat_single_leg(spark):
             assert r.rank_full is None
         if r.vec_id not in trunc:
             assert r.rank_trunc is None
+
+
+def test_ivf_nprobe_sweep_monotone_and_full_probe_exact(spark):
+    import numpy as np
+
+    from stash_log_parser_spark.operators.similarity import ivf_nprobe_sweep
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 8).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.orderBy("vec_id").limit(2).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    out = ivf_nprobe_sweep(
+        emb, q, k=5, n_cells=8, nprobes=(1, 2, 8)
+    ).collect()
+    assert [r.nprobe for r in out] == [1, 2, 8]
+    # cost and recall are both monotone in nprobe
+    assert out[0].n_candidates <= out[1].n_candidates <= out[2].n_candidates
+    assert out[0].recall_at_k <= out[1].recall_at_k <= out[2].recall_at_k
+    # probing every cell degrades to exact brute force -> recall 1
+    assert out[2].recall_at_k == 1.0
+    assert all(r.n_queries == 2 for r in out)
