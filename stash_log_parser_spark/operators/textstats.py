@@ -1201,3 +1201,51 @@ def readability_by_source(
         round6(wps).alias("words_per_sentence"),
         round6(spw).alias("syllables_per_word"),
     ).orderBy("source")
+
+
+def ppl_buckets(
+    docs: DataFrame, n_buckets: int = 3, source_col: str = "source"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document within its
+    source by the bigram-LM fluency proxy (:func:`bigram_lm_score`) and
+    cut each source into ``n_buckets`` equal-frequency tiers — head
+    (most fluent), middle, tail. CCNet keeps head+middle and drops or
+    down-weights tail; this emits the per-(source, tier) census that
+    decision reads: doc count, total bigrams, and the tier's score
+    range.
+
+    Determinism: the tier cut orders by the ROUND6-quantized score
+    (ties by doc_id) — ordering by the raw ln() average would let a
+    last-ulp engine difference flip the rank of two near-equal docs
+    across a tier boundary. Bucket stats are exact integers plus
+    min/max order statistics of already-quantized scores — no
+    re-aggregation of rounded floats. Zero-bigram docs score 0.0 and
+    land in the head tier by convention (they carry no LM evidence).
+
+    Scale: rides bigram_lm_score's plan (one explode, two zipf-bounded
+    count dims), then ONE source-keyed window (ntile) over doc-level
+    rows — the window input is |docs| narrow rows, not tokens."""
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(docs).join(
+        docs.select("doc_id", source_col), "doc_id"
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.asc("neg_avg_logp"), F.asc("doc_id")
+    )
+    tiered = scored.withColumn("tier_n", F.ntile(n_buckets).over(w))
+    tier = (
+        F.when(F.col("tier_n") == 1, F.lit("head"))
+        .when(F.col("tier_n") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        tiered.groupBy(F.col(source_col).alias("source"), tier.alias("tier"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("neg_avg_logp").alias("min_score"),
+            F.max("neg_avg_logp").alias("max_score"),
+        )
+        .orderBy("source", "min_score")
+    )

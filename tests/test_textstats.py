@@ -726,3 +726,30 @@ def test_readability_by_source_hand_case(spark):
     assert a.flesch == math.floor(f * 1e6 + 0.5) / 1e6
     b = out["b"]
     assert b.tot_words == 3 and b.tot_sentences == 1
+
+
+def test_ppl_buckets_tiers_and_census(spark):
+    from stash_log_parser_spark.operators.textstats import ppl_buckets
+
+    # 6 docs, one source: two share a fluent bigram pattern, others rare
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the cat sat on the mat", "a"),
+            (3, "the cat sat on the mat", "a"),
+            (4, "purple quantum banana yodels", "a"),
+            (5, "zebra xylophone gravy moon", "a"),
+            (6, "the cat sat on a hat", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = ppl_buckets(docs, n_buckets=3).collect()
+    tiers = {r.tier: r for r in out}
+    assert set(tiers) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in out) == 6
+    # each equal-frequency tier has 2 docs; fluency ranks head<=mid<=tail
+    assert all(r.n_docs == 2 for r in out)
+    assert tiers["head"].min_score <= tiers["middle"].min_score
+    assert tiers["middle"].max_score <= tiers["tail"].max_score
+    # the repeated-template docs are the most corpus-typical -> head
+    assert tiers["head"].max_score <= tiers["tail"].min_score
