@@ -1074,3 +1074,61 @@ def ivf_nprobe_sweep(
         )
         .orderBy("nprobe")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **near_dup_kw,
+) -> DataFrame:
+    """SemDeDup (semantic deduplication over embeddings): vectors whose
+    cosine exceeds the threshold are the same content in different
+    words — find the near-dup PAIR graph, contract it to connected
+    components, keep ONE representative (minimum id) per component.
+    This is the cluster-not-pair semantics corpus dedup needs (A~B,
+    B~C collapse to one survivor even when A~C was never emitted) —
+    the embedding-space twin of MinHash's near_dup_clusters.
+
+    Pipeline = the two already-hardened stages composed: LSH-bucketed
+    candidate pairs (:func:`embedding_near_dup_pairs` — narrow banding
+    relation, audited bucket cap) then O(log diameter) min-label +
+    pointer-jump components (dedup.near_dup_clusters). Vectors outside
+    any pair are their own singleton cluster via one left join.
+
+    Returns one row per input vector: (vec_id, cluster_id, cluster_size,
+    keep) — keep is true exactly for the representative, so
+    ``filter(keep)`` IS the deduplicated corpus and
+    ``groupBy(cluster_id)`` the dup census."""
+    from pyspark.sql import Window
+
+    from .dedup import near_dup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        cosine_threshold=cosine_threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        **near_dup_kw,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labels = near_dup_clusters(pairs)
+    out = (
+        embeddings.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    ).orderBy("cluster_id", id_col)

@@ -564,3 +564,28 @@ def test_ivf_nprobe_sweep_monotone_and_full_probe_exact(spark):
     # probing every cell degrades to exact brute force -> recall 1
     assert out[2].recall_at_k == 1.0
     assert all(r.n_queries == 2 for r in out)
+
+
+def test_semdedup_clusters_and_representatives(spark):
+    import numpy as np
+
+    from stash_log_parser_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # 3-node cluster {0,100,200}; 2-node {1,101}
+    rows += [(100, rows[0][1]), (200, rows[0][1]), (101, rows[1][1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, cosine_threshold=0.95, dim=16).collect()
+    assert len(out) == 43
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[0].cluster_id == by_id[100].cluster_id == by_id[200].cluster_id == 0
+    assert by_id[0].cluster_size == 3
+    assert by_id[1].cluster_id == by_id[101].cluster_id == 1
+    # exactly one keeper per cluster, and it is the min id
+    assert by_id[0].keep and not by_id[100].keep and not by_id[200].keep
+    assert by_id[1].keep and not by_id[101].keep
+    keepers = [r for r in out if r.keep]
+    assert len(keepers) == 40  # 43 vectors minus 3 dropped dups
+    assert all(r.vec_id == r.cluster_id for r in keepers)
