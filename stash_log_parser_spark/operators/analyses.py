@@ -1648,3 +1648,83 @@ def decayed_engagement(
         )
         .limit(top)
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 24-bit md5-slice space
+# (floor(P(X<=k) * 16^6) for k = 0..5): a row's resample weight is the
+# count of thresholds its 24-bit hash clears — identical integers on
+# any engine with md5.
+_POISSON1_T24 = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 32,
+) -> DataFrame:
+    """Poisson bootstrap of the mean — THE bootstrap that works at
+    100 TB: classical resampling needs n draws over the full dataset
+    per replicate (a shuffle per replicate), while the Poisson trick
+    gives every row an independent Poisson(1) weight per replicate, so
+    all ``n_resamples`` replicates stream in ONE pass (explode ×B,
+    map-side partial sums, one tiny shuffle of B partial rows).
+
+    Determinism discipline: weights come from 24-bit md5(id:b) slices
+    compared against precomputed integer CDF thresholds (exact on both
+    engines); values aggregate as exact cents; each replicate mean is
+    one integer/integer IEEE division. The CI is an order statistic of
+    the B replicate means (2nd smallest / 2nd largest ≈ central 94 %
+    at B = 32) — no float re-aggregation anywhere.
+
+    Returns ONE row: n_rows, n_resamples, the full-data point estimate,
+    and the CI bounds (all cents, round6)."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"), cents.alias("_c")
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("_id"), F.col("b"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    # weight k satisfies CDF(k-1) <= u < CDF(k), i.e. k = how many
+    # thresholds the 24-bit hash sits at-or-above
+    w = sum((h >= F.lit(t)).cast("long") for t in _POISSON1_T24)
+    rep = (
+        base.select("_id", "_c", b)
+        .withColumn("_w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("_w").alias("_n"),
+            F.sum(F.col("_w") * F.col("_c")).alias("_s"),
+        )
+        .select((F.col("_s") / F.col("_n")).alias("_m"))
+    )
+    from pyspark.sql import Window
+
+    ranked = rep.withColumn(
+        "_r", F.row_number().over(Window.orderBy("_m"))
+    )
+    point = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("_c") / F.count("*")).alias("_pm"),
+    )
+    lo = ranked.filter(F.col("_r") == 2).select(F.col("_m").alias("_lo"))
+    hi = ranked.filter(F.col("_r") == n_resamples - 1).select(
+        F.col("_m").alias("_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(n_resamples).cast("long").alias("n_resamples"),
+            round6(F.col("_pm")).alias("mean_cents"),
+            round6(F.col("_lo")).alias("ci_lo_cents"),
+            round6(F.col("_hi")).alias("ci_hi_cents"),
+        )
+    )

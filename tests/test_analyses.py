@@ -806,3 +806,42 @@ def test_decayed_engagement_exact_powers(spark):
         (1, 3, 0, 1.625),
         (2, 1, 2, 0.25),
     ]
+
+
+def test_poisson_bootstrap_ci_python_mirror_and_sanity(spark):
+    import hashlib
+    import math
+
+    from stash_log_parser_spark.operators.analyses import (
+        _POISSON1_T24,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, float(10 + (i % 7))) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    r = poisson_bootstrap_ci(df, "event_id", "value", n_resamples=32).collect()[0]
+
+    def weight(i, b):
+        h = int(hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:6], 16)
+        return sum(1 for t in _POISSON1_T24 if h >= t)
+
+    means = []
+    for b in range(32):
+        n = s = 0
+        for i, v in rows:
+            w = weight(i, b)
+            n += w
+            s += w * math.floor(v * 100 + 0.5)
+        means.append(s / n)
+    means.sort()
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert r.n_rows == 400 and r.n_resamples == 32
+    assert r.ci_lo_cents == q6(means[1])
+    assert r.ci_hi_cents == q6(means[30])
+    pt = sum(math.floor(v * 100 + 0.5) for _, v in rows) / 400
+    assert r.mean_cents == q6(pt)
+    # CI brackets the point estimate
+    assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
