@@ -1728,3 +1728,78 @@ def poisson_bootstrap_ci(
             round6(F.col("_hi")).alias("ci_hi_cents"),
         )
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 24,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Seasonally-adjusted robust anomaly census: residual = this
+    hour's count minus the count one period earlier (the
+    seasonal-naive forecast), flagged when it sits more than
+    ``k_mad``·MAD from the per-key median residual. The
+    median/MAD pair is what production monitors use instead of
+    mean/σ — one genuine outage inflates σ enough to hide the next
+    one, while MAD's 50 % breakdown point doesn't care.
+
+    Exactness: residuals are integer count differences. Medians of
+    halved values are kept integer by pre-doubling: med2 = median(2r)
+    averages two EVEN ints → integer; ad2 = |2r − med2| is an int;
+    mad4 = median(2·ad2) averages two even ints → integer (= 4·MAD).
+    The flag |r − med| > k·MAD becomes 2·ad2 > k·mad4 — INTEGER
+    arithmetic end to end, no float boundary anywhere.
+    Plan: one hourly hash-agg, the lag self-join on (key, hr−period),
+    then two key-grouped aggregates — every exchange is keyed on the
+    dimension-sized (key) or (key, hr)."""
+    hourly = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.expr(
+            f"unix_micros(date_trunc('hour', {ts_col})) div 3600000000"
+        ).alias("hr"),
+    ).agg(F.count("*").alias("x"))
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    resid = cur.join(
+        prev,
+        (F.col("cur.key") == F.col("prev.key"))
+        & (F.col("cur.hr") == F.col("prev.hr") + period_hours),
+    ).select(
+        F.col("cur.key").alias("key"),
+        F.col("cur.hr").alias("hr"),
+        (F.col("cur.x") - F.col("prev.x")).alias("r"),
+    )
+    med = resid.groupBy("key").agg(
+        (F.median(F.col("r") * 2)).cast("long").alias("med2")
+    )
+    dev = resid.join(med, "key").select(
+        "key",
+        "hr",
+        "r",
+        "med2",
+        F.abs(F.col("r") * 2 - F.col("med2")).alias("ad2"),
+    )
+    mad = dev.groupBy("key").agg(
+        F.median(F.col("ad2") * 2).cast("long").alias("mad4")
+    )
+    flagged = dev.join(mad, "key").withColumn(
+        "is_anomaly", F.col("ad2") * 2 > F.lit(k_mad) * F.col("mad4")
+    )
+    return (
+        flagged.groupBy(F.col("key").alias(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("med2").alias("_med2"),
+            F.min("mad4").alias("_mad4"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        )
+        .select(
+            key_col,
+            "n_pairs",
+            (F.col("_med2") / 2.0).alias("median_resid"),
+            (F.col("_mad4") / 4.0).alias("mad"),
+            F.col("n_anomalies").cast("long").alias("n_anomalies"),
+        )
+        .orderBy(key_col)
+    )

@@ -285,3 +285,61 @@ def hll_sliding_distinct(
             F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+def hll_set_overlap(
+    df: DataFrame,
+    key_col: str,
+    by_col: str,
+    set_a: str,
+    set_b: str,
+) -> DataFrame:
+    """HLL set algebra — the reason register sketches beat plain
+    distinct counters at scale: registers MERGE (union = per-bucket
+    max), so |A∪B| costs one 256-row combine of already-built sketches
+    and |A∩B| falls out by inclusion–exclusion, with no re-scan of
+    either input. The classic audience-overlap question ("how many
+    users both click AND view?") answered from mergeable state.
+
+    Emits ONE row: the exact distinct counts (a, b, intersection —
+    the audit baseline), the three sketch estimates (a, b, union),
+    and the inclusion–exclusion intersection estimate. All sketch
+    arithmetic is the same exact-dyadic discipline as hll_estimate;
+    the estimates are value-hash oracled, not 'close'."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    two = df.filter(F.col(by_col).isin(set_a, set_b)).select(
+        F.when(F.col(by_col) == set_a, F.lit("a")).otherwise(F.lit("b")).alias(
+            "s"
+        ),
+        F.col(key_col),
+    )
+    regs = hll_registers_by(two, key_col, "s")
+    union_regs = regs.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    ).select(F.lit("u").alias("s"), "bucket", "register")
+    est = hll_estimate_by(regs.unionByName(union_regs), "s")
+    wide = est.groupBy().pivot("s", ["a", "b", "u"]).sum("hll_estimate")
+
+    sets_per_key = two.groupBy(key_col).agg(
+        F.countDistinct("s").alias("ns"),
+        F.min("s").alias("one"),
+    )
+    exact = sets_per_key.agg(
+        F.sum(
+            ((F.col("ns") == 2) | (F.col("one") == "a")).cast("long")
+        ).alias("n_exact_a"),
+        F.sum(
+            ((F.col("ns") == 2) | (F.col("one") == "b")).cast("long")
+        ).alias("n_exact_b"),
+        F.sum((F.col("ns") == 2).cast("long")).alias("n_exact_both"),
+    )
+    return exact.crossJoin(F.broadcast(wide)).select(
+        "n_exact_a",
+        "n_exact_b",
+        "n_exact_both",
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("u").alias("est_union"),
+        round6(F.col("a") + F.col("b") - F.col("u")).alias("est_intersection"),
+    )

@@ -845,3 +845,30 @@ def test_poisson_bootstrap_ci_python_mirror_and_sanity(spark):
     assert r.mean_cents == q6(pt)
     # CI brackets the point estimate
     assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import seasonal_anomaly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 4 days x 24h of steady traffic (3 events/hour), one spiked hour
+    for d in range(4):
+        for h in range(24):
+            n = 3
+            if d == 2 and h == 12:
+                n = 50  # the incident
+            for i in range(n):
+                rows.append(
+                    (len(rows), base + dt.timedelta(days=d, hours=h), "click")
+                )
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = seasonal_anomaly(df, k_mad=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 72  # 3 days of 24 lag-comparable hours
+    assert r.median_resid == 0.0 and r.mad == 0.0
+    # the spike hour AND the echo a day later (residual -47) both flag
+    assert r.n_anomalies == 2

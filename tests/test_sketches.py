@@ -173,3 +173,24 @@ def test_hll_estimate_by_constant_group_equals_global(spark):
     # the law the streaming-HLL query relies on: estimate-from-registers
     # is the same function whether grouped or global
     assert by == glob
+
+
+def test_hll_set_overlap_exact_and_estimates(spark):
+    rows = []
+    # A = users 0..399 (click), B = users 200..699 (view): overlap 200
+    for u in range(400):
+        rows.append((u, "click"))
+    for u in range(200, 700):
+        rows.append((u, "view"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from stash_log_parser_spark.operators.sketches import hll_set_overlap
+
+    r = hll_set_overlap(df, "user_id", "event_type", "click", "view").collect()[0]
+    assert (r.n_exact_a, r.n_exact_b, r.n_exact_both) == (400, 500, 200)
+    # 256-register HLL: ~6.5% typical error; assert within 25%
+    assert abs(r.est_a - 400) / 400 < 0.25
+    assert abs(r.est_b - 500) / 500 < 0.25
+    assert abs(r.est_union - 700) / 700 < 0.25
+    assert abs(r.est_intersection - 200) / 200 < 0.6
+    # inclusion-exclusion consistency of the reported numbers
+    assert abs((r.est_a + r.est_b - r.est_union) - r.est_intersection) < 1e-6
