@@ -465,3 +465,62 @@ def source_temperature_mix(
             / (F.col("s_tot").cast("double") * F.col("n"))
         ).alias("upsample_factor"),
     ).orderBy(by_col)
+
+
+def mixture_epoch_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """The data-mixing planning table: given target mixture WEIGHTS
+    (sum ≤ 1, micro-unit precision) and a total token budget, how many
+    tokens each source must contribute and therefore how many EPOCHS
+    (repeat factor) of that source the training run will see —
+    epochs > 1 is the oversampling red flag the data-curation reviews
+    look for (repeated data saturates fast; >4 epochs ≈ worthless,
+    per the data-constrained-scaling literature).
+
+    Arithmetic discipline: weights enter as exact integer micro-units,
+    target = budget·w_micro // 10^6 in BIGINT, and the epoch factor is
+    ONE integer/integer IEEE division + round6 — no float accumulation.
+    Plan: one source-keyed hash-agg over the corpus; the plan table is
+    dimension-sized."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    w_micro = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
+    wcol = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(m))
+            for s, m in w_micro.items()
+        ],
+        F.lit(0),
+    ) if w_micro else F.lit(0)
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(length_col).cast("long").alias("n_tokens"),
+    )
+    return (
+        per.withColumn("weight_micro", wcol.cast("long"))
+        # BIGINT `div`, never float `/`: budget·w_micro reaches 1e18,
+        # past double's exact-integer range
+        .withColumn(
+            "target_tokens",
+            F.expr(f"({int(token_budget)}L * weight_micro) div 1000000L"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_micro",
+            "target_tokens",
+            round6(F.col("target_tokens") / F.col("n_tokens")).alias(
+                "epochs"
+            ),
+            (F.col("target_tokens") > F.col("n_tokens")).alias(
+                "oversampled"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -361,3 +361,28 @@ def test_source_temperature_mix_exact(spark):
     assert out["c"].upsample_factor == pytest.approx(
         (s["c"] * nt) / (st * 1), abs=1e-5
     )
+
+
+def test_mixture_epoch_plan_hand_case(spark):
+    from stash_log_parser_spark.operators.mixture import mixture_epoch_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 1000), (4, "c", 50)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in mixture_epoch_plan(
+            docs, {"a": 0.5, "b": 0.25}, token_budget=2000
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n_docs, a.n_tokens, a.weight_micro, a.target_tokens) == (
+        2, 400, 500000, 1000,
+    )
+    assert a.epochs == 2.5 and a.oversampled
+    b = out["b"]
+    assert (b.target_tokens, b.epochs, bool(b.oversampled)) == (500, 0.5, False)
+    # unlisted source -> weight 0, no target
+    c = out["c"]
+    assert (c.weight_micro, c.target_tokens, c.epochs) == (0, 0, 0.0)
