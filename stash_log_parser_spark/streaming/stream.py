@@ -583,3 +583,29 @@ def streaming_native_dedup(
     days")."""
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_enrich_by_project(
+    stream: DataFrame,
+    repo_project: DataFrame | None = None,
+    ip_datacenter: DataFrame | None = None,
+) -> DataFrame:
+    """Stream–static enrichment (the J3/J4 joins on a live stream):
+    each micro-batch of the tokenized log stream left-joins the STATIC
+    repo→project and IP-/24→datacenter dimensions — Structured
+    Streaming plans a stream-static join as a per-batch broadcast hash
+    join, so the streaming side never shuffles and no join state
+    accumulates (unlike stream-stream joins, nothing must be
+    watermarked: the static side is complete by definition). Output is
+    the running (project, datacenter) op census — the streaming twin of
+    the batch log_enrich_project query, byte-identical once the replay
+    drains."""
+    from stash_log_parser_spark.operators.enrich import enrich
+
+    parsed = parse_corpus(stream)
+    e = enrich(parsed, repo_project, ip_datacenter).filter(
+        F.col("op_type").isNotNull()
+    )
+    return e.groupBy("project_key", "datacenter").agg(
+        F.count("*").alias("n_ops")
+    )

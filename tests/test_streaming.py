@@ -607,3 +607,29 @@ def test_interval_join_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_enrich_equals_batch(spark, corpus_dir):
+    """Stream-static broadcast enrichment drains to exactly the batch
+    J3/J4 census."""
+    from stash_log_parser_spark.operators.enrich import enrich
+    from stash_log_parser_spark.streaming.stream import (
+        streaming_enrich_by_project,
+    )
+
+    stream = stream_corpus(spark, corpus_dir)
+    run_to_memory(streaming_enrich_by_project(stream), "senrich")
+    got = {
+        (r.project_key, r.datacenter): r.n_ops
+        for r in spark.sql("select * from senrich").collect()
+    }
+    batch = enrich(parse_corpus(spark.read.parquet(corpus_dir))).filter(
+        F.col("op_type").isNotNull()
+    )
+    want = {
+        (r.project_key, r.datacenter): r.n_ops
+        for r in batch.groupBy("project_key", "datacenter")
+        .agg(F.count("*").alias("n_ops"))
+        .collect()
+    }
+    assert got == want and len(want) > 1
