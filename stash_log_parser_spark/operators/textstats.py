@@ -1249,3 +1249,92 @@ def ppl_buckets(
         )
         .orderBy("source", "min_score")
     )
+
+
+def pair_bleu(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BLEU-2 verify stage over candidate pairs: modified (clipped)
+    unigram and bigram precision of doc_b against doc_a — the
+    machine-translation metric doubling as a near-dup / paraphrase
+    verifier (edit distance sees character moves; clipped n-gram
+    precision sees vocabulary overlap regardless of order).
+
+    Exactness: clipped counts are pure integers (Σ over the candidate's
+    distinct grams of min(count_cand, count_ref)); each precision is
+    ONE int/int division round6'd; bleu2 = sqrt(p1·p2) on the two
+    already-quantized values — one IEEE multiply + one correctly-
+    rounded sqrt, identical on both engines. The standard exp-based
+    brevity penalty is deliberately reported as the raw length RATIO
+    instead (exp is not correctly-rounded portable libm).
+
+    Scale: pairs arrive LSH-bucketed and Jaccard-verified (same
+    contract as pair_edit_distance), so the per-pair HOF evaluation is
+    a constant-cost polish pass — never a corpus scan."""
+    ws = _words(F.col("_t"))
+    t = docs.select(F.col(id_col), F.col(text_col).alias("_t")).select(
+        id_col,
+        ws.alias("_w"),
+        F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    )
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            t.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("_w").alias("_wa"),
+                F.col("_g").alias("_ga"),
+            ),
+            "doc_a",
+        )
+        .join(
+            t.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("_w").alias("_wb"),
+                F.col("_g").alias("_gb"),
+            ),
+            "doc_b",
+        )
+    )
+
+    def clipped(cand, ref):
+        return F.aggregate(
+            F.array_distinct(cand),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(cand, lambda x: x == g)),
+                F.size(F.filter(ref, lambda x: x == g)),
+            ).cast("long"),
+        )
+
+    p1 = clipped(F.col("_wb"), F.col("_wa")) / F.greatest(
+        F.size("_wb"), F.lit(1)
+    )
+    p2 = clipped(F.col("_gb"), F.col("_ga")) / F.greatest(
+        F.size("_gb"), F.lit(1)
+    )
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        F.size("_wb").cast("long").alias("n_cand_words"),
+        round6(p1).alias("p1"),
+        round6(p2).alias("p2"),
+        round6(
+            F.size("_wb") / F.greatest(F.size("_wa"), F.lit(1))
+        ).alias("brevity_ratio"),
+    )
+    return out.withColumn(
+        "bleu2", round6(F.sqrt(F.col("p1") * F.col("p2")))
+    ).orderBy("doc_a", "doc_b")

@@ -139,9 +139,15 @@ class StashLogBatchReader(DataSourceReader):
         return leftover
 
     def partitions(self) -> List[InputPartition]:
+        # an empty source (no files, or everything pruned) must plan as
+        # one no-op partition: returning [] makes Spark invoke read(None)
+        if not self._files:
+            return [InputPartition(None)]
         return [InputPartition(f) for f in self._files]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        if partition is None or partition.value is None:
+            return
         yield from _rows_for(partition.value)
 
 

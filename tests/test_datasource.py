@@ -263,3 +263,18 @@ def test_stream_write_sink_is_idempotent_per_batch(registered, log_dir, tmp_path
     assert back.count() == want
     names = os.listdir(out)
     assert all(".b" in n for n in names)  # batch-qualified, replay-safe
+
+
+def test_batch_read_empty_dir_returns_empty(registered, tmp_path):
+    """An empty (or fully pruned) source plans as a no-op partition —
+    zero rows, never read(None) (regression: empty partitions() made
+    Spark call read with None)."""
+    d = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(d)
+    df = registered.read.format("stashlog").option("path", d).load()
+    assert df.count() == 0
+    # pruning everything away must behave the same
+    src = registered.read.format("stashlog").option("path", d).load()
+    assert src.filter(F.col("file_day") >= "2099-01-01").count() == 0

@@ -753,3 +753,32 @@ def test_ppl_buckets_tiers_and_census(spark):
     assert tiers["middle"].max_score <= tiers["tail"].max_score
     # the repeated-template docs are the most corpus-typical -> head
     assert tiers["head"].max_score <= tiers["tail"].min_score
+
+
+def test_pair_bleu_hand_case(spark):
+    from stash_log_parser_spark.operators.textstats import pair_bleu
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the cat the cat sat", "a"),
+            (3, "completely different words here", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in pair_bleu(docs, pairs).collect()}
+    r12 = out[(1, 2)]
+    # cand = doc2 (5 words: the x2, cat x2, sat); ref has the x2, cat, sat
+    # clipped unigrams: min(2,2)+min(2,1)+min(1,1) = 4 -> p1 = 4/5
+    assert r12.n_cand_words == 5 and r12.p1 == 0.8
+    # cand bigrams: [the cat, cat the, the cat, cat sat];
+    # ref bigrams has 'the cat' x1, 'cat sat' x1 -> clipped 1+0+1 = 2/4
+    assert r12.p2 == 0.5
+    import math
+
+    assert r12.bleu2 == math.floor(math.sqrt(0.8 * 0.5) * 1e6 + 0.5) / 1e6
+    r13 = out[(1, 3)]
+    assert r13.p1 == 0.0 and r13.p2 == 0.0 and r13.bleu2 == 0.0
