@@ -1803,3 +1803,69 @@ def seasonal_anomaly(
         )
         .orderBy(key_col)
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion's credit splits
+    EQUALLY across the user's qualifying touches in the preceding
+    ``window_hours`` — the standard middle ground between the
+    first-touch and last-touch extremes (events_last_touch). Reports,
+    per touch channel, how many touches earned credit and the total
+    credit — plus an 'unattributed' row for conversions with no touch
+    in window (the row naive attribution silently drops).
+
+    Exactness: each touch's credit is ``10^6 div n`` micro-units
+    (integer floor division — documented quantization, at most n−1
+    micro-units per conversion left unassigned and reported via the
+    unattributed row's exact count), so every aggregate is a BIGINT
+    sum. Plan: the conversion×touch pairing is a per-user INTERVAL
+    join — equi-keyed on user with a bounded time range, so state is
+    bounded by the window exactly as in the streaming twin
+    (log_stream_interval_join); one user-keyed exchange each side."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = events.filter(F.col("event_type") == conv_type).select(
+        F.col(user_col).alias("u"),
+        F.col("event_id").alias("conv_id"),
+        us.alias("c_us"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col("event_type").alias("channel"),
+        us.alias("t_us"),
+    )
+    win_us = window_hours * 3600 * 1_000_000
+    j = conv.join(
+        touch,
+        (conv["u"] == touch["u"])
+        & (F.col("t_us") <= F.col("c_us"))
+        & (F.col("t_us") > F.col("c_us") - F.lit(win_us)),
+        "left",
+    )
+    per_conv = j.groupBy("conv_id").agg(F.count("channel").alias("n"))
+    credited = (
+        j.join(per_conv, "conv_id")
+        .filter(F.col("channel").isNotNull())
+        .select(
+            "channel",
+            F.expr("1000000L div n").alias("credit_micro"),
+        )
+    )
+    by_channel = credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("credit_micro").cast("long").alias("credit_micro"),
+    )
+    unattributed = per_conv.filter(F.col("n") == 0).agg(
+        F.lit("unattributed").alias("channel"),
+        F.count("*").cast("long").alias("n_touches"),
+        (F.count("*") * 1_000_000).cast("long").alias("credit_micro"),
+    )
+    return by_channel.unionByName(unattributed).orderBy("channel")

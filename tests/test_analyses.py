@@ -872,3 +872,34 @@ def test_seasonal_anomaly_flags_planted_spike(spark):
     assert r.median_resid == 0.0 and r.mad == 0.0
     # the spike hour AND the echo a day later (residual -47) both flag
     assert r.n_anomalies == 2
+
+
+def test_linear_attribution_hand_case(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+
+    def ev(i, mins_before, typ, user=1):
+        return (i, t0 - dt.timedelta(minutes=mins_before), user, typ)
+
+    rows = [
+        ev(1, 0, "purchase"),           # conv: 3 touches -> 333333 each
+        ev(2, 10, "click"), ev(3, 20, "view"), ev(4, 30, "click"),
+        ev(5, 60 * 30, "click"),        # outside the 24h window
+        ev(6, 0, "purchase", user=2),   # conv with NO touches
+        ev(7, 5, "click", user=3),      # touch with no conversion
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.channel: r for r in linear_attribution(df).collect()}
+    assert out["click"].n_touches == 2
+    assert out["click"].credit_micro == 2 * 333333
+    assert out["view"].n_touches == 1 and out["view"].credit_micro == 333333
+    assert out["unattributed"].n_touches == 1
+    assert out["unattributed"].credit_micro == 1000000
+    # conservation: credited + unattributed ~ conversions (floor slack < n)
+    total = sum(r.credit_micro for r in out.values())
+    assert 2 * 1000000 - 3 < total <= 2 * 1000000

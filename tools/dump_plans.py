@@ -68,6 +68,17 @@ QUERIES = [
         " shuffle before the filter applies.",
     ),
     (
+        "events_bootstrap_ci",
+        "Poisson bootstrap: 32 replicates in ONE pass — explode ×B feeds a"
+        " map-side partial agg; the only exchange carries B partial rows.",
+    ),
+    (
+        "emb_nprobe_sweep",
+        "One cell-assignment pass serves every sweep point: the probe table"
+        " broadcasts with nprobe nested in it; the corpus is scanned once"
+        " and never reshuffled across sweep points.",
+    ),
+    (
         "docs_cdc_apply",
         "MERGE INTO as union + last-op-per-key window: ONE doc_id-keyed"
         " exchange, no join; the change feed rides the same shuffle as the"
