@@ -1869,3 +1869,94 @@ def linear_attribution(
         (F.count("*") * 1_000_000).cast("long").alias("credit_micro"),
     )
     return by_channel.unionByName(unattributed).orderBy("channel")
+
+
+def cuped_adjusted_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED variance reduction — the technique that lets web-scale
+    experiments detect small effects without doubling traffic: regress
+    each user's experiment-period metric y on their PRE-period metric x
+    (θ = cov(x,y)/var(x), pooled across arms since x predates
+    assignment), and compare arms on y − θ·(x − x̄). Arms use the same
+    stable md5 bucket device as ab_lift; the pre/post split is the
+    dataset's exact midpoint micro-timestamp.
+
+    Determinism discipline: all five moment sums (Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate EXACTLY — cents are ints, products fit int64, sums
+    go to decimal(38,0) (DuckDB HUGEINT in the mirror) because
+    n·Σxy-style cross terms pass 2^63. θ, the raw and adjusted arm
+    differences, and ρ² (the variance-reduction fraction) are then a
+    FIXED handful of IEEE ops on those exact integers — never a float
+    accumulation. The adjusted difference uses the closed form
+    (ȳ_B−ȳ_A) − θ·(x̄_B−x̄_A), so no per-user float column ever
+    aggregates."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    dec = "decimal(38,0)"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = events.agg(
+        F.min(us).alias("lo_us"), F.max(us).alias("hi_us")
+    ).select(
+        F.expr("(lo_us + hi_us) div 2").alias("mid_us")
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    per_user = (
+        events.crossJoin(F.broadcast(span))
+        .select(
+            F.col(user_col).alias("u"),
+            arm.alias("arm"),
+            F.when(us <= F.col("mid_us"), cents).otherwise(0).alias("xc"),
+            F.when(us > F.col("mid_us"), cents).otherwise(0).alias("yc"),
+        )
+        .groupBy("u", "arm")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+    )
+    pooled = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sx2"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("sy2"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0)).cast("long").alias("sxa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0)).cast("long").alias("sxb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0)).cast("long").alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0)).cast("long").alias("syb"),
+    )
+    n = F.col("n_users").cast("double")
+    num = (
+        F.col("n_users").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = (
+        F.col("n_users").cast(dec) * F.col("sx2") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    den_y = (
+        F.col("n_users").cast(dec) * F.col("sy2") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    theta = num / den
+    raw_diff = F.col("syb") / F.col("nb") - F.col("sya") / F.col("na")
+    x_diff = F.col("sxb") / F.col("nb") - F.col("sxa") / F.col("na")
+    return pooled.select(
+        "n_users",
+        "na",
+        "nb",
+        round6(theta).alias("theta"),
+        round6(raw_diff).alias("raw_diff_cents"),
+        round6(raw_diff - theta * x_diff).alias("adjusted_diff_cents"),
+        round6(num * num / (den * den_y)).alias("var_reduction"),
+    )

@@ -903,3 +903,56 @@ def test_linear_attribution_hand_case(spark):
     # conservation: credited + unattributed ~ conversions (floor slack < n)
     total = sum(r.credit_micro for r in out.values())
     assert 2 * 1000000 - 3 < total <= 2 * 1000000
+
+
+def test_cuped_matches_numpy_mirror(spark):
+    import datetime as dt
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from stash_log_parser_spark.operators.analyses import cuped_adjusted_lift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.RandomState(3)
+    eid = 0
+    for u in range(60):
+        base = float(rng.randint(5, 50))
+        # pre event (day 0) and post event (day 9): y correlated with x
+        rows.append((eid, t0, u, "view", base)); eid += 1
+        rows.append(
+            (eid, t0 + dt.timedelta(days=9), u, "view",
+             base + float(rng.randint(0, 5))),
+        ); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = cuped_adjusted_lift(df).collect()[0]
+
+    mid = (int(t0.timestamp() * 1e6)
+           + int((t0 + dt.timedelta(days=9)).timestamp() * 1e6)) // 2
+    per = {}
+    for _eid, ts, u, _t, v in rows:
+        c = math.floor(v * 100 + 0.5)
+        x, y = per.get(u, (0, 0))
+        if int(ts.timestamp() * 1e6) <= mid:
+            per[u] = (x + c, y)
+        else:
+            per[u] = (x, y + c)
+    xs = np.array([v[0] for v in per.values()], dtype=float)
+    ys = np.array([v[1] for v in per.values()], dtype=float)
+    n = len(per)
+    num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+    den = n * (xs * xs).sum() - xs.sum() ** 2
+    assert r.n_users == 60
+    assert abs(r.theta - num / den) < 1e-5
+    # strong x-y correlation -> large variance reduction
+    assert r.var_reduction > 0.8
+    # arm assignment matches the md5 device
+    na = sum(
+        1 for u in per
+        if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+    )
+    assert r.na == na and r.nb == 60 - na
