@@ -1960,3 +1960,52 @@ def cuped_adjusted_lift(
         round6(raw_diff - theta * x_diff).alias("adjusted_diff_cents"),
         round6(num * num / (den * den_y)).alias("var_reduction"),
     )
+
+
+def bot_rate_flags(
+    parsed: DataFrame, rate_mult: int = 3, top: int = 20
+) -> DataFrame:
+    """Abuse/bot heuristics over the access log: a client is flagged
+    when its request rate per ACTIVE minute exceeds ``rate_mult``× the
+    corpus median — the relative rule that survives corpus growth
+    (absolute thresholds rot as traffic scales; CI farms look normal
+    next quarter). Reports the top offenders with the evidence columns
+    an abuse reviewer wants: volume, active minutes, rate, repo fan-out.
+
+    Exactness: rate_micro = n·10^6 div minutes is an exact BIGINT; the
+    median uses the pre-doubling trick (median of 2·rate over users is
+    an integer), so the flag 2·rate > mult·med2 is pure integer — no
+    float anywhere. Plan: one (user, minute) distinct, two user-keyed
+    hash-aggs, one scalar median broadcast back; the top-k is
+    TakeOrderedAndProject."""
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("username").isNotNull()
+    )
+    per_user = base.groupBy("username").agg(
+        F.count("*").cast("long").alias("n_req"),
+        F.countDistinct(
+            F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+        ).cast("long").alias("active_minutes"),
+        F.countDistinct("repo_slug").cast("long").alias("n_repos"),
+    ).withColumn(
+        "rate_micro",
+        F.expr("(n_req * 1000000L) div active_minutes"),
+    )
+    med = per_user.agg(
+        F.median(F.col("rate_micro") * 2).cast("long").alias("med2")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(med))
+        .select(
+            "username",
+            "n_req",
+            "active_minutes",
+            "n_repos",
+            "rate_micro",
+            (F.col("rate_micro") * 2 > F.lit(rate_mult) * F.col("med2")).alias(
+                "is_bot"
+            ),
+        )
+        .orderBy(F.desc("rate_micro"), F.desc("n_req"), F.asc("username"))
+        .limit(top)
+    )

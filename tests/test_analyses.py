@@ -956,3 +956,32 @@ def test_cuped_matches_numpy_mirror(spark):
         if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
     )
     assert r.na == na and r.nb == 60 - na
+
+
+def test_bot_rate_flags_plants_a_bot(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import bot_rate_flags
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = []
+    # 5 humans: 10 requests spread over 10 minutes (rate 1/min)
+    for u in range(5):
+        for i in range(10):
+            rows.append(
+                (True, f"user{u}", f"r/{i % 3}", t0 + dt.timedelta(minutes=i))
+            )
+    # 1 bot: 120 requests inside 2 minutes (rate 60/min)
+    for i in range(120):
+        rows.append(
+            (True, "scraper", f"r/{i}", t0 + dt.timedelta(seconds=i))
+        )
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, username string, repo_slug string, ts timestamp"
+    )
+    out = bot_rate_flags(df, rate_mult=3, top=10).collect()
+    assert out[0].username == "scraper" and out[0].is_bot
+    assert out[0].rate_micro == 60_000_000
+    humans = [r for r in out if r.username != "scraper"]
+    assert humans and all(not r.is_bot for r in humans)
+    assert all(r.rate_micro == 1_000_000 for r in humans)
