@@ -2009,3 +2009,40 @@ def bot_rate_flags(
         .orderBy(F.desc("rate_micro"), F.desc("n_req"), F.asc("username"))
         .limit(top)
     )
+
+
+def props_variant_stats(
+    events: DataFrame,
+    props_col: str = "props",
+    key_path: str = "$.k",
+    by_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload statistics through Spark 4's VARIANT
+    type: ``parse_json`` shreds the JSON props column into the binary
+    variant encoding ONCE, ``variant_get`` extracts the typed field
+    JVM-side — the Spark-4-native answer to schemaless event payloads
+    at scale (no per-row Python JSON, no rigid from_json schema that
+    breaks when producers add fields; the extraction is codegen'd
+    against the variant binary). Reports per-group count, null/missing
+    extraction count, and exact integer sum/min/max of the field.
+
+    Cross-engine: the oracle extracts the same JSON path with DuckDB's
+    JSON reader; the values are exact ints, so the hashes bind the
+    entire extraction path, not a float summary."""
+    v = F.parse_json(F.col(props_col))
+    k = F.variant_get(v, key_path, "long")
+    per = events.select(F.col(by_col).alias("event_type"), k.alias("k"))
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).cast("long").alias(
+                "n_missing"
+            ),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )

@@ -985,3 +985,22 @@ def test_bot_rate_flags_plants_a_bot(spark):
     humans = [r for r in out if r.username != "scraper"]
     assert humans and all(not r.is_bot for r in humans)
     assert all(r.rate_micro == 1_000_000 for r in humans)
+
+
+def test_props_variant_stats_typed_extraction(spark):
+    from stash_log_parser_spark.operators.analyses import props_variant_stats
+
+    rows = [
+        (1, "click", '{"k": 5}'),
+        (2, "click", '{"k": 7, "extra": "producers add fields"}'),
+        (3, "click", '{"other": 1}'),      # missing path -> null
+        (4, "view", '{"k": 100}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    out = {r.event_type: r for r in props_variant_stats(df).collect()}
+    c = out["click"]
+    assert (c.n, c.n_missing, c.k_sum, c.k_min, c.k_max, c.k_distinct) == (
+        3, 1, 12, 5, 7, 2,
+    )
+    v = out["view"]
+    assert (v.n, v.n_missing, v.k_sum) == (1, 0, 100)
