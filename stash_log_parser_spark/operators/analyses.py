@@ -2046,3 +2046,54 @@ def props_variant_stats(
         )
         .orderBy("event_type")
     )
+
+
+def concurrency_twa(parsed: DataFrame) -> DataFrame:
+    """Time-weighted average of the server's concurrency gauge per day
+    — the metric that answers "how loaded WAS the server", which the
+    plain mean of samples gets wrong whenever sampling is bursty (a
+    thousand idle-time log lines shouldn't outvote one ten-minute
+    plateau at gauge 40). Classic step-function integral:
+    Σ gauge_i·(t_{i+1}−t_i) / (t_last − t_first), the TWAP shape.
+
+    Exactness: timestamps are exact micros, the gauge an int, so the
+    weighted sum and span are BIGINT; one final division + round6.
+    Determinism: the lead() order is the total key (ts_us,
+    req_counter, req_dir) — ts alone ties when a request's in/out
+    lines land in the same microsecond. Plan: ONE day-partitioned
+    window (same discipline as concurrency_by_hour — never a global
+    sort), then a day-keyed hash-agg."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("req_concurrent").isNotNull()
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("req_counter"),
+        F.col("req_dir"),
+        F.col("req_concurrent").cast("long").alias("g"),
+    )
+    w = Window.partitionBy("day").orderBy("us", "req_counter", "req_dir")
+    stepped = base.withColumn("next_us", F.lead("us").over(w))
+    per_day = stepped.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_points"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("next_us").isNotNull(),
+                F.col("g") * (F.col("next_us") - F.col("us")),
+            ).otherwise(0)
+        ).cast("long").alias("weighted_us"),
+    )
+    return per_day.select(
+        "day",
+        "n_points",
+        "span_us",
+        "weighted_us",
+        round6(
+            F.col("weighted_us") / F.greatest(F.col("span_us"), F.lit(1))
+        ).alias("twa_concurrency"),
+    ).orderBy("day")

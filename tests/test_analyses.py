@@ -1004,3 +1004,28 @@ def test_props_variant_stats_typed_extraction(spark):
     )
     v = out["view"]
     assert (v.n, v.n_missing, v.k_sum) == (1, 0, 100)
+
+
+def test_concurrency_twa_step_integral(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import concurrency_twa
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def row(secs, counter, d, gauge):
+        return (True, dt.date(2024, 3, 1), t0 + dt.timedelta(seconds=secs),
+                counter, d, gauge)
+
+    # gauge 1 for 10s, then 5 for 30s, then 2 (last point: no width)
+    rows = [row(0, 1, "i", 1), row(10, 2, "i", 5), row(40, 3, "i", 2)]
+    df = spark.createDataFrame(
+        rows,
+        "is_parsed boolean, day date, ts timestamp, req_counter long, "
+        "req_dir string, req_concurrent int",
+    )
+    r = concurrency_twa(df).collect()[0]
+    assert r.day == "2024-03-01" and r.n_points == 3
+    assert r.span_us == 40_000_000
+    assert r.weighted_us == 1 * 10_000_000 + 5 * 30_000_000
+    assert r.twa_concurrency == 4.0  # (10 + 150) / 40
