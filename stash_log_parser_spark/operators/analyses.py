@@ -2097,3 +2097,69 @@ def concurrency_twa(parsed: DataFrame) -> DataFrame:
             F.col("weighted_us") / F.greatest(F.col("span_us"), F.lit(1))
         ).alias("twa_concurrency"),
     ).orderBy("day")
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic growth/CRM cut: per user,
+    Recency (days since last event, from the dataset max — never
+    wall-clock), Frequency (event count), Monetary (value cents);
+    each quintiled into 1..5 (5 = best), users then counted per
+    (r, f, m) cell. The census is what lifecycle campaigns target
+    ("555" = champions, "1xx" = churned).
+
+    Determinism: all three metrics are exact integers; the quintile
+    windows order by (metric, user_id) so engine sort ties are
+    impossible; recency orders DESC so ntile 5 = most recent. Plan:
+    one user hash-agg, then three ntile windows over the
+    |users|-sized NARROW frame (never raw events). The global ntile
+    is a single-partition sort — exact-rank semantics require it;
+    at 10^9 users swap the cut for approx_percentile breakpoints
+    (the cells change only at quantile boundaries), the same
+    exact-vs-sketch trade documented at duration_percentiles."""
+    from pyspark.sql import Window
+
+    anchor = events.agg(
+        F.max(F.to_date(ts_col)).alias("d_max")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.datediff("d_max", F.to_date(ts_col)))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    # recency: FEWER days since last = better -> order DESC so ntile 5
+    # lands on the most recent users, matching f/m "5 = best"
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("u"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("u"))
+    wm = Window.orderBy(F.asc("monetary_cents"), F.asc("u"))
+    scored = per_user.select(
+        "u",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n_tiles).over(wr).alias("r_score"),
+        F.ntile(n_tiles).over(wf).alias("f_score"),
+        F.ntile(n_tiles).over(wm).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("frequency").cast("long").alias("total_events"),
+            F.sum("monetary_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1029,3 +1029,29 @@ def test_concurrency_twa_step_integral(spark):
     assert r.span_us == 40_000_000
     assert r.weighted_us == 1 * 10_000_000 + 5 * 30_000_000
     assert r.twa_concurrency == 4.0  # (10 + 150) / 40
+
+
+def test_rfm_segments_hand_case(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import rfm_segments
+
+    t0 = dt.datetime(2024, 6, 30)
+    rows, eid = [], 0
+    # 5 users with strictly increasing activity/recency/value
+    for u in range(5):
+        for i in range(u + 1):               # frequency 1..5
+            rows.append(
+                (eid, t0 - dt.timedelta(days=10 - 2 * u),  # recency 10..2
+                 u, float(10 * (u + 1))))     # monetary grows with u
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = rfm_segments(df).collect()
+    # perfectly ordered users -> diagonal cells (i,i,i), one user each
+    assert [(r.r_score, r.f_score, r.m_score, r.n_users) for r in out] == [
+        (i, i, i, 1) for i in range(1, 6)
+    ]
+    champ = out[-1]
+    assert champ.total_events == 5 and champ.total_cents == 5 * 5000
