@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--reps", type=int, default=1,
-                    help=">1: first run is a warmup, median of the rest is reported")
+                    help=">1: median over all reps is reported (the odd-count"
+                         " median absorbs the warmup rep and a single stall)")
     args = ap.parse_args(argv)
 
     # make the package importable in separate-JVM executors' Python
@@ -73,9 +74,13 @@ def main(argv: list[str] | None = None) -> dict:
             use_sql_decode=args.sql_decode,
         )
         elapsed_all.append(time.perf_counter() - t0)
-    measured = elapsed_all[1:] if len(elapsed_all) > 1 else elapsed_all
-    ms = sorted(measured)
-    # true median (mean of the middle two for even counts)
+    # median over ALL reps: with the old drop-first-then-median-of-rest
+    # rule, 3 reps leave 2 measurements and the "median" degenerates to
+    # their MEAN — a single stalled rep (observed: one 4x2 run where an
+    # executor stall blew one rep from ~175 s to ~1060 s) then wrecks
+    # the number. The odd-count median absorbs both the warmup rep and
+    # a single outlier; with >=4 reps the warmup is also outvoted.
+    ms = sorted(elapsed_all)
     mid = len(ms) // 2
     elapsed = ms[mid] if len(ms) % 2 else (ms[mid - 1] + ms[mid]) / 2
     result = {

@@ -136,8 +136,9 @@ generated by `stash_log_parser_spark/corpus.py` seed=42), same job
 (`stash_log_parser_spark.plans.job` = full parse → enrich → route →
 aggregate into 8 sinks + parsed stage + lineage), REAL separate
 executor JVMs via Spark's `local-cluster` master, fresh cluster per
-level, {args.reps} reps per level (first = warmup, median of the rest
-reported), AQE on, identical config at every level.
+level, {args.reps} reps per level (median over all reps — the
+odd-count median absorbs the warmup rep and a single executor stall),
+AQE on, identical config at every level.
 
 | executors × cores | master | seq/s (median) | reps (s) |
 |---|---|---|---|
