@@ -2163,3 +2163,80 @@ def rfm_segments(
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def percentile_rank_ci(
+    parsed: DataFrame,
+    p_pct: int = 99,
+    z_times_100: int = 196,
+    min_n: int = 30,
+) -> DataFrame:
+    """Distribution-free confidence interval for a percentile — the
+    answer to "is this p99 regression real or sampling noise": the
+    p-th percentile's CI is just the sample values at ORDER-STATISTIC
+    ranks k ± z·sqrt(n·p·(1−p)) (binomial/normal approximation), no
+    distributional assumption about latencies (which are never
+    normal). Reported per op_type.
+
+    Exactness: the point rank is pure integer ceil-division
+    (k = ⌈p·n/100⌉ = (p·n + 99) div 100); the CI ranks pass through
+    one FIXED chain of IEEE ops (mul, sqrt, mul, add/sub) on exact
+    integers, then round6 → ceil, so both engines compute identical
+    ranks; the reported values are order statistics — exact ints.
+    Plan: one op_type-partitioned row_number window over the routed
+    duration rows, three rank-equality filters ride the same window
+    output; groups below ``min_n`` are dropped (the approximation is
+    meaningless there)."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    d = parsed.filter(
+        F.col("is_parsed")
+        & F.col("op_type").isNotNull()
+        & F.col("duration_ms").isNotNull()
+    ).select("op_type", F.col("duration_ms").cast("long").alias("v"))
+    w = Window.partitionBy("op_type").orderBy("v")
+    ranked = d.withColumn("r", F.row_number().over(w))
+    sizes = d.groupBy("op_type").agg(F.count("*").cast("long").alias("n"))
+    p = F.lit(p_pct)
+    mean_r = F.col("n") * p / 100  # one IEEE divide on exact ints
+    sd = F.sqrt(
+        F.col("n").cast("double") * p / 100 * (100 - p_pct) / 100
+    )
+    z = F.lit(z_times_100) / 100
+    ranks = sizes.filter(F.col("n") >= min_n).select(
+        "op_type",
+        "n",
+        F.expr(f"({p_pct}L * n + 99) div 100").alias("k"),
+        F.greatest(
+            F.ceil(round6(mean_r - z * sd)), F.lit(1)
+        ).cast("long").alias("k_lo"),
+        F.least(
+            F.ceil(round6(mean_r + z * sd)), F.col("n")
+        ).cast("long").alias("k_hi"),
+    )
+    j = ranked.join(F.broadcast(ranks), "op_type")
+    return (
+        j.groupBy("op_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.max(F.when(F.col("r") == F.col("k"), F.col("v"))).alias(
+                "p_value"
+            ),
+            F.max(F.when(F.col("r") == F.col("k_lo"), F.col("v"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("r") == F.col("k_hi"), F.col("v"))).alias(
+                "ci_hi"
+            ),
+        )
+        .select(
+            "op_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("p_value").cast("long").alias(f"p{p_pct}"),
+            F.col("ci_lo").cast("long").alias("ci_lo"),
+            F.col("ci_hi").cast("long").alias("ci_hi"),
+        )
+        .orderBy("op_type")
+    )

@@ -1055,3 +1055,31 @@ def test_rfm_segments_hand_case(spark):
     ]
     champ = out[-1]
     assert champ.total_events == 5 and champ.total_cents == 5 * 5000
+
+
+def test_percentile_rank_ci_python_mirror(spark):
+    import math
+
+    from stash_log_parser_spark.operators.analyses import percentile_rank_ci
+
+    vals = [((i * 37) % 1000) + 1 for i in range(500)]
+    df = spark.createDataFrame(
+        [(True, "clone", v) for v in vals],
+        "is_parsed boolean, op_type string, duration_ms long",
+    )
+    r = percentile_rank_ci(df, p_pct=99).collect()[0]
+    s = sorted(vals)
+    n = 500
+    k = (99 * n + 99) // 100
+    mean_r = (n * 99) / 100.0
+    sd = math.sqrt(n * 99 / 100 * 1 / 100)
+
+    def q6ceil(x):
+        return math.ceil(math.floor(x * 1e6 + 0.5) / 1e6)
+
+    k_lo = max(q6ceil(mean_r - 1.96 * sd), 1)
+    k_hi = min(q6ceil(mean_r + 1.96 * sd), n)
+    assert (r.n, r.p99, r.ci_lo, r.ci_hi) == (
+        n, s[k - 1], s[k_lo - 1], s[k_hi - 1],
+    )
+    assert r.ci_lo <= r.p99 <= r.ci_hi
