@@ -2240,3 +2240,96 @@ def percentile_rank_ci(
         )
         .orderBy("op_type")
     )
+
+
+def revenue_concentration(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    segment_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Revenue-concentration audit per segment: the Gini coefficient
+    and the Pareto-80 head count ("how many customers produce 80 % of
+    revenue") — the inequality measures behind whale-risk reviews and
+    data-mixture skew checks (the same math flags a token vocabulary
+    dominated by a handful of types).
+
+    Exactness: per-entity revenue is integer cents; Gini's Σi·x_i over
+    the ascending rank and the Pareto cut both stay in BIGINT (the cut
+    is the cross-multiplication 5·cum_before < 4·total — no 0.8 float
+    ever); Gini's closing form 2S/(nT) − (n+1)/n is a fixed handful of
+    IEEE ops on exact integers. Plan: fact joins the broadcast dim,
+    one entity hash-agg, then SEGMENT-partitioned rank windows (never
+    a global sort) over the dimension-sized entity frame."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    per = (
+        fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key])
+        .groupBy(
+            F.col(segment_col).alias("segment"),
+            F.col(dim_key).alias("entity"),
+        )
+        .agg(
+            F.sum(F.floor(F.col(amount_col) * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wa = Window.partitionBy("segment").orderBy(
+        F.asc("cents"), F.asc("entity")
+    )
+    wd = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("cents"), F.asc("entity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per.select(
+        "segment",
+        "cents",
+        F.row_number().over(wa).cast("long").alias("i"),
+        (F.sum("cents").over(wd) - F.col("cents")).alias("cum_before"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s_ix"),
+    )
+    # the Pareto cut needs the segment total, so it rides a second
+    # pass over the tiny ranked frame with the total joined back
+    cut = (
+        ranked.join(
+            agg.select("segment", F.col("total_cents").alias("t")),
+            "segment",
+        )
+        .select(
+            "segment",
+            (F.col("cum_before") * 5 < F.col("t") * 4)
+            .cast("long")
+            .alias("in_head"),
+        )
+        .groupBy("segment")
+        .agg(F.sum("in_head").cast("long").alias("n_for_80pct"))
+    )
+    n = F.col("n_entities").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s_ix") / (n * F.col("total_cents"))
+        - (n + 1) / n
+    )
+    return (
+        agg.join(cut, "segment")
+        .select(
+            "segment",
+            "n_entities",
+            "total_cents",
+            round6(gini).alias("gini"),
+            "n_for_80pct",
+            round6(F.col("n_for_80pct") / F.col("n_entities")).alias(
+                "head_share"
+            ),
+        )
+        .orderBy("segment")
+    )

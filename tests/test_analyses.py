@@ -1083,3 +1083,26 @@ def test_percentile_rank_ci_python_mirror(spark):
         n, s[k - 1], s[k_lo - 1], s[k_hi - 1],
     )
     assert r.ci_lo <= r.p99 <= r.ci_hi
+
+
+def test_revenue_concentration_gini_and_pareto(spark):
+    from stash_log_parser_spark.operators.analyses import revenue_concentration
+
+    # segment "x": one whale (800) + 4 minnows (50 each)
+    dim = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "k long, seg string"
+    )
+    fact = spark.createDataFrame(
+        [(0, 800.0)] + [(i, 50.0) for i in range(1, 5)],
+        "fk long, amt double",
+    )
+    r = revenue_concentration(fact, dim, "fk", "k", "seg", "amt").collect()[0]
+    assert (r.n_entities, r.total_cents) == (5, 100000)
+    # ascending x = [50,50,50,50,800]*100; S=sum(i*x)=100*(50+100+150+200+4000)
+    n, t, s = 5, 100000, 100 * (50 + 100 + 150 + 200 + 4000)
+    import math
+
+    g = 2 * s / (n * t) - (n + 1) / n
+    assert r.gini == math.floor(g * 1e6 + 0.5) / 1e6
+    # the whale alone covers 80% exactly -> head is just the whale
+    assert r.n_for_80pct == 1 and r.head_share == 0.2
