@@ -1132,3 +1132,58 @@ def semdedup(
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     ).orderBy("cluster_id", id_col)
+
+
+def knn_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    top: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN-distance outlier scoring: a vector's outlier score is its
+    cosine DISTANCE to its k-th nearest neighbor — isolated points sit
+    far even from their closest cluster, duplicated/clustered points
+    don't. The standard embedding-space cleaning pass before training
+    (prune the weirdest tail) and the dual of SemDeDup (which prunes
+    the DENSEST points).
+
+    O(n²) by nature — the caller bounds the input (the oracle-checked
+    query caps at the same id slice as the bruteforce KNN twin); the
+    scale path is scoring against the IVF cells' members only
+    (ivf_topk), which turns the all-pairs scan into per-cell blocks.
+    Cosines are the same round-6 device every ANN operator pins; ranks
+    break ties by id, so top-k is a total order."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    scored = a.join(
+        b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("nn_id"),
+        F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("nn_id")
+    )
+    kth = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") == k
+    )
+    return (
+        kth.select(
+            id_col,
+            F.col("nn_id").alias("kth_nn_id"),
+            F.col("cosine").alias("kth_nn_cosine"),
+            round6(F.lit(1.0) - F.col("cosine")).alias("outlier_score"),
+        )
+        .orderBy(F.asc("kth_nn_cosine"), F.asc(id_col))
+        .limit(top)
+    )

@@ -589,3 +589,26 @@ def test_semdedup_clusters_and_representatives(spark):
     keepers = [r for r in out if r.keep]
     assert len(keepers) == 40  # 43 vectors minus 3 dropped dups
     assert all(r.vec_id == r.cluster_id for r in keepers)
+
+
+def test_knn_outliers_finds_planted_isolate(spark):
+    import numpy as np
+
+    from stash_log_parser_spark.operators.similarity import knn_outliers
+
+    rng = np.random.RandomState(8)
+    # a tight cluster around one direction + one orthogonal isolate
+    base = rng.randn(8)
+    rows = []
+    for i in range(30):
+        v = base + 0.01 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    iso = np.zeros(8); iso[0] = -base[0] * 10; iso[1] = base[1] * -10
+    rows.append((999, [float(x) for x in iso]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_outliers(emb, k=5, top=5).collect()
+    # the isolate has the smallest 5th-NN cosine -> ranked first
+    assert out[0].vec_id == 999
+    assert out[0].outlier_score > out[1].outlier_score
+    # cluster members' 5th NN is essentially identical to them
+    assert out[1].kth_nn_cosine > 0.99
