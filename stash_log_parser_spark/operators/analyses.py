@@ -2333,3 +2333,65 @@ def revenue_concentration(
         )
         .orderBy("segment")
     )
+
+
+def ab_power_mde(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    z_alpha_x100: int = 196,
+    z_beta_x100: int = 84,
+) -> DataFrame:
+    """Power analysis for the A/B setup: the minimum detectable
+    effect at 80 % power / 95 % confidence given the arms we actually
+    have — the pre-registration number that decides whether an
+    experiment is worth running at all (an MDE above any plausible
+    effect means the test can only produce noise). Uses the standard
+    two-proportion approximation MDE = (z_α/2+z_β)·sqrt(2·p(1−p)/n̄)
+    with p = pooled conversion and n̄ the harmonic mean of the arm
+    sizes (the exact small-imbalance correction).
+
+    Arms and conversions use ab_lift's md5/parity devices, so the
+    three experiment queries (lift, CUPED, power) describe the same
+    population. Integer counts feed ONE fixed chain of IEEE ops
+    (two divisions, sqrt, multiply) — mirrored verbatim."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            arm.alias("arm"),
+            (F.col("event_type") == convert_type).cast("long").alias("c"),
+        )
+        .groupBy("u", "arm")
+        .agg((F.sum("c") % 2).cast("long").alias("converted"))
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum("converted").cast("long").alias("conv"),
+        F.count("*").cast("long").alias("n"),
+    )
+    p = F.col("conv") / F.col("n")
+    # harmonic mean of arm sizes: 2·na·nb / (na+nb) — exact ints until
+    # the one division
+    nh = (F.lit(2) * F.col("na") * F.col("nb")) / (
+        F.col("na") + F.col("nb")
+    )
+    z = (F.lit(z_alpha_x100) + F.lit(z_beta_x100)) / 100
+    mde = z * F.sqrt(F.lit(2.0) * p * (1 - p) / nh)
+    return agg.select(
+        "na",
+        "nb",
+        "conv",
+        round6(p).alias("pooled_rate"),
+        round6(mde).alias("mde_abs"),
+        round6(mde / p).alias("mde_rel"),
+    )

@@ -1106,3 +1106,34 @@ def test_revenue_concentration_gini_and_pareto(spark):
     assert r.gini == math.floor(g * 1e6 + 0.5) / 1e6
     # the whale alone covers 80% exactly -> head is just the whale
     assert r.n_for_80pct == 1 and r.head_share == 0.2
+
+
+def test_ab_power_mde_python_mirror(spark):
+    import hashlib
+    import math
+
+    from stash_log_parser_spark.operators.analyses import ab_power_mde
+
+    rows = []
+    eid = 0
+    for u in range(200):
+        rows.append((eid, u, "view")); eid += 1
+        if u % 4 == 0:
+            rows.append((eid, u, "purchase")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = ab_power_mde(df).collect()[0]
+
+    na = sum(1 for u in range(200)
+             if hashlib.md5(str(u).encode()).hexdigest()[0] < "8")
+    conv = sum(1 for u in range(200) if u % 4 == 0)  # one purchase = odd
+    assert (r.na, r.nb, r.conv) == (na, 200 - na, conv)
+    p = conv / 200
+    nh = (2 * r.na * r.nb) / (r.na + r.nb)
+    mde = ((196 + 84) / 100.0) * math.sqrt(2.0 * p * (1 - p) / nh)
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert r.pooled_rate == q6(p)
+    assert r.mde_abs == q6(mde)
+    assert r.mde_rel == q6(mde / p)
