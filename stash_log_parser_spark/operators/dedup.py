@@ -763,3 +763,62 @@ def pair_edit_distance(
         dist.cast("long").alias("edit_distance"),
         round6(dist.cast("double") / denom).alias("edit_ratio"),
     ).orderBy("doc_a", "doc_b")
+
+
+def pair_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for candidate pairs:
+    C(A→B) = |S_A ∩ S_B| / |S_A| — the measure that catches
+    quote/superset relations Jaccard structurally misses (a 50-word
+    passage quoted inside a 5000-word doc has Jaccard ≈ 0.01 but
+    containment ≈ 1.0 from the passage's side). The dedup literature's
+    standard companion to the Jaccard verify; pairs arrive LSH-bucketed
+    exactly as for pair_edit_distance.
+
+    Runs on with_shingles' hash sets (no n-gram strings materialize);
+    intersection sizes are exact ints, each containment one division +
+    round6. The SQL oracle recomputes on STRING shingle sets — equality
+    holds modulo 64-bit xxhash collisions, the same assumption the
+    oracled Jaccard queries already pin."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    sh = with_shingles(docs, n=n, text_col=text_col).select(
+        "doc_id", "shingles"
+    )
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("_sb"),
+            ),
+            "doc_b",
+        )
+    )
+    common = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    na = F.greatest(F.size("_sa"), F.lit(1)).cast("long")
+    nb = F.greatest(F.size("_sb"), F.lit(1)).cast("long")
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        F.size("_sa").cast("long").alias("n_shingles_a"),
+        F.size("_sb").cast("long").alias("n_shingles_b"),
+        common.alias("n_common"),
+        round6(common / na).alias("containment_a"),
+        round6(common / nb).alias("containment_b"),
+    )
+    return out.withColumn(
+        "max_containment",
+        F.greatest("containment_a", "containment_b"),
+    ).orderBy("doc_a", "doc_b")

@@ -470,3 +470,30 @@ def test_pair_edit_distance_prefix_cap(spark):
     r = pair_edit_distance(docs, pairs, prefix_chars=100).collect()[0]
     # identical 100-char prefixes -> distance 0 under the cap
     assert r.edit_distance == 0 and r.edit_ratio == 0.0
+
+
+def test_pair_containment_quote_inside_document(spark):
+    from stash_log_parser_spark.operators.dedup import pair_containment
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler),
+            (3, "unrelated words entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r for r in pair_containment(docs, pairs).collect()}
+    r12 = out[(1, 2)]
+    # every shingle of the quote appears in the long doc
+    assert r12.containment_a == 1.0
+    # ...but the long doc is NOT contained in the quote
+    assert r12.containment_b < 0.1
+    assert r12.max_containment == 1.0
+    r13 = out[(1, 3)]
+    assert r13.n_common == 0 and r13.max_containment == 0.0
