@@ -36,6 +36,42 @@ def norm_cell(v):
     return v
 
 
+def cell_kind(v):
+    """Scalar type-kind label of a *normalized* cell.
+
+    The driver's value hash is strict about numeric type (it hashes the
+    repr, so 123 != 123.0).  `norm_cell` deliberately coerces numpy
+    scalars to Python scalars but preserves the int/float divide, so the
+    kind of the normalized value mirrors what the driver would see.
+    None is transparent (returns None so callers can skip nulls).
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, tuple):
+        ks = sorted({k for k in (cell_kind(x) for x in v) if k is not None})
+        return "t<" + ",".join(ks) + ">"
+    return type(v).__name__
+
+
+def df_kinds(cols, rows):
+    """Per-column set of scalar kinds over all non-null normalized cells."""
+    kinds = {c: set() for c in cols}
+    for row in rows:
+        for c, v in zip(cols, row):
+            k = cell_kind(v)
+            if k is not None:
+                kinds[c].add(k)
+    return {c: ",".join(sorted(ks)) for c, ks in kinds.items()}
+
+
 def df_multiset(pdf):
     cols = sorted(pdf.columns)
     rows = [tuple(norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
@@ -89,6 +125,15 @@ def main():
         elif sr != orr:
             diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
             print(f"FAIL  {name}: values differ, first diffs: {diffs}")
+            n_fail += 1
+        elif (kd := {c: (sk[c], ok[c])
+                     for sk, ok in ((df_kinds(sc, sr), df_kinds(oc, orr)),)
+                     for c in sc
+                     if sk[c] != ok[c] and sk[c] and ok[c]}):
+            # Values compare equal under Python coercion (1 == 1.0) but the
+            # scalar KINDS differ — the driver's value hash would fail here
+            # (e.g. DuckDB HUGEINT -> pandas float64 vs Spark LongType).
+            print(f"FAIL  {name}: dtype-kind differs (spark vs oracle): {kd}")
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sr)} rows [{el:.1f}s]")
