@@ -617,6 +617,79 @@ def quantile_normalize(
     )
 
 
+def ntile_agg_hist(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """ntile(n) aggregate counts/sums via the value-HISTOGRAM route —
+    the 10^12-row plan for per-group quantile summaries.
+
+    ``ntile(n) OVER (PARTITION BY g ORDER BY v, id)`` followed by
+    ``GROUP BY g, q -> count(*), sum(v)`` depends ONLY on the sorted
+    multiset of ``v`` per group: the id tie-break decides WHICH row
+    lands in which tile, but interchangeable rows carry the same ``v``,
+    so every aggregate is invariant to it.  That lets us replace the
+    per-group corpus sort (one giant sort task for one giant source)
+    with:
+
+    1. one map-side-combinable hash-agg to the (g, v) histogram —
+       the only corpus-scale shuffle, ≤ a few bytes per row;
+    2. a cumulative count over the HISTOGRAM (window sort over the
+       distinct-value domain, thousands of rows, not the corpus);
+    3. exact ntile boundaries from n_tot (first ``n_tot mod n`` tiles
+       get ``ceil(n_tot/n)`` rows, the rest ``floor``), intersected
+       with each histogram row's rank interval
+       ``(cum_before, cum_before + c]``.
+
+    Returns (group_col, q, n_docs, total_chars) — bit-identical to the
+    ntile form (pinned by test and by sharing its DuckDB oracle).
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # n_tot as an unbounded window over the same histogram partition:
+    # one shuffle total, no second corpus scan, no join.
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    ).withColumn("n_tot", F.sum("c").over(w_all))
+    q = F.explode(F.array(*[F.lit(i) for i in range(1, n_tiles + 1)])).alias("q")
+    base = F.col("n_tot") - (F.col("n_tot") % n_tiles)  # n_tiles * floor
+    hi = (F.col("q") * base / n_tiles).cast("long") + F.least(
+        F.col("q"), F.col("n_tot") % n_tiles
+    )
+    lo = ((F.col("q") - 1) * base / n_tiles).cast("long") + F.least(
+        F.col("q") - 1, F.col("n_tot") % n_tiles
+    )
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(hi, F.col("cum_before") + F.col("c"))
+        - F.greatest(lo, F.col("cum_before")),
+    )
+    return (
+        hist.select(group_col, value_col, "c", "cum_before", "n_tot", q)
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0)
+        .groupBy(group_col, "q")
+        .agg(
+            F.sum("overlap").alias("n_docs"),
+            F.sum(F.col("overlap") * F.col(value_col).cast("long")).alias(
+                "total_chars"
+            ),
+        )
+        .orderBy(group_col, "q")
+    )
+
+
 def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document character-distribution Shannon entropy (bits) — a
     classic compressibility/quality proxy: boilerplate, encoded blobs

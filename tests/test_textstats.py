@@ -782,3 +782,54 @@ def test_pair_bleu_hand_case(spark):
     assert r12.bleu2 == math.floor(math.sqrt(0.8 * 0.5) * 1e6 + 0.5) / 1e6
     r13 = out[(1, 3)]
     assert r13.p1 == 0.0 and r13.p2 == 0.0 and r13.bleu2 == 0.0
+
+
+def test_ntile_agg_hist_matches_ntile_window(spark):
+    """The histogram route must be BIT-identical to ntile(4) aggregates:
+    group sizes indivisible by 4, heavy ties (small value domain), and
+    groups smaller than the tile count."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import ntile_agg_hist
+
+    rng = np.random.RandomState(20260818)
+    rows = []
+    did = 0
+    for g, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5),
+                 ("f", 7), ("g", 40), ("h", 101), ("i", 1000)]:
+        for v in rng.randint(0, 12, size=n):
+            rows.append((f"d{did}", g, int(v)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    truth = (
+        df.withColumn("q", F.ntile(4).over(w))
+        .groupBy("source", "q")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars").cast("long")).alias("total_chars"))
+    )
+    got = ntile_agg_hist(df, "source", "n_chars", n_tiles=4)
+    t = {(r.source, r.q): (r.n_docs, r.total_chars) for r in truth.collect()}
+    h = {(r.source, r.q): (r.n_docs, r.total_chars) for r in got.collect()}
+    assert h == t
+
+    # scale shape: no ntile, no join, no second scan — the only
+    # exchanges are the histogram agg, the per-group window, and the
+    # final presentation sort.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert "ntile" not in plan
+    assert "Join" not in plan
+    # numbered node entries, one per physical operator, counted only in
+    # the AQE final-plan section (explain repeats the initial plan too)
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\(\d+\) Exchange", final)) <= 3
