@@ -18,6 +18,13 @@ sys.path.insert(0, _REPO)
 GOLDEN_DIR = os.path.join(_REPO, "data", "golden")
 SF001 = "/root/testdata/sf0.01"
 
+# All scale factors the robustness sweep runs at. The document-derived
+# goldens carry one slice per SF, dispatched by corpus_chars =
+# sum(n_chars) of the live `documents` view (doc COUNTS collide between
+# sf0.001 and sf0.01 — both 500 rows with identical doc_ids but
+# different texts — while total chars is distinct at every SF).
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
 
 def main() -> None:
     os.environ.setdefault("PYTHONPATH", _REPO)
@@ -29,37 +36,31 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from stash_log_parser_spark.operators.dedup import simhash
+    from stash_log_parser_spark.operators.dedup import simhash, simhash_near_pairs
+    from stash_log_parser_spark.operators.mixture import pack_sequences_greedy
     from stash_log_parser_spark.operators.multimodal import extract_features, synth_media
 
-    docs = spark.read.parquet(f"{SF001}/documents.parquet")
-    (
-        simhash(docs)
-        .orderBy("doc_id")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_sf001.parquet"))
-    )
-
-    from stash_log_parser_spark.operators.mixture import pack_sequences_greedy
-
-    (
-        pack_sequences_greedy(docs, budget=4096, len_col="n_chars")
-        .orderBy("doc_id")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(GOLDEN_DIR, "corpus_pack_greedy_sf001.parquet"))
-    )
-
-    from stash_log_parser_spark.operators.dedup import simhash_near_pairs
-
-    (
-        simhash_near_pairs(docs, max_hamming=4)
-        .orderBy("doc_a", "doc_b")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(GOLDEN_DIR, "docs_simhash_pairs_sf001.parquet"))
-    )
+    per_sf = {
+        "docs_simhash.parquet": lambda d: simhash(d),
+        "corpus_pack_greedy.parquet": lambda d: pack_sequences_greedy(
+            d, budget=4096, len_col="n_chars"
+        ),
+        "docs_simhash_pairs.parquet": lambda d: simhash_near_pairs(d, max_hamming=4),
+    }
+    for fname, fn in per_sf.items():
+        parts = []
+        for sf_dir in SF_DIRS:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            key = docs.agg(F.sum("n_chars").cast("long")).collect()[0][0]
+            parts.append(fn(docs).withColumn("corpus_chars", F.lit(key).cast("long")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(GOLDEN_DIR, fname))
+        )
 
     # use_real_decoder=False: the golden must not depend on whether the
     # generating machine has Pillow installed
