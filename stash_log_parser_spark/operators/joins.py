@@ -181,6 +181,11 @@ def bloom_semi_audit(
 
     Returns ONE row: dim/probe key counts, filter size, pass/true/FP
     counts and the FP rate among true negatives."""
+    if not 1 <= n_hashes <= 8:
+        # md5 is 32 hex chars = eight 4-hex slices; a 9th slice would be
+        # the empty string for EVERY key, always hit, and silently
+        # inflate the audit (round-4 advice).
+        raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
     dkeys = dim.select(F.col(dim_key).cast("string").alias("k")).distinct()
     pkeys = probe.select(F.col(probe_key).cast("string").alias("k")).distinct()
 

@@ -365,9 +365,17 @@ def weighted_sample(
 
     The race key is quantized to 1e-6 (ties broken by id) so the
     selection is engine-exact; quantization only coarsens the race
-    between nearly-tied candidates, never biases it."""
+    between nearly-tied candidates, never biases it.
+
+    Rows with ``weight_col <= 0`` are excluded up front: a zero weight
+    means zero selection probability by definition (the raw key would
+    be +inf and the row could silently never win), and a NEGATIVE
+    weight would sort FIRST and invert the weight-proportional
+    contract — filtering is the only interpretation that keeps A-ES
+    semantics (round-4 advice)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    docs = docs.filter(F.col(weight_col) > 0)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
             "double"

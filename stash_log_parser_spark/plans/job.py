@@ -26,6 +26,20 @@ import time
 from ..session import build_session
 
 
+def median_rep_time(elapsed_all: list[float]) -> float:
+    """Median rule, by parity. ODD rep counts take the median over ALL
+    reps — with the old drop-first-then-median-of-rest rule, 3 reps
+    leave 2 measurements and the "median" degenerates to their MEAN; a
+    single stalled rep (observed: one 4x2 run where an executor stall
+    blew one rep from ~175 s to ~1060 s) then wrecks the number. EVEN
+    rep counts (>=2) drop the WARMUP rep first, leaving an odd count:
+    an even-count median over all reps would average the cold start
+    into the result — for --reps 2 it would be the mean of the warmup
+    and the single measurement (round-4 advice)."""
+    ms = sorted(elapsed_all) if len(elapsed_all) % 2 else sorted(elapsed_all[1:])
+    return ms[len(ms) // 2]
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -40,8 +54,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--reps", type=int, default=1,
-                    help=">1: median over all reps is reported (the odd-count"
-                         " median absorbs the warmup rep and a single stall)")
+                    help=">1: reported time is the median over reps; for ODD"
+                         " counts over all reps (absorbs the warmup rep and a"
+                         " single stall), for EVEN counts the warmup rep is"
+                         " dropped first so the median never averages the"
+                         " cold start into the result")
     args = ap.parse_args(argv)
 
     # make the package importable in separate-JVM executors' Python
@@ -74,15 +91,7 @@ def main(argv: list[str] | None = None) -> dict:
             use_sql_decode=args.sql_decode,
         )
         elapsed_all.append(time.perf_counter() - t0)
-    # median over ALL reps: with the old drop-first-then-median-of-rest
-    # rule, 3 reps leave 2 measurements and the "median" degenerates to
-    # their MEAN — a single stalled rep (observed: one 4x2 run where an
-    # executor stall blew one rep from ~175 s to ~1060 s) then wrecks
-    # the number. The odd-count median absorbs both the warmup rep and
-    # a single outlier; with >=4 reps the warmup is also outvoted.
-    ms = sorted(elapsed_all)
-    mid = len(ms) // 2
-    elapsed = ms[mid] if len(ms) % 2 else (ms[mid - 1] + ms[mid]) / 2
+    elapsed = median_rep_time(elapsed_all)
     result = {
         "metric": "pipeline_sequences_per_sec",
         "value": round(n_rows / elapsed, 1),

@@ -74,13 +74,19 @@ class SinkCatalog:
         purged order-sensitive days of a PARTIALLY batch-spanning
         ingest, where other days' ``batch=`` dirs still hold data). Such
         sinks are written under the reserved ``batch=-1`` backfill
-        partition instead, and — when the caller names the ``days`` it
-        is writing — any stale ``batch=N/day=D`` leftovers for those
-        days are dropped so the overwrite stays whole-day idempotent."""
+        partition instead, and any stale ``batch=N/day=D`` leftovers for
+        the days being written are dropped so the overwrite stays
+        whole-day idempotent. When the caller does not name the ``days``
+        they are derived from ``df`` (one distinct over the partition
+        column — day-count-sized); skipping the purge would leave the
+        old rows alongside the backfill and every later read would
+        silently double-count those days (round-4 advice)."""
         if self.use_iceberg:
             df.writeTo(f"{self.base}.{sink}").overwritePartitions()
             return
         if self._has_batch_layout(sink):
+            if days is None:
+                days = [r[0] for r in df.select(partition_col).distinct().collect()]
             self.write_batch_partitions(df, sink, BACKFILL_BATCH_ID, partition_col)
             if days:
                 import shutil

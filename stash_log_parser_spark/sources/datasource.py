@@ -297,9 +297,11 @@ class StashLogStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         renamed = []
+        staged_names = set()
         for m in messages:
             if m is None:
                 continue
+            staged_names.update(staged for staged, _ in m.pairs)
             renamed.append(
                 _StagedFiles(
                     [
@@ -308,6 +310,26 @@ class StashLogStreamWriter(DataSourceStreamWriter):
                     ]
                 )
             )
+        # True REPLACE semantics for the epoch: a replay after recovery
+        # may repartition differently, so renaming alone could leave the
+        # pre-crash commit's files with other part ids alongside the new
+        # set (duplicate rows). Drop every visible file of THIS epoch
+        # first, then publish the new set. Also sweep dotfiles that are
+        # not part of this commit — orphans of aborted attempts (the
+        # stream runs one epoch at a time, so any other dotfile is dead).
+        if os.path.isdir(self._path):
+            marker = f".b{batchId}-part-"
+            for name in os.listdir(self._path):
+                full = os.path.join(self._path, name)
+                stale_epoch_file = marker in name and not name.startswith(".")
+                orphan_dotfile = (
+                    name.startswith(".stash-access-") and name not in staged_names
+                )
+                if stale_epoch_file or orphan_dotfile:
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        pass
         _commit_staged(self._path, renamed, overwrite=False)
 
     def abort(self, messages, batchId: int) -> None:

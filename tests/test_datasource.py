@@ -278,3 +278,55 @@ def test_batch_read_empty_dir_returns_empty(registered, tmp_path):
     # pruning everything away must behave the same
     src = registered.read.format("stashlog").option("path", d).load()
     assert src.filter(F.col("file_day") >= "2099-01-01").count() == 0
+
+
+def test_stream_commit_is_true_epoch_replace_and_sweeps_orphans(tmp_path):
+    """A replayed micro-batch may repartition differently: commit must
+    REPLACE the epoch's previously published files (not merely add the
+    new part ids alongside — duplicate rows), and sweep staged dotfiles
+    orphaned by aborted attempts (round-4 advice)."""
+    import os
+
+    from stash_log_parser_spark.sources.datasource import (
+        StashLogStreamWriter,
+        _StagedFiles,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def put(name, text):
+        with open(os.path.join(out, name), "w") as f:
+            f.write(text)
+
+    # pre-crash commit of epoch 5 published TWO part files
+    put("stash-access-2012-09-08.b5-part-0.log", "old0\n")
+    put("stash-access-2012-09-08.b5-part-1.log", "old1\n")
+    # another epoch's file must survive
+    put("stash-access-2012-09-08.b4-part-0.log", "epoch4\n")
+    # an orphaned dotfile from an aborted attempt
+    put(".stash-access-2012-09-08.part-9.log", "orphan\n")
+    # the replay stages ONE file (different partitioning than pre-crash)
+    put(".stash-access-2012-09-08.part-0.log", "new0\n")
+
+    w = StashLogStreamWriter({"path": out, "compression": "none"})
+    w.commit(
+        [
+            _StagedFiles(
+                [
+                    (
+                        ".stash-access-2012-09-08.part-0.log",
+                        "stash-access-2012-09-08.part-0.log",
+                    )
+                ]
+            )
+        ],
+        batchId=5,
+    )
+    names = sorted(os.listdir(out))
+    assert names == [
+        "stash-access-2012-09-08.b4-part-0.log",
+        "stash-access-2012-09-08.b5-part-0.log",
+    ]
+    with open(os.path.join(out, "stash-access-2012-09-08.b5-part-0.log")) as f:
+        assert f.read() == "new0\n"

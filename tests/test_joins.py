@@ -186,3 +186,16 @@ def test_bloom_semi_audit_matches_python_mirror(spark):
     n_true = len(set(dim_keys) & set(probe_keys))
     assert (r.n_pass, r.n_true) == (n_pass, n_true)
     assert r.n_filter_entries == len(bloom)
+
+
+def test_bloom_semi_audit_rejects_bad_n_hashes(spark):
+    """md5 has only eight 4-hex slices; a 9th would be '' for every key
+    and always hit, silently inflating the audit."""
+    import pytest
+
+    from stash_log_parser_spark.operators.joins import bloom_semi_audit
+
+    df = spark.createDataFrame([(1,)], "k long")
+    for bad in (0, 9):
+        with pytest.raises(ValueError):
+            bloom_semi_audit(df, df, "k", "k", n_hashes=bad)

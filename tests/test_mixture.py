@@ -386,3 +386,13 @@ def test_mixture_epoch_plan_hand_case(spark):
     # unlisted source -> weight 0, no target
     c = out["c"]
     assert (c.weight_micro, c.target_tokens, c.epochs) == (0, 0, 0.0)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Zero weight = zero selection probability (the raw race key would
+    be +inf); a NEGATIVE weight would sort FIRST and invert the
+    weight-proportional contract — both are filtered up front."""
+    rows = [(1, 0), (2, -5), (3, 100), (4, 100), (5, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(r.doc_id for r in M.weighted_sample(df, k=5, weight_col="w").collect())
+    assert got == [3, 4, 5]

@@ -607,3 +607,32 @@ def test_dynamic_partition_pruning_on_day_partitioned_sink(spark, tmp_path):
     got = {str(r.day): r.s for r in joined.collect()}
     assert set(got) == {"2024-01-02", "2024-01-05"}
     assert got["2024-01-02"] == sum(100 + i for i in range(50))
+
+
+def test_write_partitions_batch_layout_purges_stale_days_without_days_arg(
+    spark, tmp_path
+):
+    """Backfilling a streaming-ingested sink WITHOUT naming the days
+    must still purge the stale batch=N/day=D leftovers (derived from
+    the frame) — otherwise every later read double-counts those days
+    (round-4 advice)."""
+    out = str(tmp_path / "sinks")
+    cat = SinkCatalog(spark, out)
+    old = spark.range(10).selectExpr("id", "'2012-09-08' AS day")
+    cat.write_batch_partitions(old, "s", batch_id=3)
+    new = spark.range(100, 110).selectExpr("id", "'2012-09-08' AS day")
+    cat.write_partitions(new, "s")  # days=None: derived from new
+    got = sorted(r.id for r in cat.read("s").collect())
+    assert got == list(range(100, 110))
+
+
+def test_median_rep_time_parity_rule():
+    """Odd counts: median over all reps. Even counts: warmup dropped
+    first so the cold start is never averaged into the result."""
+    from stash_log_parser_spark.plans.job import median_rep_time
+
+    assert median_rep_time([100.0]) == 100.0
+    # reps=2: old rule reported (100+10)/2=55; now the measurement
+    assert median_rep_time([100.0, 10.0]) == 10.0
+    assert median_rep_time([100.0, 10.0, 12.0]) == 12.0  # odd: warmup outvoted
+    assert median_rep_time([100.0, 10.0, 12.0, 11.0]) == 11.0  # drop warmup, median of 3
