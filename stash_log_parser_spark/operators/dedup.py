@@ -561,12 +561,25 @@ def ngram_decontaminate(
     )
 
 
+def expected_collision_drops(n_distinct: int, hash_bits: int) -> float:
+    """Birthday bound on hash-census false drops: with ``n_distinct``
+    true keys uniformly hashed into ``2**hash_bits`` bins, the expected
+    number of colliding PAIRS is C(n,2)/2^bits, and each collision can
+    at worst misjudge BOTH members, so expected false-dropped keys
+    <= n(n-1)/2^bits. At n=10^12 distinct segments on a 64-bit hash
+    that is ~5.4e4 keys — a ~5e-8 per-segment false-drop rate, the
+    standard curation tradeoff (exact dedup uses 128-bit md5 where a
+    false drop is a correctness bug rather than a curation rounding)."""
+    return n_distinct * (n_distinct - 1) / float(2**hash_bits)
+
+
 def segment_dedup(
     docs: DataFrame,
     seg_words: int = 15,
     max_docs: int = 1,
     text_col: str = "text",
     emit_text: bool = False,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-SEGMENT removal — the line-level dedup
     pass of CCNet/RefinedWeb-style curation, restated over fixed-width
@@ -585,7 +598,16 @@ def segment_dedup(
     per-doc kept-index list is a doc_id-keyed agg of bare ints; document
     text is re-read ONCE via the final doc_id-keyed join and re-sliced
     row-locally with a transform HOF. At 10^12 docs every exchange in
-    this plan carries ≤ 16 bytes/row of key + ints."""
+    this plan carries ≤ 16 bytes/row of key + ints.
+
+    Collision tradeoff, quantified: the census keys on xxhash64
+    (64-bit), so two DISTINCT segments can share a hash and both be
+    falsely counted as duplicated — see ``expected_collision_drops``
+    for the birthday math (≈5e-8 per segment at 10^12 distinct
+    segments). Pass a dict as ``audit`` to get the measured bound:
+    ``n_distinct_hashes`` and ``expected_collision_drops`` are filled
+    eagerly (one extra distinct-count over the already-shuffled census
+    keys)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     seg_at = lambda i: F.concat_ws(
@@ -595,6 +617,10 @@ def segment_dedup(
     seg_tbl = docs.select(
         "doc_id", F.posexplode(hashes).alias("idx", "h")
     )
+    if audit is not None:
+        d = seg_tbl.select("h").distinct().count()
+        audit["n_distinct_hashes"] = d
+        audit["expected_collision_drops"] = expected_collision_drops(d, 64)
     dup = (
         seg_tbl.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -679,7 +705,7 @@ def duplicate_ngram_spans(
 
 
 def ngram_novelty(
-    docs: DataFrame, n: int = 3, text_col: str = "text"
+    docs: DataFrame, n: int = 3, text_col: str = "text", audit: dict | None = None
 ) -> DataFrame:
     """Per-document novelty: the fraction of the doc's distinct word
     n-grams whose FIRST corpus appearance (min doc_id) is this doc —
@@ -691,7 +717,16 @@ def ngram_novelty(
     unlike the xxhash64 fast path in with_shingles) since the hash IS
     the join key here. Two shuffles: min(doc_id) per shingle hash,
     then re-agg by doc; the shingle strings themselves never move —
-    only (hash, doc_id) pairs."""
+    only (hash, doc_id) pairs.
+
+    Collision tradeoff: the 48-bit key means two distinct shingles can
+    collide and steal each other's first-seen credit (novelty
+    UNDERCOUNT) — expected misjudged shingles <= D(D-1)/2^48 for D
+    distinct shingles (``expected_collision_drops(d, 48)``); pass a
+    dict as ``audit`` to have the measured bound filled eagerly. The
+    48-bit width is the engine-reproducibility tradeoff: DuckDB has no
+    xxhash64, and a 12-hex md5 slice is the widest integer conv() both
+    engines agree on exactly."""
     from .textstats import round6
 
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -711,6 +746,10 @@ def ngram_novelty(
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
     )
+    if audit is not None:
+        d = sh.select("h").distinct().count()
+        audit["n_distinct_hashes"] = d
+        audit["expected_collision_drops"] = expected_collision_drops(d, 48)
     first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first, "h")

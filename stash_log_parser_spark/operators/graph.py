@@ -46,12 +46,28 @@ def undirect(edges: DataFrame, src: str = "repo_a", dst: str = "repo_b") -> Data
     return fwd.unionByName(rev)
 
 
+def _iter_checkpointer(df: DataFrame, checkpoint_dir: str | None):
+    """Shared lineage-truncation seam for the iterative graph ops (the
+    near_dup_clusters treatment): default ``localCheckpoint`` (executor
+    -memory blocks — fine in local mode and short jobs); with
+    ``checkpoint_dir`` a RELIABLE ``checkpoint(eager=True)`` instead —
+    at 10^12-edge scale a lost executor takes its localCheckpoint
+    blocks with it and kills the job, while reliable checkpoints replay
+    from the checkpoint store."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
     src: str = "repo_a",
     dst: str = "repo_b",
+    checkpoint_every: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Unweighted PageRank over the undirected edge list ``edges``
     (columns src/dst with src < dst per row).
@@ -61,6 +77,12 @@ def pagerank(
     trajectory is bit-exact across engines (see module docstring).
     Every node of the bidirectional edge set has deg ≥ 1, so there is
     no dangling mass.
+
+    The unrolled lineage is fine at the oracle's 3–5 iterations; a
+    20-iteration production run wants ``checkpoint_every=5`` (and a
+    ``checkpoint_dir`` for executor-loss-reliable checkpoints) — the
+    rank table's lineage is truncated every N rounds, which cannot
+    change values (the trajectory is already 1e-6-quantized per round).
 
     Returns (node, degree, pagerank) ordered by rank desc, node asc.
     """
@@ -76,7 +98,7 @@ def pagerank(
     ranks = nodes.select(
         "node", _q6(F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ranks.join(nodes, "node")
             .select(
@@ -90,6 +112,8 @@ def pagerank(
         ranks = contrib.select(
             "node", _q6(F.lit(base) + F.lit(damping) * F.col("s")).alias("rank")
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = _iter_checkpointer(ranks, checkpoint_dir)
     out = ranks.join(nodes, "node").select(
         "node",
         F.col("deg").cast("long").alias("degree"),
@@ -169,6 +193,7 @@ def kcore(
     rounds: int = 4,
     src: str = "repo_a",
     dst: str = "repo_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-core decomposition by synchronous peeling: repeatedly drop
     every node whose degree in the surviving subgraph is < k. The
@@ -201,7 +226,8 @@ def kcore(
         ).join(alive.withColumnRenamed("node", "dst"), "dst")
         d = e.groupBy("src").agg(F.count("*").alias("dg"))
         alive = d.filter(F.col("dg") >= k).select(F.col("src").alias("node"))
-        alive = alive.localCheckpoint(eager=True)
+        # per-round lineage truncation; reliable when checkpoint_dir set
+        alive = _iter_checkpointer(alive, checkpoint_dir)
         n = alive.count()
         if prev_n == n:
             break

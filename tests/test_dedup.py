@@ -497,3 +497,32 @@ def test_pair_containment_quote_inside_document(spark):
     assert r12.max_containment == 1.0
     r13 = out[(1, 3)]
     assert r13.n_common == 0 and r13.max_containment == 0.0
+
+
+def test_census_collision_audit_fields(spark):
+    """segment_dedup / ngram_novelty fill the birthday-bound audit:
+    n_distinct_hashes measured, expected_collision_drops = D(D-1)/2^bits."""
+    from stash_log_parser_spark.operators.dedup import (
+        expected_collision_drops,
+        ngram_novelty,
+        segment_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e x y z w v")],
+        "doc_id long, text string",
+    )
+    a1: dict = {}
+    segment_dedup(docs, seg_words=5, audit=a1).collect()
+    assert a1["n_distinct_hashes"] > 0
+    assert a1["expected_collision_drops"] == expected_collision_drops(
+        a1["n_distinct_hashes"], 64
+    )
+    a2: dict = {}
+    ngram_novelty(docs, n=3, audit=a2).collect()
+    assert a2["n_distinct_hashes"] > 0
+    assert a2["expected_collision_drops"] == expected_collision_drops(
+        a2["n_distinct_hashes"], 48
+    )
+    # closed form sanity: 10^12 distinct 64-bit keys -> ~5.4e4 expected
+    assert 4e4 < expected_collision_drops(10**12, 64) < 7e4
