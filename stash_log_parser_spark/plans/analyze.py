@@ -61,8 +61,36 @@ def _is_parquet(path: str) -> bool:
     )
 
 
-def _load_parsed(spark, inputs: list[str], since, until) -> DataFrame:
-    """Raw log files → parse_lines; tokenized parquet → parse_corpus."""
+def _load_raw_stashlog(spark, inputs: list[str], since, until) -> DataFrame:
+    """Raw lines through the custom Python Data Source
+    (``format("stashlog")``, sources/datasource.py): same
+    (doc_id, line, source, file_day) rows as the text front door, but
+    the date-range predicate reaches ``pushFilters`` and prunes whole
+    FILES before partition planning instead of filtering rows."""
+    from pyspark.sql import functions as F
+
+    from ..sources.datasource import StashLogDataSource
+
+    if len(inputs) != 1:
+        raise ValueError("--via stashlog takes exactly one log directory")
+    spark.dataSource.register(StashLogDataSource)
+    df = spark.read.format("stashlog").option("path", inputs[0]).load()
+    if since:
+        df = df.filter(F.col("file_day") >= str(since))
+    if until:
+        df = df.filter(F.col("file_day") <= str(until))
+    return df
+
+
+def _load_parsed(spark, inputs: list[str], since, until, via: str = "auto") -> DataFrame:
+    """Raw log files → parse_lines; tokenized parquet → parse_corpus;
+    ``via='stashlog'`` routes the raw path through the data source."""
+    if via == "stashlog":
+        from ..functions.parse import parse_lines
+
+        return parse_lines(_load_raw_stashlog(spark, inputs, since, until)).drop(
+            "line"
+        )
     if len(inputs) == 1 and _is_parquet(inputs[0]):
         from pyspark.sql import functions as F
 
@@ -125,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
                          "possible '--top N' CLI flag, SURVEY §3.6 O2; applied "
                          "after the mode's own ordering, so e.g. "
                          "repositoryStats --top 10 is the top-10 repos)")
+    ap.add_argument("--via", default="auto", choices=["auto", "text", "stashlog"],
+                    help="raw-log front door: 'text' = spark.read.text glob; "
+                         "'stashlog' = the custom Python Data Source (one log "
+                         "dir; date range prunes files at planning time); "
+                         "'auto' = text, or parse_corpus for a parquet input")
+    ap.add_argument("--export-logs", default=None, metavar="DIR",
+                    help="also re-emit the date-filtered RAW lines as a "
+                         "day-sharded log archive via the stashlog staged-"
+                         "rename writer (archive slicing); raw-log inputs "
+                         "only")
+    ap.add_argument("--export-compression", default="gzip",
+                    choices=["gzip", "none"],
+                    help="compression for --export-logs files")
     args = ap.parse_args(argv)
     if args.top is not None and args.top <= 0:
         ap.error("--top must be a positive integer")
@@ -135,7 +176,27 @@ def main(argv: list[str] | None = None) -> int:
                  "--output; use --format pipe or csv for file sinks")
 
     spark = build_session(app_name=f"analyze-{args.mode}", master=args.master)
-    parsed = _load_parsed(spark, args.inputs, args.since, args.until)
+    if args.export_logs is not None:
+        if len(args.inputs) == 1 and _is_parquet(args.inputs[0]):
+            ap.error("--export-logs re-emits RAW lines; raw-log inputs only")
+        from ..sources.datasource import StashLogDataSource
+
+        spark.dataSource.register(StashLogDataSource)
+        if args.via == "stashlog":
+            raw = _load_raw_stashlog(spark, args.inputs, args.since, args.until)
+        else:
+            from ..sources.logfiles import read_log_files
+
+            raw = read_log_files(spark, args.inputs, args.since, args.until)
+        (
+            raw.select("line", "file_day")
+            .write.format("stashlog")
+            .option("path", args.export_logs)
+            .option("compression", args.export_compression)
+            .mode("overwrite")
+            .save()
+        )
+    parsed = _load_parsed(spark, args.inputs, args.since, args.until, via=args.via)
     result = modes[args.mode](parsed)
     if args.top is not None:
         # limit over the mode's own ordering → TakeOrderedAndProject in
