@@ -2395,3 +2395,208 @@ def ab_power_mde(
         round6(mde).alias("mde_abs"),
         round6(mde / p).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log template mining (Drain-lite) — beyond-reference log-pipeline operator
+# ---------------------------------------------------------------------------
+
+
+def log_template_census(parsed: DataFrame, rare_ppm: int = 5000) -> DataFrame:
+    """Log TEMPLATE mining, the Drain-style first step of every log
+    anomaly pipeline, reduced to its deterministic core: mask the
+    variable fields of the action string (repo slugs, digit runs) and
+    census the resulting templates. Rare templates — the ones worth a
+    human look — are flagged when their share is below ``rare_ppm``
+    parts-per-million of all lines.
+
+    The template source is ``method ⧺ ' ' ⧺ path`` (the slim parsed
+    frame's normalized action fields). Masking is two engine-portable
+    regexp_replace passes (ASCII classes, identical in Java regex and
+    RE2): ``/<proj>/<repo>.git`` → ``/<repo>.git``, then digit runs →
+    ``<n>`` (collapses versioned paths, ports, counters). Malformed
+    lines census under the reserved ``<malformed>`` template —
+    counted, never dropped (the F5 discipline).
+
+    Scale shape: one projection + one hash-agg on a LOW-cardinality key
+    (templates number in the dozens where raw actions number in the
+    millions) — map-side partials bound the exchange by |templates| per
+    input partition; the rare flag needs only an unbounded window over
+    the template census itself (template-count-sized)."""
+    from pyspark.sql import Window
+
+    action = F.concat_ws(" ", F.col("method"), F.col("path"))
+    t = F.regexp_replace(
+        action, r"/[A-Za-z0-9_.\-]+/[A-Za-z0-9_.\-]+\.git", "/<repo>.git"
+    )
+    t = F.regexp_replace(t, r"[0-9]+", "<n>")
+    rows = parsed.select(
+        F.when(F.col("is_parsed") & F.col("method").isNotNull(), t)
+        .otherwise(F.lit("<malformed>"))
+        .alias("template"),
+        "username",
+    )
+    census = rows.groupBy("template").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count_distinct("username").cast("long").alias("n_users"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n_lines").over(w_all)
+    return (
+        census.withColumn(
+            "is_rare",
+            F.col("n_lines") * F.lit(1_000_000) < total * F.lit(int(rare_ppm)),
+        )
+        .orderBy(F.desc("n_lines"), F.asc("template"))
+    )
+
+
+def shuffle_skew_report(
+    df: DataFrame, key_col: str, target_ratio: int = 1
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the measurement you run BEFORE
+    choosing a salt factor for a skewed aggregation/join (the
+    repository_stats_salted companion): per-key census, then one
+    summary row with the hot key, its traffic share, and the
+    recommended salt partitions.
+
+    ``recommended_salt`` = ceil(max_key_rows · n_keys / n_rows), i.e.
+    how many times the hottest key exceeds the MEAN key — salting the
+    hot key into that many sub-keys levels its reducer with the
+    average one (times ``target_ratio`` if a stricter level is wanted).
+    All-integer arithmetic; the one share column is exact ppm.
+
+    Scale shape: the census is the SAME partial-agg shuffle the real
+    aggregation would do (|keys| partial rows per input partition);
+    everything after operates on the key-count table. NULL keys are
+    censused under ``<null>`` and reported separately, never silently
+    merged into the stats."""
+    k2 = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias("k")
+    census = df.select(k2).groupBy("k").agg(F.count("*").cast("long").alias("c"))
+    real = F.col("k") != "<null>"
+    stats = census.agg(
+        F.coalesce(F.sum(real.cast("long")), F.lit(0)).cast("long").alias("n_keys"),
+        F.coalesce(F.sum(F.when(real, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows"),
+        F.coalesce(F.max(F.when(real, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("max_rows"),
+        F.coalesce(F.sum(F.when(~real, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_null_rows"),
+    )
+    hot = (
+        census.filter(real)
+        .join(F.broadcast(stats), F.col("c") == F.col("max_rows"))
+        .agg(F.min("k").alias("hot_key"))
+    )
+    # integer `div`, never a double division of 1e18-scale products
+    # (the BIGINT-div ↔ `//` oracle device)
+    salt = F.expr(
+        f"(max_rows * n_keys * {int(target_ratio)} + n_rows - 1) div n_rows"
+    ).cast("long")
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "n_null_rows",
+        "max_rows",
+        "hot_key",
+        F.expr("(max_rows * 1000000) div n_rows").cast("long").alias(
+            "top_share_ppm"
+        ),
+        salt.alias("recommended_salt"),
+    )
+
+
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by their
+    FIRST-seen week (Monday-truncated — identical in Spark and DuckDB),
+    retention at week offset k = distinct cohort users active k weeks
+    later, as exact ppm of the cohort.
+
+    Scale shape: distinct (user, week) census first (the only
+    corpus-scale shuffle, user-keyed); first-week per user is a
+    user-keyed min; the matrix itself is cohort×offset-sized. The
+    non-equi part is an equi-join on user_id — offsets come from
+    datediff arithmetic, never a range join."""
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    uw = events.select("user_id", wk.alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = uw.join(first, "user_id").withColumn(
+        "week_offset", (F.datediff("wk", "cohort_wk") / 7).cast("int")
+    )
+    j = j.filter(F.col("week_offset") <= max_weeks)
+    cohort_sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    ret = j.groupBy("cohort_wk", "week_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(cohort_sizes), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_cohort",
+            "n_active",
+            F.expr("(n_active * 1000000) div n_cohort").cast("long").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def psi_value_drift(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Population Stability Index of the value distribution between the
+    FIRST and SECOND half of the observed day range — the standard
+    "did my metric distribution drift" check (PSI > 0.2 = major shift),
+    complementing the categorical KL drift (docs_source_kl_drift).
+
+    Buckets are the HDR power-of-two device (bucket = bit-length of
+    integer cents; 0 for non-positive) — fixed, engine-exact, no
+    quantile estimation. The per-bucket PSI term
+    ``(p_cur − p_base)·ln(p_cur/p_base)`` is emitted for buckets
+    present in BOTH halves (the classic PSI epsilon-dodge), with raw
+    counts alongside so skipped buckets stay visible. Terms are
+    quantized to 1e-6 (ln is bit-stable across engines on one libm —
+    the char_entropy precedent).
+
+    Scale shape: one 1-row min/max day agg broadcast back (declared
+    scalar cross-join), one (half, bucket) hash-agg; everything else is
+    bucket-count-sized."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    bounds = events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    bucket = F.when(cents > 0, F.length(F.bin(cents))).otherwise(0).cast("int")
+    halves = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (day * 2 <= F.col("d0") + F.col("d1")).alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_base").cast("long")).cast("long").alias("n_base"),
+            F.sum((~F.col("is_base")).cast("long")).cast("long").alias("n_cur"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tb = F.sum("n_base").over(w_all)
+    tc = F.sum("n_cur").over(w_all)
+    p_b = F.col("n_base") / tb
+    p_c = F.col("n_cur") / tc
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.floor((p_c - p_b) * F.log(p_c / p_b) * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return halves.select(
+        "bucket", "n_base", "n_cur", term.alias("psi_term_e6")
+    ).orderBy("bucket")

@@ -235,3 +235,52 @@ def bloom_semi_audit(
             / F.greatest(F.col("n_probe_keys") - F.col("n_true"), F.lit(1))
         ).alias("fp_rate"),
     )
+
+
+def join_size_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact equi-join cardinality from per-side key censuses WITHOUT
+    executing the join — |A ⋈ B| = Σ_k cA(k)·cB(k). This is the
+    statistic a cost-based planner needs to choose broadcast vs
+    shuffle-hash vs sort-merge, computed the way a 100 TB job must:
+    census each side first (map-side-combinable hash-aggs, |keys|
+    partial rows per input partition), then join the two CENSUSES —
+    never the fact tables.
+
+    Returns ONE row: distinct keys per side and in the intersection,
+    the exact join row count, and the max per-key fanout (the skew
+    signal — a fanout near join_rows means one hot key dominates and
+    the real join wants salting; see shuffle_skew_report)."""
+    lc = (
+        left.select(F.col(left_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("cl"))
+    )
+    rc = (
+        right.select(F.col(right_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("cr"))
+    )
+    both = lc.join(rc, "k").select(
+        (F.col("cl") * F.col("cr")).alias("fan")
+    )
+    sl = lc.agg(F.count("*").cast("long").alias("n_keys_left"))
+    sr = rc.agg(F.count("*").cast("long").alias("n_keys_right"))
+    sj = both.agg(
+        F.count("*").cast("long").alias("n_keys_both"),
+        F.coalesce(F.sum("fan"), F.lit(0)).cast("long").alias("join_rows"),
+        F.coalesce(F.max("fan"), F.lit(0)).cast("long").alias("max_key_fanout"),
+    )
+    return sj.crossJoin(F.broadcast(sl)).crossJoin(F.broadcast(sr)).select(
+        "n_keys_left",
+        "n_keys_right",
+        "n_keys_both",
+        "join_rows",
+        "max_key_fanout",
+    )

@@ -1187,3 +1187,50 @@ def knn_outliers(
         .orderBy(F.asc("kth_nn_cosine"), F.asc(id_col))
         .limit(top)
     )
+
+
+def cosine_lag_histogram(
+    emb: DataFrame,
+    lags: tuple[int, ...] = (1, 7, 49),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise-cosine DISTRIBUTION probe for embedding spaces: for a
+    deterministic linear sample of pairs (each vector paired with the
+    vectors ``lag`` ids ahead), histogram the cosine into 0.1-wide
+    buckets per lag. This is the calibration readout behind every
+    near-dup/ANN threshold choice — "where does the background cosine
+    mass sit, and does a 0.95 near-dup cutoff clear it" — without the
+    quadratic all-pairs scan.
+
+    The lag construction is the md5-threshold discipline applied to
+    PAIR sampling: the pair set is a pure function of ids (stable
+    across runs/engines/partitionings), covers the id range uniformly,
+    and is LINEAR — |pairs| ≤ |lags|·n, so at 10^12 vectors this plans
+    as |lags| co-partitionable equi-joins on a shifted id. Each vector
+    crosses an exchange at most 1+|lags| times (documented exception
+    to the vectors-never-shuffle invariant: linear payload movement,
+    unlike the quadratic all-pairs shapes the invariant guards
+    against).
+
+    bucket = floor(round6(cosine)·10), so cosine 1.0 lands in bucket
+    10 and the bucket edge is taken after the shared 1e-6
+    quantization — identical doubles on both engines floor
+    identically."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    lag = F.explode(F.array(*[F.lit(int(x)) for x in lags])).alias("lag")
+    left = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), lag)
+    right = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = left.join(
+        right, left["id_a"] + left["lag"] == right["id_b"], "inner"
+    )
+    cos6 = _q6(cosine_expr(F.col("va"), F.col("vb")))
+    return (
+        pairs.select("lag", F.floor(cos6 * 10).cast("int").alias("bucket"))
+        .groupBy("lag", "bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("lag", "bucket")
+    )

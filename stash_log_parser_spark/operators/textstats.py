@@ -1411,3 +1411,62 @@ def pair_bleu(
     return out.withColumn(
         "bleu2", round6(F.sqrt(F.col("p1") * F.col("p2")))
     ).orderBy("doc_a", "doc_b")
+
+
+def zipf_fit(docs: DataFrame, top_k: int = 200, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) for the ``top_k`` most frequent words — the
+    one-number "is this corpus natural language or template soup"
+    diagnostic (natural text slopes ≈ −1; boilerplate floods flatten
+    the head, OCR noise steepens the tail).
+
+    Exactness: each (ln rank, ln freq) point is quantized to integer
+    1e-4 units FIRST, the OLS moment sums run in int64 (1e-4 units keep
+    nΣxy far under 2^63 at top_k ≤ 10^4), and the closed-form slope/
+    intercept is a fixed handful of IEEE ops on those exact integers —
+    the CUPED discipline, so the oracle matches bit-for-bit even
+    though float SUM order is engine-dependent.
+
+    Scale shape: corpus→vocab collapse is the only corpus-scale
+    shuffle (word-keyed hash-agg with map-side partials); ranking
+    happens on the vocab table (the documented vocab-sized window of
+    word_rarity), and the fit is a 1-row aggregate of top_k rows."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.explode(_words(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = w.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    top = vocab.withColumn("rank", rk).filter(F.col("rank") <= top_k)
+    # 1e4 units (not 1e6): the OLS moment products n·Σxy must stay in
+    # int64 — at 1e6 units a 200-point fit already crosses 2^63.
+    x = F.floor(F.log(F.col("rank").cast("double")) * 10_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("freq").cast("double")) * 10_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    pts = top.select(x.alias("x"), y.alias("y"))
+    m = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # closed form on exact ints; one fixed division chain in double.
+    # x,y are 1e6-scaled, so slope is scale-free and intercept carries
+    # a 1e6 factor we divide back out.
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / F.lit(10_000.0)
+    return m.select(
+        F.col("n").alias("n_words"),
+        round6(slope).alias("zipf_slope"),
+        round6(intercept).alias("zipf_intercept"),
+    )

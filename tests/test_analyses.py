@@ -1137,3 +1137,75 @@ def test_ab_power_mde_python_mirror(spark):
     assert r.pooled_rate == q6(p)
     assert r.mde_abs == q6(mde)
     assert r.mde_rel == q6(mde / p)
+
+
+def test_log_template_census_hand_case(spark):
+    from stash_log_parser_spark.operators.analyses import log_template_census
+
+    rows = [
+        (True, "GET", "/scm/CONF/web.git/info/refs", "u1"),
+        (True, "GET", "/scm/CONF/web.git/info/refs", "u2"),
+        (True, "GET", "/scm/TEAMS/site.git/info/refs", "u1"),
+        (True, "git-upload-pack", "/CONF/web.git", "u3"),
+        (False, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, method string, path string, username string"
+    )
+    out = {r.template: r for r in log_template_census(df, rare_ppm=300000).collect()}
+    # repo masked, digits masked, malformed counted
+    assert out["GET /scm/<repo>.git/info/refs"].n_lines == 3
+    assert out["GET /scm/<repo>.git/info/refs"].n_users == 2
+    assert out["git-upload-pack /<repo>.git"].n_lines == 1
+    assert out["<malformed>"].n_lines == 1
+    # 30% threshold: the 3-line template (60%) is common, 1-liners rare
+    assert not out["GET /scm/<repo>.git/info/refs"].is_rare
+    assert out["git-upload-pack /<repo>.git"].is_rare
+
+
+def test_shuffle_skew_report_hand_case(spark):
+    from stash_log_parser_spark.operators.analyses import shuffle_skew_report
+
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 2 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    r = shuffle_skew_report(df, "k").collect()[0]
+    assert (r.n_keys, r.n_rows, r.n_null_rows, r.max_rows) == (3, 10, 3, 6)
+    assert r.hot_key == "hot"
+    assert r.top_share_ppm == 600000
+    # hottest key = 6 rows vs mean 10/3 -> ceil(6*3/10) = 2 salts
+    assert r.recommended_salt == 2
+
+
+def test_retention_cohorts_hand_case(spark):
+    from stash_log_parser_spark.operators.analyses import retention_cohorts
+
+    rows = [
+        (1, "2012-09-03 10:00:00"),  # Monday week W0
+        (1, "2012-09-11 10:00:00"),  # week W1
+        (2, "2012-09-04 10:00:00"),  # W0, never returns
+        (3, "2012-09-12 10:00:00"),  # first seen W1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {(r.cohort_week, r.week_offset): r for r in retention_cohorts(df).collect()}
+    w0 = out[("2012-09-03", 0)]
+    assert (w0.n_cohort, w0.n_active, w0.retention_ppm) == (2, 2, 1000000)
+    w0r1 = out[("2012-09-03", 1)]
+    assert (w0r1.n_active, w0r1.retention_ppm) == (1, 500000)
+    assert out[("2012-09-10", 0)].n_cohort == 1
+
+
+def test_psi_value_drift_zero_when_halves_identical(spark):
+    from stash_log_parser_spark.operators.analyses import psi_value_drift
+
+    rows = []
+    for day in ("2012-09-08", "2012-09-09"):
+        for i, v in enumerate([1.0, 2.0, 5.0, 9.0]):
+            rows.append((f"{day} 0{i}:00:00", v))
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = psi_value_drift(df).collect()
+    assert all(r.n_base == r.n_cur for r in out)
+    assert all(r.psi_term_e6 == 0 for r in out)

@@ -199,3 +199,14 @@ def test_bloom_semi_audit_rejects_bad_n_hashes(spark):
     for bad in (0, 9):
         with pytest.raises(ValueError):
             bloom_semi_audit(df, df, "k", "k", n_hashes=bad)
+
+
+def test_join_size_stats_hand_case(spark):
+    from stash_log_parser_spark.operators.joins import join_size_stats
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r = join_size_stats(left, right, "k", "k").collect()[0]
+    # k=1: 2*1=2; k=2: 1*2=2 -> 4 join rows, fanout max 2
+    assert (r.n_keys_left, r.n_keys_right, r.n_keys_both) == (3, 3, 2)
+    assert (r.join_rows, r.max_key_fanout) == (4, 2)

@@ -612,3 +612,20 @@ def test_knn_outliers_finds_planted_isolate(spark):
     assert out[0].outlier_score > out[1].outlier_score
     # cluster members' 5th NN is essentially identical to them
     assert out[1].kth_nn_cosine > 0.99
+
+
+def test_cosine_lag_histogram_hand_case(spark):
+    from stash_log_parser_spark.operators.similarity import cosine_lag_histogram
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # cos(1,2)=1.0 -> bucket 10
+        (3, [0.0, 1.0]),   # cos(2,3)=0.0 -> bucket 0
+        (4, [-1.0, 0.0]),  # cos(3,4)=0.0; cos(1,4)=-1 not sampled (lag 3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.lag, r.bucket): r.n_pairs for r in
+           cosine_lag_histogram(df, lags=(1,)).collect()}
+    assert out[(1, 10)] == 1
+    assert out[(1, 0)] == 2
+    assert sum(out.values()) == 3

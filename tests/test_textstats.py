@@ -833,3 +833,33 @@ def test_ntile_agg_hist_matches_ntile_window(spark):
     # the AQE final-plan section (explain repeats the initial plan too)
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"\(\d+\) Exchange", final)) <= 3
+
+
+def test_zipf_fit_matches_numpy_on_quantized_points(spark):
+    """The OLS closed form over the 1e-4-quantized (ln rank, ln freq)
+    points must equal a numpy fit of the SAME quantized integers."""
+    import math
+
+    import numpy as np
+
+    from stash_log_parser_spark.operators.textstats import zipf_fit
+
+    # freq = 60/rank exactly -> slope must come out ~ -1
+    text = " ".join(
+        w for w, n in [("alpha", 60), ("beta", 30), ("gamma", 20), ("delta", 15),
+                       ("eps", 12), ("zeta", 10)] for w in [w] * n
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df, top_k=6).collect()[0]
+    freqs = [60, 30, 20, 15, 12, 10]
+    x = np.array([math.floor(math.log(i + 1) * 1e4 + 0.5) for i in range(6)])
+    y = np.array([math.floor(math.log(f) * 1e4 + 0.5) for f in freqs])
+    n = 6
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    intercept = (y.sum() - slope * x.sum()) / n / 1e4
+    assert r.n_words == 6
+    assert r.zipf_slope == math.floor(slope * 1e6 + 0.5) / 1e6
+    assert r.zipf_intercept == math.floor(intercept * 1e6 + 0.5) / 1e6
+    assert -1.05 < r.zipf_slope < -0.95  # freq = 60/rank is exactly zipf
