@@ -2600,3 +2600,145 @@ def psi_value_drift(events: DataFrame, value_col: str = "value") -> DataFrame:
     return halves.select(
         "bucket", "n_base", "n_cur", term.alias("psi_term_e6")
     ).orderBy("bucket")
+
+
+def ab_funnel(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Ordered conversion funnel SPLIT BY EXPERIMENT ARM — the readout
+    that tells you WHERE in view→click→purchase a treatment moves
+    users, not just whether the last step moved (ab_lift's view).
+    Arm assignment is the identical md5 device as ab_lift (first hex
+    nibble < '8' → A), so the two reports partition users identically.
+
+    Scale shape: the three conditional-min stages are user-keyed hash
+    aggs (the events_funnel plan) with the arm label riding along; the
+    final rollup is 2 rows."""
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    ev = events.select(
+        F.col(user_col).alias("u"), arm.alias("arm"), "event_type", "ts"
+    )
+    tv = ev.groupBy("u", "arm").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    tc = (
+        ev.join(tv.select("u", "t_view"), "u")
+        .groupBy("u", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    tp = (
+        ev.join(tc.select("u", "t_view", "t_click"), "u")
+        .groupBy("u", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return (
+        tp.join(tv.select("u", "arm"), "u")
+        .groupBy("arm")
+        .agg(
+            F.count("u").cast("long").alias("n_users"),
+            F.count("t_view").cast("long").alias("n_viewed"),
+            F.count("t_click").cast("long").alias("n_clicked_after_view"),
+            F.count("t_purchase").cast("long").alias("n_purchased_after_click"),
+        )
+        .orderBy("arm")
+    )
+
+
+def survival_km(events: DataFrame) -> DataFrame:
+    """Discrete Kaplan–Meier survival of time-to-first-purchase from
+    each user's FIRST VIEW, right-censored at the last observed day —
+    the estimator that handles "hasn't converted YET" correctly where a
+    naive conversion-lag mean silently treats censored users as
+    non-existent.
+
+    Per day offset t: n_at_risk (neither converted nor censored before
+    t), n_events (first purchases at t), n_censored (observation ends
+    at t without purchase), and S(t) = Π_{u≤t}(1 − d_u/n_u) — computed
+    as exp(Σ ln(·)) over the offset-ordered window and quantized to
+    1e-6 (ln/exp are bit-stable on one libm — the char_entropy
+    precedent; the Σ is over identical doubles in identical order on
+    both engines because the offset table is sorted by key).
+
+    Scale shape: two user-keyed conditional-min hash-aggs collapse the
+    corpus to one row per user; the KM table itself is day-offset-sized
+    (the documented bounded-domain window, like the lineage tables)."""
+    from pyspark.sql import Window
+
+    ev = events.select("user_id", "event_type", "ts")
+    t0 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    te = (
+        ev.join(t0, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("t_event")
+        )
+    )
+    cens = events.agg(F.max(F.to_date("ts")).alias("c_day"))
+    per_user = te.crossJoin(F.broadcast(cens)).select(
+        F.datediff(
+            F.coalesce(F.to_date("t_event"), F.col("c_day")), F.to_date("t0")
+        ).alias("day_offset"),
+        F.col("t_event").isNotNull().alias("is_event"),
+    )
+    km = per_user.groupBy("day_offset").agg(
+        F.sum(F.col("is_event").cast("long")).cast("long").alias("n_events"),
+        F.sum((~F.col("is_event")).cast("long")).cast("long").alias("n_censored"),
+    )
+    w_all = Window.orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    gone_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_before), F.lit(0)
+    )
+    km = km.withColumn("n_at_risk", (total - gone_before).cast("long"))
+    w_cum = Window.orderBy("day_offset").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n_at_risk means everyone remaining converts: survival is
+    # EXACTLY 0 from that offset on — handled as a flag, never ln(0)
+    # (DuckDB raises on it, Spark silently nulls it out of the sum).
+    log_s = F.sum(
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk")),
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double") / F.col("n_at_risk").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    hit_zero = F.max(
+        (F.col("n_events") == F.col("n_at_risk")).cast("int")
+    ).over(w_cum)
+    from .textstats import round6 as _r6
+
+    return km.select(
+        "day_offset",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(hit_zero == 1, F.lit(0.0)).otherwise(_r6(F.exp(log_s))).alias(
+            "survival"
+        ),
+    ).orderBy("day_offset")
