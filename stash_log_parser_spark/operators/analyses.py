@@ -2742,3 +2742,91 @@ def survival_km(events: DataFrame) -> DataFrame:
             "survival"
         ),
     ).orderBy("day_offset")
+
+
+def did_estimator(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Difference-in-differences on per-user spend — the quasi-
+    experimental readout for rollouts WITHOUT randomized assignment:
+    did = (post_B − pre_B) − (post_A − pre_A) nets out both the
+    between-arm level difference and the common time trend.  Arms use
+    the identical md5 device as ab_lift (users partition the same way
+    across every experimentation report); the pre/post boundary is the
+    corpus's midpoint day (min_day + span DIV 2), a data-derived but
+    deterministic split.
+
+    Exactness: spend aggregates as exact integer cents per
+    (user, arm, period); each cell mean is one int/int IEEE division;
+    did combines the four means with a FIXED parenthesization mirrored
+    in the oracle, round6-quantized.  Cells with no users yield NULL
+    means and a NULL did (mirrored CASE, never divide-by-zero).
+
+    Scale shape: a user-keyed hash agg, a 4-row conditional rollup,
+    and a broadcast 1-row bounds frame — no windows, no wide joins."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    ev = events.select(
+        F.col(user_col).alias("u"), arm.alias("arm"), F.to_date("ts").alias("d"),
+        cents.alias("c"),
+    ).crossJoin(F.broadcast(bounds))
+    per_user = (
+        ev.select(
+            "u",
+            "arm",
+            (
+                F.col("d")
+                <= F.date_add(
+                    F.col("d0"), F.expr("datediff(d1, d0) DIV 2").cast("int")
+                )
+            )
+            .cast("int")
+            .alias("is_pre"),
+            "c",
+        )
+        .groupBy("u", "arm", "is_pre")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+
+    def cell(a, pre):
+        cond = (F.col("arm") == a) & (F.col("is_pre") == pre)
+        return (
+            F.sum(cond.cast("long")).cast("long"),
+            F.sum(F.when(cond, F.col("s")).otherwise(0)).cast("long"),
+        )
+
+    na_pre, sa_pre = cell("A", 1)
+    na_post, sa_post = cell("A", 0)
+    nb_pre, sb_pre = cell("B", 1)
+    nb_post, sb_post = cell("B", 0)
+    agg = per_user.agg(
+        na_pre.alias("n_a_pre"), sa_pre.alias("s_a_pre"),
+        na_post.alias("n_a_post"), sa_post.alias("s_a_post"),
+        nb_pre.alias("n_b_pre"), sb_pre.alias("s_b_pre"),
+        nb_post.alias("n_b_post"), sb_post.alias("s_b_post"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    m_a_pre, m_a_post = mean("s_a_pre", "n_a_pre"), mean("s_a_post", "n_a_post")
+    m_b_pre, m_b_post = mean("s_b_pre", "n_b_pre"), mean("s_b_post", "n_b_post")
+    all_cells = (
+        (F.col("n_a_pre") > 0) & (F.col("n_a_post") > 0)
+        & (F.col("n_b_pre") > 0) & (F.col("n_b_post") > 0)
+    )
+    return agg.select(
+        "n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        F.when(F.col("n_a_pre") > 0, _r6(m_a_pre)).alias("mean_a_pre_cents"),
+        F.when(F.col("n_a_post") > 0, _r6(m_a_post)).alias("mean_a_post_cents"),
+        F.when(F.col("n_b_pre") > 0, _r6(m_b_pre)).alias("mean_b_pre_cents"),
+        F.when(F.col("n_b_post") > 0, _r6(m_b_post)).alias("mean_b_post_cents"),
+        F.when(
+            all_cells, _r6((m_b_post - m_b_pre) - (m_a_post - m_a_pre))
+        ).alias("did_cents"),
+    )

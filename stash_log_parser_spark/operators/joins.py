@@ -284,3 +284,49 @@ def join_size_stats(
         "join_rows",
         "max_key_fanout",
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_col: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: replicate the DIM side ``n_salt`` ways
+    and scatter each fact row to one replica, so a hot join key's rows
+    land on ``n_salt`` shuffle partitions instead of one.
+
+    This is the manual fallback for the case AQE's skew-join split does
+    NOT cover: a single hot KEY (not a hot partition) on a join that
+    must shuffle both sides — e.g. a fork-bomb repository joined to its
+    per-repo config at 10^12 rows, where one task would otherwise
+    receive the whole hot key. The fact side's salt is deterministic
+    (``pmod(xxhash64(salt_col), n_salt)`` over a unique fact column —
+    never rand(), which breaks retry idempotency: a re-executed task
+    must re-derive identical salts or rows duplicate/vanish under
+    speculative execution); the dim side explodes a 0..n_salt-1 array.
+    Join keys become (key, salt) so co-partitioning still holds.
+
+    Result == plain ``fact ⨝ dim`` exactly (the salt columns are
+    dropped); only the shuffle layout changes. n_salt trades dim
+    duplication (×n_salt rows moved) for hot-key parallelism — size it
+    to the ratio hot-key-rows / healthy-partition-rows, not higher.
+    """
+    if not 1 <= n_salt <= 4096:
+        raise ValueError(f"n_salt must be in [1, 4096], got {n_salt}")
+    f_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt)).cast("int")
+    )
+    d_salted = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+    )
+    cond = (f_salted[fact_key] == d_salted[dim_key]) & (
+        f_salted["_salt"] == d_salted["_salt"]
+    )
+    out = f_salted.join(d_salted, cond, "inner")
+    return out.select(
+        *[f_salted[c] for c in fact.columns],
+        *[d_salted[c] for c in dim.columns if c != dim_key],
+    )

@@ -1470,3 +1470,101 @@ def zipf_fit(docs: DataFrame, top_k: int = 200, text_col: str = "text") -> DataF
         round6(slope).alias("zipf_slope"),
         round6(intercept).alias("zipf_intercept"),
     )
+
+
+def quality_calibration(docs: DataFrame, text_col: str = "text", n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for a quality CLASSIFIER over the corpus —
+    the readout that tells you whether a filter's scores can be
+    thresholded ("0.9 means 90%") before you gate 100 TB of training
+    data on them.  Predicted probability is the document's alphabetic
+    ratio a/n (a real text feature, exact rational); the binary label
+    is a deterministic Bernoulli(a/n) draw via the 24-bit md5 device
+    (u24·n < a·2^24, pure integer compare), so a calibrated curve is
+    the expected outcome and per-bin gaps measure estimator noise.
+
+    Exactness: bin = min(n_bins-1, a·n_bins DIV n) and
+    p_e6 = a·1e6 DIV n are BIGINT integer divisions (the `DIV` ↔ `//`
+    device — double floor(a*1e6/n) can round across the boundary);
+    per-bin sums are integers; mean_pred / frac_pos / gap are a fixed
+    handful of IEEE ops from those integers, round6-quantized.
+
+    Scale shape: one projection + one ~n_bins-row hash agg — no joins,
+    no windows, text never shuffled."""
+    a = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("long")
+    d = docs.filter(F.col("n_chars") > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        a.alias("a"),
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    u24 = F.conv(F.substring(F.md5("doc_id"), 1, 6), 16, 10).cast("long")
+    f = d.select(
+        F.least(F.lit(n_bins - 1), F.expr(f"a * {n_bins} DIV n")).cast("int").alias("bin"),
+        F.expr("a * 1000000 DIV n").alias("p_e6"),
+        (u24 * F.col("n") < F.col("a") * F.lit(16777216)).cast("long").alias("label"),
+    )
+    agg = f.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("p_e6").cast("long").alias("s_p_e6"),
+    )
+    mean_pred = F.col("s_p_e6").cast("double") / (F.col("n_docs") * F.lit(1000000.0))
+    frac_pos = F.col("n_pos").cast("double") / F.col("n_docs")
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        round6(mean_pred).alias("mean_pred"),
+        round6(frac_pos).alias("frac_pos"),
+        round6(F.abs(frac_pos - mean_pred)).alias("gap"),
+    ).orderBy("bin")
+
+
+def label_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    len_threshold: int = 500,
+) -> DataFrame:
+    """Cohen's kappa between two independent DETERMINISTIC raters of
+    document quality — the inter-annotator-agreement readout a labeling
+    pipeline publishes before anyone trains on the labels.  Rater 1
+    passes docs with n_chars >= len_threshold (a length rule); rater 2
+    passes docs whose text is majority-alphabetic (2a >= n) — two
+    genuinely different signals, so kappa lands strictly between
+    chance and perfect agreement on any real corpus.
+
+    kappa = (p_o - p_e)/(1 - p_e) with p_o, p_e formed from the four
+    exact confusion counts (marginal products stay < 2^53); each is a
+    single mirrored IEEE division, round6-quantized; kappa is NULL when
+    p_e = 1 (a degenerate single-cell confusion — mirrored CASE, never
+    a divide-by-zero).
+
+    Scale shape: one projection into four conditional sums — a 1-row
+    hash agg, no shuffle wider than the 4 counters."""
+    a = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("long")
+    d = docs.filter(F.col("n_chars") > 0).select(
+        (F.col("n_chars") >= len_threshold).cast("int").alias("r1"),
+        (a * 2 >= F.col("n_chars").cast("long")).cast("int").alias("r2"),
+    )
+    agg = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 1)).cast("long")).cast("long").alias("n11"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("long")).cast("long").alias("n10"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 1)).cast("long")).cast("long").alias("n01"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 0)).cast("long")).cast("long").alias("n00"),
+    )
+    n = F.col("n_docs")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (n * n)
+    return agg.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        round6(po).alias("p_observed"),
+        round6(pe).alias("p_expected"),
+        F.when(pe < 1.0, round6((po - pe) / (F.lit(1.0) - pe))).alias("kappa"),
+    )

@@ -1209,3 +1209,63 @@ def test_psi_value_drift_zero_when_halves_identical(spark):
     out = psi_value_drift(df).collect()
     assert all(r.n_base == r.n_cur for r in out)
     assert all(r.psi_term_e6 == 0 for r in out)
+
+
+def test_did_estimator_hand_case(spark):
+    import datetime as dt
+    import hashlib
+
+    from stash_log_parser_spark.operators.analyses import did_estimator
+
+    # 4 users over 4 days: boundary = day0 + (3 DIV 2) = day1 →
+    # pre = {d0, d1}, post = {d2, d3}
+    TS = dt.datetime
+    rows = []
+    # users 6 and 9 hash to arm A (md5 first nibble < '8'), 1 and 2 to B
+    for uid, day, val in [
+        (6, 0, 1.0), (6, 2, 2.0),
+        (9, 1, 3.0), (9, 3, 5.0),
+        (1, 0, 2.0), (1, 3, 4.0),
+        (2, 1, 1.0), (2, 2, 2.0),
+    ]:
+        rows.append((len(rows), TS(2024, 1, 1 + day, 12), uid, "view", val, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    r = did_estimator(events).collect()[0]
+    arms = {
+        u: ("A" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "B")
+        for u in (6, 9, 1, 2)
+    }
+    assert sorted(arms.values()) == ["A", "A", "B", "B"]
+    pre = {u: 0 for u in arms}
+    post = {u: 0 for u in arms}
+    for uid, day, val in [
+        (6, 0, 100), (6, 2, 200), (9, 1, 300), (9, 3, 500),
+        (1, 0, 200), (1, 3, 400), (2, 1, 100), (2, 2, 200),
+    ]:
+        (pre if day <= 1 else post)[uid] += val
+    def mean(arm, bucket):
+        vals = [v for u, v in bucket.items() if arms[u] == arm and v > 0]
+        return sum(vals) / len(vals)
+    want = (mean("B", post) - mean("B", pre)) - (mean("A", post) - mean("A", pre))
+    import math
+    assert r.did_cents == math.floor(want * 1e6 + 0.5) / 1e6
+    assert r.n_a_pre + r.n_b_pre == 4 and r.n_a_post + r.n_b_post == 4
+
+
+def test_did_estimator_empty_cell_yields_null(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import did_estimator
+
+    # all users hash to whatever arm they hash to; single-day corpus →
+    # boundary = d0, every event is pre → both post cells empty → NULL did
+    events = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = did_estimator(events).collect()[0]
+    assert r.did_cents is None

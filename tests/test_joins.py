@@ -210,3 +210,53 @@ def test_join_size_stats_hand_case(spark):
     # k=1: 2*1=2; k=2: 1*2=2 -> 4 join rows, fanout max 2
     assert (r.n_keys_left, r.n_keys_right, r.n_keys_both) == (3, 3, 2)
     assert (r.join_rows, r.max_key_fanout) == (4, 2)
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    from stash_log_parser_spark.operators.joins import salted_join
+
+    # one hot key (90% of fact rows) + a long tail
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", i * 1.5) for i in range(200)],
+        "row_id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(0, 200, 10)],
+        "dk string, attr string",
+    )
+    got = salted_join(fact, dim, "k", "dk", "row_id", n_salt=4)
+    want = fact.join(dim, fact.k == dim.dk).select(
+        "row_id", "k", "v", "attr"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == ["row_id", "k", "v", "attr"]
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    from stash_log_parser_spark.operators.joins import salted_join
+
+    fact = spark.range(100).select(
+        F.col("id").alias("row_id"), F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([("hot", 1)], "dk string, attr int")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(fact, dim, "k", "dk", "row_id", n_salt=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the join keys must include the salt (hot key split across 4
+    # partitions), and with broadcast off it must be a shuffled join
+    assert "_salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_salted_join_rejects_bad_n_salt(spark):
+    from stash_log_parser_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "row_id long, k string")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", "k", "row_id", n_salt=0)

@@ -863,3 +863,62 @@ def test_zipf_fit_matches_numpy_on_quantized_points(spark):
     assert r.zipf_slope == math.floor(slope * 1e6 + 0.5) / 1e6
     assert r.zipf_intercept == math.floor(intercept * 1e6 + 0.5) / 1e6
     assert -1.05 < r.zipf_slope < -0.95  # freq = 60/rank is exactly zipf
+
+
+def test_quality_calibration_hand_case(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.textstats import quality_calibration
+
+    rows = [
+        (1, "abcde12345", "en", "web", 10),   # a=5, n=10 → bin 5, p_e6 500000
+        (2, "aaaaaaaaa1", "en", "web", 10),   # a=9, n=10 → bin 9
+        (3, "1234567890", "en", "web", 10),   # a=0 → bin 0, label 0 always
+        (4, "", "en", "web", 0),              # filtered (n_chars == 0)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    got = {r.bin: r for r in quality_calibration(docs).collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0].n_pos == 0 and got[0].mean_pred == 0.0
+    # label mirror: u24*n < a*2^24
+    for doc_id, a, n, b in [(1, 5, 10, 5), (2, 9, 10, 9)]:
+        u24 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16)
+        assert got[b].n_pos == (1 if u24 * n < a * (1 << 24) else 0)
+    assert got[5].mean_pred == 0.5 and got[9].mean_pred == 0.9
+
+
+def test_label_agreement_hand_kappa(spark):
+    from stash_log_parser_spark.operators.textstats import label_agreement
+
+    # r1 = n_chars >= 4 (toy threshold), r2 = majority-alpha
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd", "en", "w", 4),   # r1=1 r2=1
+            (2, "ab12", "en", "w", 4),   # r1=1 r2=1 (2*2 >= 4)
+            (3, "a123", "en", "w", 4),   # r1=1 r2=0
+            (4, "ab", "en", "w", 2),     # r1=0 r2=1
+            (5, "12", "en", "w", 2),     # r1=0 r2=0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = label_agreement(docs, len_threshold=4).collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (2, 1, 1, 1)
+    po = 3 / 5
+    pe = (3 * 3 + 2 * 2) / 25
+    want = (po - pe) / (1 - pe)
+    import math
+
+    assert r.kappa == math.floor(want * 1e6 + 0.5) / 1e6
+
+
+def test_label_agreement_degenerate_pe_one_is_null(spark):
+    from stash_log_parser_spark.operators.textstats import label_agreement
+
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en", "w", 4), (2, "efgh", "en", "w", 4)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = label_agreement(docs, len_threshold=1).collect()[0]
+    assert r.n11 == 2 and r.kappa is None
