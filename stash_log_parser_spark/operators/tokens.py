@@ -1,0 +1,130 @@
+"""Token-ID-level diagnostics over the pre-tokenized corpus itself.
+
+Every other operator family works on DECODED text or parsed fields;
+these two work directly on the ``tokens:array<int32>`` payload — the
+audits a training pipeline runs on the token stream it will actually
+feed the model, before/without decoding anything:
+
+* :func:`token_vocab_census` — which token ids appear, how often, and
+  how concentrated the distribution is (a vocab-coverage audit: a
+  byte-level corpus whose top-16 ids cover 95 % of the stream packs
+  very differently from a flat one).
+* :func:`token_bigram_novelty` — corpus-level distinct/total token
+  BIGRAMS per source (the token-level analog of n-gram novelty over
+  text: near-zero novelty means the source is template spam).
+
+Exactness: token ids are small ints; bigram ids are ``t1*256 + t2``
+(int, collision-free for a byte vocab); every reported count is an
+integer and every ratio is one int/int IEEE division, round6-quantized
+— value-hash oracled against DuckDB on the same parquet.
+
+Scale shape: both collapse the token stream map-side — the bigram
+census exchange carries (source, int32) pairs bounded by
+|sources| x 65536 regardless of corpus size, and the vocab census by
+|sources| x 256; the token arrays themselves never enter an Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators.textstats import round6
+
+
+def token_vocab_census(corpus: DataFrame, top_k: int = 16) -> DataFrame:
+    """Per-source token-id census: stream size, distinct ids, id range,
+    the modal id (ties -> smallest id), and top-``top_k`` coverage.
+
+    Returns one row per source: n_docs, n_tokens, n_distinct_ids,
+    min_id, max_id, top_id, top_count, coverage_topk (round6).
+    """
+    tok = corpus.select(
+        "source", "doc_id", F.explode("tokens").alias("t")
+    )
+    census = tok.groupBy("source", "t").agg(
+        F.count("*").cast("long").alias("c"),
+        F.countDistinct("doc_id").cast("long").alias("nd"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc("t")
+    )
+    ranked = census.withColumn("rk", F.row_number().over(w_rank))
+    docs_per_source = corpus.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_ids"),
+        F.min("t").cast("int").alias("min_id"),
+        F.max("t").cast("int").alias("max_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("t"))).cast("int").alias("top_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("long").alias("top_count"),
+        F.sum(F.when(F.col("rk") <= top_k, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("topk_count"),
+    )
+    return (
+        agg.join(docs_per_source, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_ids",
+            "min_id",
+            "max_id",
+            "top_id",
+            "top_count",
+            round6(
+                F.col("topk_count").cast("double") / F.col("n_tokens")
+            ).alias("coverage_topk"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_bigram_novelty(corpus: DataFrame) -> DataFrame:
+    """Per-source token-bigram novelty: distinct bigrams / total
+    bigrams over the whole source's token stream (within-document
+    adjacency only — bigrams never span documents).
+
+    Returns one row per source: n_docs, n_bigrams,
+    n_distinct_bigrams, novelty (round6). Docs with < 2 tokens
+    contribute zero bigrams (guarded — ``sequence(1, 0)`` would count
+    DOWN in Spark, not return empty).
+    """
+    bg = F.when(
+        F.col("n_tok") >= 2,
+        F.expr("transform(sequence(1, n_tok - 1), k -> tokens[k-1] * 256 + tokens[k])"),
+    ).otherwise(F.expr("array()"))
+    pairs = corpus.select("source", bg.alias("bg")).select(
+        "source", F.explode("bg").alias("b")
+    )
+    per_doc = corpus.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.greatest(F.col("n_tok").cast("long") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_bigrams"),
+    )
+    agg = pairs.groupBy("source").agg(
+        F.countDistinct("b").cast("long").alias("n_distinct_bigrams")
+    )
+    return (
+        per_doc.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            F.coalesce("n_distinct_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                round6(
+                    F.coalesce("n_distinct_bigrams", F.lit(0)).cast("double")
+                    / F.col("n_bigrams")
+                ),
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )

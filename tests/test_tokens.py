@@ -1,0 +1,69 @@
+"""Token-ID-level diagnostics (operators/tokens.py) — hand cases."""
+
+from pyspark.sql import functions as F
+
+from stash_log_parser_spark.operators.tokens import (
+    token_bigram_novelty,
+    token_vocab_census,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_vocab_census_hand_case(spark):
+    corpus = _corpus(
+        spark,
+        [
+            ("d1", [65, 65, 66], 3, "s1"),
+            ("d2", [65, 67], 2, "s1"),
+            ("d3", [200], 1, "s2"),
+        ],
+    )
+    got = {r.source: r for r in token_vocab_census(corpus, top_k=2).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_distinct_ids) == (2, 5, 3)
+    assert (s1.min_id, s1.max_id, s1.top_id, s1.top_count) == (65, 67, 65, 3)
+    assert s1.coverage_topk == 0.8  # top-2 = {65:3, 66:1} → 4/5
+    s2 = got["s2"]
+    assert (s2.n_tokens, s2.top_id, s2.coverage_topk) == (1, 200, 1.0)
+
+
+def test_vocab_census_modal_tie_breaks_to_smallest_id(spark):
+    corpus = _corpus(spark, [("d1", [9, 3, 3, 9], 4, "s")])
+    r = token_vocab_census(corpus).collect()[0]
+    assert r.top_id == 3 and r.top_count == 2
+
+
+def test_bigram_novelty_hand_case(spark):
+    corpus = _corpus(
+        spark,
+        [
+            ("d1", [1, 2, 1, 2], 4, "s1"),  # bigrams (1,2),(2,1),(1,2) → 2 distinct / 3
+            ("d2", [7], 1, "s1"),           # <2 tokens → no bigrams
+            ("d3", [5, 5], 2, "s2"),        # 1/1
+        ],
+    )
+    got = {r.source: r for r in token_bigram_novelty(corpus).collect()}
+    assert (got["s1"].n_bigrams, got["s1"].n_distinct_bigrams) == (3, 2)
+    assert got["s1"].novelty == 0.666667
+    assert got["s2"].novelty == 1.0
+
+
+def test_bigram_novelty_all_short_docs_is_null(spark):
+    corpus = _corpus(spark, [("d1", [1], 1, "s")])
+    r = token_bigram_novelty(corpus).collect()[0]
+    assert r.n_bigrams == 0 and r.n_distinct_bigrams == 0 and r.novelty is None
+
+
+def test_bigrams_never_span_documents(spark):
+    # two docs ending/starting with the same token: the cross-doc pair
+    # (9,9) must NOT appear
+    corpus = _corpus(
+        spark, [("d1", [1, 9], 2, "s"), ("d2", [9, 2], 2, "s")]
+    )
+    r = token_bigram_novelty(corpus).collect()[0]
+    assert r.n_bigrams == 2 and r.n_distinct_bigrams == 2
