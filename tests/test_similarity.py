@@ -629,3 +629,43 @@ def test_cosine_lag_histogram_hand_case(spark):
     assert out[(1, 10)] == 1
     assert out[(1, 0)] == 2
     assert sum(out.values()) == 3
+
+
+def test_pq_codebook_stats_hand_case(spark):
+    from stash_log_parser_spark.operators.similarity import pq_codebook_stats
+
+    # 8-dim vectors, m=2 (d_sub=4), k=2: first 2 vectors seed the
+    # codebook; remaining vectors sit exactly on one of the seeds, so
+    # assignment and distortion are knowable by hand.
+    a = [0.0, 0.0, 0.0, 0.0]
+    b = [1.0, 1.0, 1.0, 1.0]
+    rows = [
+        (0, a + b),   # code 0 in both subspaces (seed 0)
+        (1, b + a),   # code 1 in both (seed 1)
+        (2, a + b),
+        (3, a + b),
+        (4, b + a),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.s, r.code): r for r in pq_codebook_stats(emb, m=2, k=2).collect()}
+    # subspace 0: vecs {0,2,3} -> code 0 (seed a), {1,4} -> code 1 (seed b)
+    assert got[(0, 0)].n_assigned == 3 and got[(0, 1)].n_assigned == 2
+    assert got[(1, 0)].n_assigned == 3 and got[(1, 1)].n_assigned == 2
+    # members sit exactly on their (re)centered codes -> zero distortion
+    assert all(r.mean_dist == 0.0 for r in got.values())
+
+
+def test_pq_codebook_stats_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from stash_log_parser_spark.operators.similarity import pq_codebook_stats
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        pq_codebook_stats(emb, m=2, k=2)  # dim 3 not divisible
+    with _pytest.raises(ValueError):
+        pq_codebook_stats(emb, m=0)
+    empty = emb.limit(0)
+    assert pq_codebook_stats(empty, m=1, k=2).count() == 0
