@@ -1236,54 +1236,16 @@ def cosine_lag_histogram(
     )
 
 
-def pq_codebook_stats(
-    embeddings: DataFrame,
-    m: int = 4,
-    k: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product quantization fit + assignment audit — the memory side of
-    IVF-PQ: split each vector into ``m`` subvectors, learn a ``k``-code
-    codebook per subspace (deterministic init = first ``k`` vectors by
-    id, ONE Lloyd round with round-6 recentering — the kmeans_centroids
-    device), assign every subvector to its nearest code by squared L2
-    (ties -> smallest code), and report the per-(subspace, code) census
-    with mean quantization distortion. 64-dim vectors at m=4, k=8
-    compress 256 B -> 4 B/vector at the cost of the reported
-    distortion; the census is what you read to pick m and k.
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook fit, census, and ADC recall audit
+# ---------------------------------------------------------------------------
 
-    Exactness: distances are left-fold sums of (x_j-c_j)^2 in subscript
-    order, mirrored by the oracle's list_reduce; centroid means use the
-    proven F.round(sum/count, 6) <-> round(sum/count, 6) pair;
-    per-vector distortion quantizes to integer e6 units BEFORE the
-    census sum, so the reported mean is int/int, round6.
 
-    Scale shape: codebooks are driver-side constants (m*k*d_sub
-    doubles) baked into the plan as literals, so both assignment passes
-    are pure projections - the vector column never enters an Exchange;
-    each pass shuffles only the (s, code)-keyed partial sums (<= m*k
-    rows x d_sub cols per partition). At 10^12 rows the same plan holds
-    with the fit run on a fixed sample; the literal-expression argmin
-    (m*k*d_sub codegen terms) would swap to the Arrow matmul kernel of
-    with_ivf_cells, which changes only ulp-level float order in the
-    argmin, not the plan."""
-    if m < 1 or k < 1:
-        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
-    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
-    if not first:
-        schema = "s int, code int, n_assigned long, mean_dist double"
-        return embeddings.sparkSession.createDataFrame([], schema)
-    V0 = np.array([r[0] for r in first], dtype=np.float64)
-    dim = V0.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    C0 = [V0[:, s * dsub : (s + 1) * dsub] for s in range(m)]  # each (<=k, dsub)
-    kk = V0.shape[0]  # actual code count (corpus may hold < k vectors)
-
+def _pq_sub(embeddings: DataFrame, m: int, dsub: int, id_col: str, vec_col: str) -> DataFrame:
+    """One scan -> (id, s, sv): each vector exploded into its m
+    subvectors (a projection; the full vector never leaves the scan)."""
     vec_d = F.col(vec_col).cast("array<double>")
-    sub = embeddings.select(
+    return embeddings.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -1298,34 +1260,70 @@ def pq_codebook_stats(
         ).alias("e"),
     ).select("_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
 
-    def argmin_struct(C):
-        """CASE over s of least(struct(d, code)) against codebook C."""
-        sv = F.col("sv")
-        expr = None
-        for s in range(m):
-            structs = []
-            for c in range(C[s].shape[0]):
-                terms = [
-                    (sv[j] - float(C[s][c][j])) * (sv[j] - float(C[s][c][j]))
-                    for j in range(dsub)
-                ]
-                d = terms[0]
-                for t in terms[1:]:
-                    d = d + t
-                structs.append(
-                    F.struct(d.alias("d"), F.lit(c).alias("code"))
-                )
-            best = F.least(*structs) if len(structs) > 1 else structs[0]
-            expr = (
-                F.when(F.col("s") == s, best)
-                if expr is None
-                else expr.when(F.col("s") == s, best)
-            )
-        return expr
 
-    # one Lloyd round: assign against C0, recenter (round-6), empty
-    # codes keep their init centroid
-    a0 = sub.select("s", "sv", argmin_struct(C0)["code"].alias("code"))
+def _pq_sqdist_expr(sv, cvec) -> Column:
+    """Left-fold sum of (sv[j]-c_j)^2 in subscript order — mirrored by
+    the oracle's list_reduce((a,x)->a+x) over the same terms."""
+    terms = [
+        (sv[j] - float(cvec[j])) * (sv[j] - float(cvec[j]))
+        for j in range(len(cvec))
+    ]
+    d = terms[0]
+    for t in terms[1:]:
+        d = d + t
+    return d
+
+
+def _pq_argmin(C: list) -> Column:
+    """CASE over the subspace column of least(struct(d, code)) against
+    literal codebook C — ties break to the smallest code via the struct
+    comparator, identical to the oracle's ORDER BY d ASC, code ASC."""
+    sv = F.col("sv")
+    expr = None
+    for s, Cs in enumerate(C):
+        structs = [
+            F.struct(_pq_sqdist_expr(sv, Cs[c]).alias("d"), F.lit(c).alias("code"))
+            for c in range(Cs.shape[0])
+        ]
+        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        expr = (
+            F.when(F.col("s") == s, best)
+            if expr is None
+            else expr.when(F.col("s") == s, best)
+        )
+    return expr
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list | None:
+    """Fit per-subspace PQ codebooks: deterministic init (subvectors of
+    the first ``k`` vectors by id) + ONE Lloyd round with round-6
+    recentering (the kmeans_centroids device — after rounding, Spark
+    and the SQL mirror hold bit-identical codebooks). Empty codes keep
+    their init centroid. Returns a list of m (<=k, d/m) float64 arrays,
+    or None on an empty corpus.
+
+    Scale: the fit is one scan (assignment is a literal-expression
+    projection) + one (s, code)-keyed partial-sum shuffle; at 10^12
+    rows you run the identical plan on a fixed sample."""
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    first = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not first:
+        return None
+    V0 = np.array([r[0] for r in first], dtype=np.float64)
+    dim = V0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    C0 = [V0[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    sub = _pq_sub(embeddings, m, dsub, id_col, vec_col)
+    a0 = sub.select("s", "sv", _pq_argmin(C0)["code"].alias("code"))
     means = a0.groupBy("s", "code").agg(
         *[
             F.round(F.sum(F.col("sv")[j]) / F.count("*"), 6).alias(f"m{j}")
@@ -1335,8 +1333,44 @@ def pq_codebook_stats(
     C1 = [c.copy() for c in C0]
     for r in means:
         C1[r["s"]][r["code"]] = [r[f"m{j}"] for j in range(dsub)]
+    return C1
 
-    a1 = sub.select("s", "sv", argmin_struct(C1).alias("best"))
+
+def pq_codebook_stats(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization fit + assignment audit — the memory side of
+    IVF-PQ: learn codebooks via :func:`pq_fit`, assign every subvector
+    to its nearest code by squared L2 (ties -> smallest code), and
+    report the per-(subspace, code) census with mean quantization
+    distortion. 64-dim vectors at m=4, k=8 compress 256 B -> 4 B/vector
+    at the cost of the reported distortion; this census is what you
+    read to pick m and k.
+
+    Exactness: distances are left-fold sums of (x_j-c_j)^2 in subscript
+    order, mirrored by the oracle's list_reduce; per-vector distortion
+    quantizes to integer e6 units BEFORE the census sum, so the
+    reported mean is int/int, round6.
+
+    Scale shape: codebooks are driver-side constants baked into the
+    plan as literals, so both assignment passes are pure projections —
+    the vector column never enters an Exchange; each pass shuffles only
+    the (s, code)-keyed partial sums (<= m*k rows x d_sub cols per
+    partition). The literal-expression argmin (m*k*d_sub codegen terms)
+    would swap to the Arrow matmul kernel of with_ivf_cells at
+    production scale, which changes only ulp-level float order in the
+    argmin, not the plan."""
+    C1 = pq_fit(embeddings, m, k, id_col, vec_col)
+    if C1 is None:
+        schema = "s int, code int, n_assigned long, mean_dist double"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    dsub = C1[0].shape[1]
+    sub = _pq_sub(embeddings, m, dsub, id_col, vec_col)
+    a1 = sub.select("s", _pq_argmin(C1).alias("best"))
     return (
         a1.select(
             "s",
@@ -1358,4 +1392,111 @@ def pq_codebook_stats(
             ).alias("mean_dist"),
         )
         .orderBy("s", "code")
+    )
+
+
+def pq_adc_recall(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_queries: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@topk of PQ asymmetric-distance search against the exact
+    L2 top-k — the acceptance gate before shipping the 64x memory
+    saving: encode the corpus to m codes/vector, score queries against
+    codes via a precomputed (query, subspace, code) distance table
+    (ADC — the query side stays float, only the database is
+    quantized), and measure the overlap with exact search. Queries are
+    the first ``n_queries`` vectors by id (the repo's knn convention).
+
+    Exactness: every distance-table entry is quantized to integer e6
+    units at build time, so ADC scores are INTEGER sums — the top-k
+    order (score, vec_id) has no float-tie risk at all; the exact side
+    quantizes its full-dim left-fold L2 the same way. The table is
+    computed with plain Python left folds (same IEEE sequence as the
+    oracle's list_reduce) from the bit-identical round-6 codebooks.
+
+    Scale shape: encoding is a projection (see pq_codebook_stats); the
+    ADC join broadcasts a (q x m x k)-row table and aggregates integer
+    partial sums per (query, vec) — codes, not vectors, are the only
+    thing wider than a long in any Exchange; top-k is the standard
+    per-query window over n_queries * corpus rows of 3 longs."""
+    from pyspark.sql import Window
+
+    C1 = pq_fit(embeddings, m, k, id_col, vec_col)
+    if C1 is None:
+        schema = "query_id long, n_overlap long, recall_at_k double"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    dsub = C1[0].shape[1]
+    spark = embeddings.sparkSession
+
+    qrows = (
+        embeddings.orderBy(id_col).limit(n_queries).select(id_col, vec_col).collect()
+    )
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+
+    # (query, subspace, code) -> e6-quantized squared L2, plain-Python
+    # left fold == the engines' fold over identical literals
+    import math
+
+    dt_rows = []
+    for qid, qv in queries:
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            for c in range(C1[s].shape[0]):
+                d = (qs[0] - C1[s][c][0]) * (qs[0] - C1[s][c][0])
+                for j in range(1, dsub):
+                    d = d + (qs[j] - C1[s][c][j]) * (qs[j] - C1[s][c][j])
+                dt_rows.append((qid, s, c, int(math.floor(d * 1e6 + 0.5))))
+    dt = spark.createDataFrame(dt_rows, "query_id long, s int, code int, d_e6 long")
+
+    sub = _pq_sub(embeddings, m, dsub, id_col, vec_col)
+    codes = sub.select("_id", "s", _pq_argmin(C1)["code"].alias("code"))
+    adc = (
+        codes.join(F.broadcast(dt), ["s", "code"])
+        .groupBy("query_id", "_id")
+        .agg(F.sum("d_e6").cast("long").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_e6"), F.asc("_id"))
+    pq_top = adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= topk
+    ).select("query_id", F.col("_id").alias("vec_id"))
+
+    # exact side: full-dim left-fold L2 against each literal query,
+    # e6-quantized before ordering
+    vec_d = F.col(vec_col).cast("array<double>")
+    exact_parts = []
+    for qid, qv in queries:
+        dist = _pq_sqdist_expr(vec_d, qv)
+        exact_parts.append(
+            embeddings.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col(id_col).alias("vec_id"),
+                F.floor(dist * 1e6 + F.lit(0.5)).cast("long").alias("d_e6"),
+            )
+        )
+    exact_all = exact_parts[0]
+    for p in exact_parts[1:]:
+        exact_all = exact_all.unionByName(p)
+    we = Window.partitionBy("query_id").orderBy(F.asc("d_e6"), F.asc("vec_id"))
+    exact_top = exact_all.withColumn("rk", F.row_number().over(we)).filter(
+        F.col("rk") <= topk
+    ).select("query_id", "vec_id")
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    hits = pq_top.withColumn("_hit", F.lit(1))
+    return (
+        exact_top.join(hits, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            round6(F.col("n_overlap") / F.lit(float(topk))).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

@@ -669,3 +669,17 @@ def test_pq_codebook_stats_validation_and_empty(spark):
         pq_codebook_stats(emb, m=0)
     empty = emb.limit(0)
     assert pq_codebook_stats(empty, m=1, k=2).count() == 0
+
+
+def test_pq_adc_recall_perfect_on_planted_codebook_points(spark):
+    from stash_log_parser_spark.operators.similarity import pq_adc_recall
+
+    # every vector sits exactly on a codebook seed -> ADC distances are
+    # exact and the PQ top-k equals the exact top-k
+    a = [0.0, 0.0, 0.0, 0.0]
+    b = [1.0, 1.0, 1.0, 1.0]
+    rows = [(0, a + b), (1, b + a), (2, a + b), (3, a + b), (4, b + a)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_adc_recall(emb, m=2, k=2, n_queries=2, topk=2).collect()
+    assert [r.recall_at_k for r in got] == [1.0, 1.0]
+    assert [r.query_id for r in got] == [0, 1]
