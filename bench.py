@@ -109,6 +109,7 @@ def main() -> dict:
         "tpch_pricing_summary",
         "tpch_top_customers",
         "tpch_nation_volume",
+        "tpch_salted_join",
         "events_hourly_type_counts",
         "events_running_max",
         "events_sessionize",
@@ -129,6 +130,7 @@ def main() -> dict:
         "emb_knn_bruteforce",
         "emb_lsh_topk",
         "emb_ivf_topk",
+        "log_token_bigram_novelty",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

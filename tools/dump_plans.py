@@ -84,6 +84,18 @@ QUERIES = [
         " exchange, no join; the change feed rides the same shuffle as the"
         " base snapshot.",
     ),
+    (
+        "tpch_salted_join",
+        "Skew-mitigated join: join keys are (l_orderkey, _salt) so a hot"
+        " key spreads over 8 partitions; the dim side explodes x8 BEFORE"
+        " its exchange; the post-join rollup is a 5-row hash-agg.",
+    ),
+    (
+        "log_token_bigram_novelty",
+        "Token-payload census: the only exchanges carry (source, int"
+        " bigram) partial rows bounded by |sources| x 65536; the"
+        " tokens arrays are consumed inside the scan stage projection.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
