@@ -2830,3 +2830,68 @@ def did_estimator(events: DataFrame, user_col: str = "user_id") -> DataFrame:
             all_cells, _r6((m_b_post - m_b_pre) - (m_a_post - m_a_pre))
         ).alias("did_cents"),
     )
+
+
+def uplift_by_segment(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Heterogeneous treatment effect: ab_lift's arm/conversion devices
+    broken out by an activity segment — the readout that finds a
+    treatment helping light users while hurting heavy ones, which the
+    pooled lift averages away.  Segments use FIXED event-count
+    thresholds (>=8 high, >=4 mid, else low) rather than data-derived
+    quantiles: a quantile cut needs a corpus-wide window and silently
+    reshuffles users between segments as the corpus grows, while fixed
+    cuts are a scan-local projection and stable over time (the
+    docs_length_quartiles lesson applied to experimentation).
+
+    Per segment: arm sizes, converters, rates, and absolute uplift
+    (rate_b - rate_a); degenerate cells (an empty arm) yield NULLs via
+    mirrored CASE.  All counts integer; each rate is one int/int IEEE
+    division, round6.
+
+    Scale shape: one user-keyed hash agg, then a 3-row conditional
+    rollup — no windows, no joins."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            arm.alias("arm"),
+            (F.col("event_type") == "purchase").cast("long").alias("c"),
+        )
+        .groupBy("u", "arm")
+        .agg(
+            F.count("*").cast("long").alias("n_ev"),
+            (F.sum("c") % 2).cast("long").alias("converted"),
+        )
+    )
+    seg = (
+        F.when(F.col("n_ev") >= 8, "high")
+        .when(F.col("n_ev") >= 4, "mid")
+        .otherwise("low")
+    )
+    agg = per_user.groupBy(seg.alias("segment")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "segment",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.when(F.col("n_a") > 0, _r6(rate_a)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, _r6(rate_b)).alias("rate_b"),
+        F.when(both, _r6(rate_b - rate_a)).alias("uplift"),
+    ).orderBy("segment")
