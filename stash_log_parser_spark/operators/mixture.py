@@ -532,3 +532,92 @@ def mixture_epoch_plan(
         )
         .orderBy("source")
     )
+
+
+def _ring_anchors(n_shards: int) -> list[int]:
+    """Anchor positions for a consistent-hash ring of ``n_shards``:
+    the first 12 md5 hex chars of ``"shard:<s>"`` as an int in
+    [0, 16^12).  Computed driver-side with hashlib — bit-identical to
+    ``md5()`` in Spark and DuckDB, so both engines can inline the same
+    constants instead of re-deriving them per row."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"shard:{s}".encode()).hexdigest()[:12], 16)
+        for s in range(n_shards)
+    ]
+
+
+RING_SPACE = 16**12  # md5 12-hex prefix space
+
+
+def shard_rebalance(
+    docs: DataFrame, n_from: int = 8, n_to: int = 9, id_col: str = "doc_id"
+) -> DataFrame:
+    """Rebalance audit for growing a sharded corpus ``n_from → n_to``
+    shards: how many docs MOVE under (a) mod-hashing and (b) a
+    consistent-hash ring.  The operational question behind it: adding
+    a shard to a mod-hashed 100 TB corpus rewrites ~n/(n+1) of the
+    data, while a ring rewrite is ~1/(n+1) — this query prints that
+    difference as measured row counts instead of folklore.
+
+    Devices (all engine-exact): doc position ``h`` = first-12-hex md5
+    int of the id (the repo's standard 48-bit hash device); mod shard
+    = ``h % n``; ring shard = the anchor minimizing the clockwise
+    distance ``(a_s - h) mod 16^12``, computed as
+    ``min(dist * 1024 + s) % 1024`` so the argmin is a single BIGINT
+    ``min()`` with the shard id riding in the low bits (dist < 2^48,
+    ×1024 < 2^58 — no overflow).  Anchors are driver-side hashlib
+    constants (:func:`_ring_anchors`), broadcast by value in the plan.
+
+    Output: one row per strategy — ``n_docs, n_moved, moved_frac``
+    (round6).  Scale shape: scan-local projections + a 2-group agg;
+    the per-doc argmin over ``n_to`` anchors is a constant-width
+    expression, not a join."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+    def ring_shard(n: int):
+        keys = [
+            ((F.lit(a) - h + F.lit(RING_SPACE)) % F.lit(RING_SPACE)) * 1024
+            + F.lit(s)
+            for s, a in enumerate(_ring_anchors(n))
+        ]
+        return F.least(*keys) % 1024
+
+    flags = docs.select(
+        (h % n_from != h % n_to).cast("long").alias("mv_mod"),
+        (ring_shard(n_from) != ring_shard(n_to)).cast("long").alias("mv_ring"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mv_mod").cast("long").alias("moved_mod"),
+        F.sum("mv_ring").cast("long").alias("moved_ring"),
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("strategy"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("moved_mod").alias("n_moved"),
+                ),
+                F.struct(
+                    F.lit("ring").alias("strategy"),
+                    F.col("n_docs").alias("n_docs"),
+                    F.col("moved_ring").alias("n_moved"),
+                ),
+            )
+        ).alias("kv")
+    )
+    return out.select(
+        F.col("kv.strategy").alias("strategy"),
+        F.col("kv.n_docs").alias("n_docs"),
+        F.col("kv.n_moved").alias("n_moved"),
+        round6(F.col("kv.n_moved").cast("double") / F.col("kv.n_docs")).alias(
+            "moved_frac"
+        ),
+    ).orderBy("strategy")

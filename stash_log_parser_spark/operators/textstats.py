@@ -1568,3 +1568,86 @@ def label_agreement(
         round6(pe).alias("p_expected"),
         F.when(pe < 1.0, round6((po - pe) / (F.lit(1.0) - pe))).alias("kappa"),
     )
+
+
+# Curation topic lexicon: small, broadcast-sized by construction.  The
+# reference pipeline's analyses classify rows against fixed vocabularies
+# (git-op verbs, protocol names — SURVEY §3.3 ~`Analysis.hs` hints); this
+# is the corpus-side analog a training pipeline uses for domain tagging.
+TOPIC_LEXICON: dict[str, list[str]] = {
+    "exec": ["scan", "filter", "sort", "hash", "merge"],
+    "layout": ["table", "column", "row", "part", "batch"],
+    "stream": ["stream", "window", "watermark", "line"],
+    "scale": ["fast", "slow", "big", "small"],
+}
+
+
+def topic_tags(
+    docs: DataFrame,
+    lexicon: dict[str, list[str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-based topic tagging rolled up per (source, topic).
+
+    The scale-critical choice is that the lexicon is a plan-time
+    CONSTANT, not a joined table: each topic's per-doc hit count is
+    ``size(filter(split(text), w -> w IN terms))`` — one scan-local
+    projection per topic, entirely inside whole-stage codegen, with no
+    explode and no word-level shuffle.  (The explode→join formulation
+    shuffles one row per word — at 10^12 docs × ~10^3 words that is a
+    10^15-row exchange for a lookup whose right side fits in a closure.)
+    The only exchange is the |sources|×|topics| rollup.
+
+    Per (source, topic): ``n_docs`` (docs with >=1 hit), ``hits``
+    (total term occurrences), ``hit_rate`` = n_docs/n_docs_in_source
+    (round6).  Multi-topic terms count toward every topic that lists
+    them; the word split is the module-wide ``_words`` (lowercase,
+    whitespace)."""
+    lex = lexicon if lexicon is not None else TOPIC_LEXICON
+    words = _words(F.col(text_col))
+    per_topic_hits = {
+        t: F.size(F.filter(words, lambda w: w.isin(*terms)))
+        .cast("long")
+        .alias(f"h_{t}")
+        for t, terms in lex.items()
+    }
+    per_doc = docs.select(F.col("source"), *per_topic_hits.values())
+    rolled = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_src_docs"),
+        *[
+            x
+            for t in lex
+            for x in (
+                F.sum(F.col(f"h_{t}")).cast("long").alias(f"hits_{t}"),
+                F.sum((F.col(f"h_{t}") > 0).cast("long"))
+                .cast("long")
+                .alias(f"nd_{t}"),
+            )
+        ],
+    )
+    # unpivot the per-topic columns into (source, topic) rows
+    stacked = rolled.select(
+        "source",
+        "n_src_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("topic"),
+                        F.col(f"nd_{t}").alias("n_docs"),
+                        F.col(f"hits_{t}").alias("hits"),
+                    )
+                    for t in lex
+                ]
+            )
+        ).alias("kv"),
+    )
+    return stacked.select(
+        "source",
+        F.col("kv.topic").alias("topic"),
+        F.col("kv.n_docs").alias("n_docs"),
+        F.col("kv.hits").alias("hits"),
+        round6(F.col("kv.n_docs").cast("double") / F.col("n_src_docs")).alias(
+            "hit_rate"
+        ),
+    ).orderBy("source", "topic")

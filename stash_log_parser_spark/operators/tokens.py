@@ -128,3 +128,47 @@ def token_bigram_novelty(corpus: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_prefix_groups(
+    corpus: DataFrame, k: int = 16, top_n: int = 20
+) -> DataFrame:
+    """Shared token-PREFIX boilerplate detection: group docs by the md5
+    of their first ``k`` token ids and surface the ``top_n`` largest
+    groups.  Exact dedup only catches whole-array equality; this finds
+    the "same header, different body" family — templated boilerplate,
+    per-client log preambles, copy-pasted licence blocks — which at
+    curation time usually means "strip the prefix" rather than "drop
+    the doc".  (On the synthetic access-log corpus the prefix is the
+    first 16 line bytes, so groups land on remote-IP/protocol
+    templates — a realistic boilerplate shape.)
+
+    Key = ``md5(array_join(transform(slice(tokens,1,k), cast str)))``
+    rather than xxhash64 so the DuckDB twin reproduces it exactly
+    (md5 is 128-bit: at 10^12 docs the collision expectation is
+    ~10^-14, vs ~1e-7 for a 64-bit key — same budget note as
+    segment_dedup).  Docs shorter than ``k`` tokens are excluded (a
+    short doc IS its prefix — that's exact dedup's job).
+
+    Scale shape: only the 32-hex key + source shuffle (≤ ~40 B/row);
+    the tokens array never enters an Exchange.  Top-n via
+    TakeOrderedAndProject on (n_docs desc, prefix asc)."""
+    eligible = corpus.filter(F.col("n_tok") >= k)
+    key = F.md5(
+        F.array_join(
+            F.transform(F.slice("tokens", 1, k), lambda x: x.cast("string")),
+            ",",
+        )
+    )
+    groups = (
+        eligible.select(key.alias("prefix"), "source", "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    return groups.orderBy(
+        F.col("n_docs").desc(), F.col("prefix").asc()
+    ).limit(top_n)

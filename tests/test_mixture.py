@@ -396,3 +396,40 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = sorted(r.doc_id for r in M.weighted_sample(df, k=5, weight_col="w").collect())
     assert got == [3, 4, 5]
+
+
+def test_shard_rebalance_counts_and_ring_stability(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    got = {r.strategy: r for r in M.shard_rebalance(docs, 8, 9).collect()}
+    assert got["mod"].n_docs == got["ring"].n_docs == 200
+    # consistent hashing's whole point: adding one shard moves far
+    # fewer docs than mod re-hashing (mod moves ~8/9 of them)
+    assert got["ring"].n_moved < got["mod"].n_moved
+    assert got["mod"].n_moved > 100
+    # every moved_frac = n_moved / n_docs round6
+    for r in got.values():
+        assert r.moved_frac == round(r.n_moved / r.n_docs, 6)
+
+
+def test_shard_rebalance_ring_matches_python_reference(spark):
+    # brute-force the ring assignment in pure python for a few ids
+    ids = [3, 17, 42]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    anchors9 = M._ring_anchors(9)
+    anchors8 = M._ring_anchors(8)
+
+    def ring(h, anchors):
+        return min(
+            range(len(anchors)),
+            key=lambda s: (((anchors[s] - h) % M.RING_SPACE) * 1024 + s),
+        )
+
+    moved = 0
+    for i in ids:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        if ring(h, anchors8) != ring(h, anchors9):
+            moved += 1
+    got = {r.strategy: r for r in M.shard_rebalance(docs, 8, 9).collect()}
+    assert got["ring"].n_moved == moved

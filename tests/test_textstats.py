@@ -922,3 +922,35 @@ def test_label_agreement_degenerate_pe_one_is_null(spark):
     )
     r = label_agreement(docs, len_threshold=1).collect()[0]
     assert r.n11 == 2 and r.kappa is None
+
+
+def test_topic_tags_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "scan scan merge table", "s1"),
+            (2, "nothing matches here", "s1"),
+            (3, "window stream", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    lex = {"exec": ["scan", "merge"], "stream": ["stream", "window"]}
+    rows = TS.topic_tags(docs, lexicon=lex).collect()
+    got = {(r.source, r.topic): r for r in rows}
+    # ordered by (source, topic) and dense over the lexicon
+    assert [(r.source, r.topic) for r in rows] == [
+        ("s1", "exec"), ("s1", "stream"), ("s2", "exec"), ("s2", "stream"),
+    ]
+    assert (got[("s1", "exec")].n_docs, got[("s1", "exec")].hits) == (1, 3)
+    assert got[("s1", "exec")].hit_rate == 0.5  # 1 of 2 s1 docs
+    assert (got[("s1", "stream")].n_docs, got[("s1", "stream")].hits) == (0, 0)
+    assert (got[("s2", "stream")].n_docs, got[("s2", "stream")].hits) == (1, 2)
+
+
+def test_topic_tags_is_case_insensitive_and_multi_topic(spark):
+    docs = spark.createDataFrame(
+        [(1, "SCAN Table", "s")], "doc_id long, text string, source string"
+    )
+    lex = {"a": ["scan"], "b": ["scan", "table"]}
+    got = {r.topic: r for r in TS.topic_tags(docs, lexicon=lex).collect()}
+    # the same word counts toward every topic listing it
+    assert got["a"].hits == 1 and got["b"].hits == 2

@@ -67,3 +67,36 @@ def test_bigrams_never_span_documents(spark):
     )
     r = token_bigram_novelty(corpus).collect()[0]
     assert r.n_bigrams == 2 and r.n_distinct_bigrams == 2
+
+def test_prefix_groups_hand_case(spark):
+    from stash_log_parser_spark.operators.tokens import token_prefix_groups
+
+    # d1/d2 share the 4-token prefix with different bodies; d3 differs
+    # at position 4; d4 is too short to be eligible.
+    corpus = _corpus(
+        spark,
+        [
+            ("d1", [1, 2, 3, 4, 99], 5, "s1"),
+            ("d2", [1, 2, 3, 4, 7, 8], 6, "s2"),
+            ("d3", [1, 2, 3, 5], 4, "s1"),
+            ("d4", [1, 2, 3], 3, "s1"),
+        ],
+    )
+    rows = token_prefix_groups(corpus, k=4, top_n=10).collect()
+    assert len(rows) == 2  # two eligible prefix groups
+    top = rows[0]
+    assert (top.n_docs, top.n_sources, top.first_doc) == (2, 2, "d1")
+    assert rows[1].n_docs == 1
+
+
+def test_prefix_groups_top_n_and_tiebreak(spark):
+    from stash_log_parser_spark.operators.tokens import token_prefix_groups
+
+    corpus = _corpus(
+        spark,
+        [("a", [1, 1], 2, "s"), ("b", [2, 2], 2, "s"), ("c", [3, 3], 2, "s")],
+    )
+    rows = token_prefix_groups(corpus, k=2, top_n=2).collect()
+    # all groups size 1 → tie broken by prefix hex ascending, limit 2
+    assert len(rows) == 2
+    assert rows[0].prefix < rows[1].prefix
