@@ -343,3 +343,75 @@ def hll_set_overlap(
         F.col("u").alias("est_union"),
         round6(F.col("a") + F.col("b") - F.col("u")).alias("est_intersection"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = 30, n_shards: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact heavy hitters (count > N/k) via the two-phase
+    candidate-then-verify pattern — the distributed form of
+    Misra–Gries whose OUTPUT is deterministic and engine-exact even
+    though a streaming MG sketch's counters are order-dependent.
+
+    Phase 1 (candidates): docs land in ``n_shards`` deterministic
+    shards (md5 of doc_id — the repo's standard portable hash);
+    per-shard word counts keep only words with ``count_s * k >
+    total_s`` — by pigeonhole, any word with GLOBAL count > N/k must
+    exceed the per-shard threshold in at least one shard (if it missed
+    every one, summing count_s <= total_s/k over shards bounds its
+    global count by N/k), so the candidate union is complete: no
+    false negatives, only false positives.  Phase 2 (verify): exact
+    global counts for the candidate set only, filter > N/k.
+
+    Why this shape at 10^12 rows: the word domain can be huge (URLs,
+    user ids), and a single global groupBy shuffles every distinct
+    key.  Here the global exchange carries only candidate words — at
+    most ``n_shards * k`` of them by construction — after a semi-join
+    against the broadcast candidate list; the shard-local counts
+    shuffle on (shard, word), which partial aggregation collapses
+    map-side exactly like the global form.  The oracle is the naive
+    exact SQL — the pigeonhole guarantee is what makes the fast plan
+    value-hash EQUAL to it, and a test pins the candidate cap.
+
+    Output: word, n_total, share (round6), ordered by count desc."""
+    from stash_log_parser_spark.operators.textstats import _words, round6
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    words = docs.select(
+        shard.alias("shard"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    )
+    per_shard = words.groupBy("shard", "word").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    shard_tot = per_shard.groupBy("shard").agg(
+        F.sum("n_s").cast("long").alias("tot_s")
+    )
+    candidates = (
+        per_shard.join(shard_tot, "shard")
+        .filter(F.col("n_s") * k > F.col("tot_s"))
+        .select("word")
+        .distinct()
+    )
+    verified = (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_total"))
+    )
+    total = words.agg(F.count("*").cast("long").alias("n_words"))
+    return (
+        verified.join(F.broadcast(total))
+        .filter(F.col("n_total") * k > F.col("n_words"))
+        .select(
+            "word",
+            "n_total",
+            round6(F.col("n_total").cast("double") / F.col("n_words")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_total").desc(), "word")
+    )

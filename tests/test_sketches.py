@@ -194,3 +194,30 @@ def test_hll_set_overlap_exact_and_estimates(spark):
     assert abs(r.est_intersection - 200) / 200 < 0.6
     # inclusion-exclusion consistency of the reported numbers
     assert abs((r.est_a + r.est_b - r.est_union) - r.est_intersection) < 1e-6
+
+
+def test_heavy_hitters_pigeonhole_completeness(spark):
+    from stash_log_parser_spark.operators.sketches import heavy_hitters
+
+    # adversarial spread: word "hot" appears once per doc across many
+    # docs (never shard-locally dominant by a landslide) yet is a
+    # global heavy hitter; filler words are shard-local noise
+    rows = [(i, f"hot filler{i % 17}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = heavy_hitters(docs, k=3, n_shards=8).collect()
+    # total words = 200; threshold 200/3 ≈ 66.7; only "hot" (100) passes
+    assert [(r.word, r.n_total) for r in got] == [("hot", 100)]
+    assert got[0].share == 0.5
+
+
+def test_heavy_hitters_candidate_cap(spark):
+    from stash_log_parser_spark.operators.sketches import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], "doc_id long, text string"
+    )
+    # uniform 4-word distribution (25 % each): all pass k=5 (>20 %),
+    # none pass k=3 (>33 %)
+    got = heavy_hitters(docs, k=5, n_shards=4).collect()
+    assert len(got) == 4 and all(r.n_total == 50 for r in got)
+    assert heavy_hitters(docs, k=3, n_shards=4).collect() == []
