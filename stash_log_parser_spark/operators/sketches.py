@@ -376,33 +376,53 @@ def heavy_hitters(
     Output: word, n_total, share (round6), ordered by count desc."""
     from stash_log_parser_spark.operators.textstats import _words, round6
 
-    shard = (
+    # coalesce marks the key non-nullable so the shard_tot join adds no
+    # isnotnull scan filter — keeping both per_shard consumers on an
+    # identical subtree Spark's ReuseExchange can dedup
+    shard = F.coalesce(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("long")
-        % n_shards
+        % n_shards,
+        F.lit(0),
     )
     words = docs.select(
         shard.alias("shard"),
         F.explode(_words(F.col(text_col))).alias("word"),
     )
-    per_shard = words.groupBy("shard", "word").agg(
-        F.count("*").cast("long").alias("n_s")
+    # cached: bounded by n_shards x |vocab| rows (the same bounded-
+    # census cache policy as the graph adjacency), consumed twice —
+    # once for the totals collect, once for the candidate filter
+    per_shard = (
+        words.groupBy("shard", "word")
+        .agg(F.count("*").cast("long").alias("n_s"))
+        .cache()
     )
-    shard_tot = per_shard.groupBy("shard").agg(
-        F.sum("n_s").cast("long").alias("tot_s")
-    )
+    # the per-shard totals are an n_shards-row aggregate — collect them
+    # (bounded by construction, the repo's dimension-sized-collect
+    # policy) and inline as a literal CASE, so phase 1 is ONE corpus
+    # scan instead of Spark re-instantiating the per_shard subtree for
+    # every consumer
+    tots = {
+        r["shard"]: r["tot_s"]
+        for r in per_shard.groupBy("shard")
+        .agg(F.sum("n_s").cast("long").alias("tot_s"))
+        .collect()
+    }
+    n_words = int(sum(tots.values()))
+    tot_s = F.lit(0)
+    for s, t in sorted(tots.items()):
+        tot_s = F.when(F.col("shard") == s, F.lit(t)).otherwise(tot_s)
     candidates = (
-        per_shard.join(shard_tot, "shard")
-        .filter(F.col("n_s") * k > F.col("tot_s"))
-        .select("word")
-        .distinct()
+        per_shard.filter(F.col("n_s") * k > tot_s).select("word").distinct()
     )
     verified = (
         words.join(F.broadcast(candidates), "word")
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n_total"))
     )
-    total = words.agg(F.count("*").cast("long").alias("n_words"))
+    total = verified.sparkSession.range(1).select(
+        F.lit(n_words).cast("long").alias("n_words")
+    )
     return (
         verified.join(F.broadcast(total))
         .filter(F.col("n_total") * k > F.col("n_words"))
