@@ -96,6 +96,20 @@ QUERIES = [
         " bigram) partial rows bounded by |sources| x 65536; the"
         " tokens arrays are consumed inside the scan stage projection.",
     ),
+    (
+        "docs_topic_tags",
+        "Broadcast-lexicon tagging as constant IN-list projections: the"
+        " scan stage computes every per-topic hit count in codegen (no"
+        " explode, no word shuffle); the only exchanges are the"
+        " |sources|-group rollup and the final sort.",
+    ),
+    (
+        "docs_heavy_hitters",
+        "Candidate-then-verify heavy hitters: the shard census is cached"
+        " and consumed twice; the verify scan semi-joins a BROADCAST"
+        " candidate list, so the word-keyed global exchange carries only"
+        " candidates (<= n_shards x k by the pigeonhole bound).",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
