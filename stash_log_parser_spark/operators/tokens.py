@@ -172,3 +172,80 @@ def token_prefix_groups(
     return groups.orderBy(
         F.col("n_docs").desc(), F.col("prefix").asc()
     ).limit(top_n)
+
+
+def token_ngram_decontam(
+    corpus: DataFrame, n: int = 13, eval_day: str | None = None
+) -> DataFrame:
+    """Token-level n-gram decontamination census — the canonical
+    "does my training set leak the benchmark" check (13-token overlap,
+    the GPT-3/PaLM convention), restated over the raw
+    ``tokens:array<int32>`` payload so it needs no decode step: a
+    TRAIN doc is contaminated iff it shares at least one n-token
+    contiguous gram with any EVAL doc.  Here eval = the corpus's last
+    ``day`` (a time-based holdout); pass ``eval_day`` to override.
+
+    Devices: each doc's grams are md5 hashes of the comma-joined id
+    slice — computed INSIDE the scan projection via
+    ``transform(sequence(1, n_tok-n+1), i -> md5(...slice(tokens,i,n)))``
+    so only 32-hex gram keys ever reach an Exchange, never the token
+    arrays.  Docs shorter than ``n`` tokens produce no grams (filtered
+    BEFORE building the sequence — Spark's ``sequence(1, 0)`` counts
+    DOWN rather than yielding empty).  Train-side grams dedup per doc
+    before the semi join; the eval gram set stays distributed (a
+    day-sized dimension can exceed broadcast budgets at 10^12 scale,
+    so this is a hash semi join on the gram key, not a broadcast).
+
+    Output per source: n_train docs, n_contaminated, contamination
+    rate (round6).  The DuckDB oracle regenerates every gram with
+    generate_series + list slicing — full-algorithm mirror."""
+    md = eval_day or corpus.agg(F.max("day")).collect()[0][0]
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+        lambda i: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice("tokens", i, n), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ),
+    )
+    eligible = corpus.filter(F.col("n_tok") >= n)
+    train = corpus.filter(F.col("day") != md)
+    train_grams = (
+        eligible.filter(F.col("day") != md)
+        .select("doc_id", "source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    eval_grams = (
+        eligible.filter(F.col("day") == md)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        train_grams.join(eval_grams, "g", "leftsemi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    per_source = train.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    hit = contaminated.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_contaminated")
+    )
+    return (
+        per_source.join(hit, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            round6(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_train")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

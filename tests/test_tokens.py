@@ -100,3 +100,38 @@ def test_prefix_groups_top_n_and_tiebreak(spark):
     # all groups size 1 → tie broken by prefix hex ascending, limit 2
     assert len(rows) == 2
     assert rows[0].prefix < rows[1].prefix
+
+
+def test_token_ngram_decontam_hand_case(spark):
+    from stash_log_parser_spark.operators.tokens import token_ngram_decontam
+
+    rows = [
+        # eval day d2: one doc with gram (1,2,3)
+        ("e1", [1, 2, 3], 3, "s", "d2"),
+        # train d1: t1 contains the eval gram (shifted), t2 doesn't,
+        # t3 is too short to produce any 3-gram
+        ("t1", [9, 1, 2, 3], 4, "s", "d1"),
+        ("t2", [4, 5, 6, 7], 4, "s", "d1"),
+        ("t3", [1, 2], 2, "s", "d1"),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, day string",
+    )
+    r = token_ngram_decontam(corpus, n=3).collect()[0]
+    assert (r.n_train, r.n_contaminated) == (3, 1)
+    assert r.contamination_rate == 0.333333
+
+
+def test_token_ngram_decontam_short_docs_produce_no_grams(spark):
+    from stash_log_parser_spark.operators.tokens import token_ngram_decontam
+
+    # the sequence(1, n_tok-n+1) guard: a 1-token doc must not build a
+    # descending sequence (Spark counts DOWN on sequence(1, 0))
+    rows = [("e", [5], 1, "s", "d2"), ("t", [5], 1, "s", "d1")]
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, day string",
+    )
+    r = token_ngram_decontam(corpus, n=2).collect()[0]
+    assert (r.n_train, r.n_contaminated, r.contamination_rate) == (1, 0, 0.0)
