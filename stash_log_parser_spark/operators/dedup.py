@@ -861,3 +861,71 @@ def pair_containment(
         "max_containment",
         F.greatest("containment_a", "containment_b"),
     ).orderBy("doc_a", "doc_b")
+
+
+def incremental_dedup(
+    docs: DataFrame, delta_mod: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Snapshot-incremental exact dedup — the PRODUCTION dedup shape: a
+    10^12-doc corpus is never re-deduped wholesale; each ingest batch
+    (the DELTA) is checked against the standing hash REGISTRY of the
+    already-committed corpus, and only then against itself.  Here the
+    split is deterministic for the oracle (doc_id % delta_mod ==
+    delta_mod-1 is the delta, ~1/delta_mod of the corpus); in
+    production the registry is the persisted distinct-hash table the
+    routing catalog maintains.
+
+    Per delta doc, mutually exclusive verdicts: ``dup_vs_base`` (hash
+    already in the registry — regardless of delta order),
+    ``dup_within_delta`` (novel hash, but an earlier delta doc — by
+    doc_id — claimed it), else survivor.  Output per source: n_delta,
+    n_dup_vs_base, n_dup_within_delta, n_survivors.
+
+    Scale shape: the registry probe is a hash semi/anti join keyed on
+    the 128-bit md5 only (the registry side is distinct-compressed —
+    at most one row per distinct text EVER ingested); the within-delta
+    claim is a min(doc_id) hash-agg over the delta alone, which is the
+    small side by construction.  Nothing rescans the base corpus text
+    beyond its hash projection — with a persisted registry even that
+    scan disappears."""
+    h = F.md5(F.col(text_col)).alias("h")
+    is_delta = F.col("doc_id") % delta_mod == (delta_mod - 1)
+    base_reg = docs.filter(~is_delta).select(h).distinct()
+    delta = docs.filter(is_delta).select("doc_id", "source", h)
+    vs_base = delta.join(base_reg, "h", "leftsemi").select(
+        "doc_id", F.lit(True).alias("dup_base")
+    )
+    first_in_delta = delta.groupBy("h").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    flagged = (
+        delta.join(vs_base, "doc_id", "left")
+        .join(first_in_delta, "h")
+        .select(
+            "source",
+            F.coalesce("dup_base", F.lit(False)).alias("dup_base"),
+            (F.col("doc_id") != F.col("first_id")).alias("later_in_delta"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_delta"),
+            F.sum(F.col("dup_base").cast("long"))
+            .cast("long")
+            .alias("n_dup_vs_base"),
+            F.sum(
+                ((~F.col("dup_base")) & F.col("later_in_delta")).cast("long")
+            )
+            .cast("long")
+            .alias("n_dup_within_delta"),
+            F.sum(
+                ((~F.col("dup_base")) & (~F.col("later_in_delta"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_survivors"),
+        )
+        .orderBy("source")
+    )

@@ -526,3 +526,21 @@ def test_census_collision_audit_fields(spark):
     )
     # closed form sanity: 10^12 distinct 64-bit keys -> ~5.4e4 expected
     assert 4e4 < expected_collision_drops(10**12, 64) < 7e4
+
+
+def test_incremental_dedup_verdicts(spark):
+    from stash_log_parser_spark.operators.dedup import incremental_dedup
+
+    # delta = doc_id % 5 == 4 → docs 4, 9, 14; base = the rest
+    rows = [
+        (0, "alpha", "s"),       # base
+        (1, "beta", "s"),        # base
+        (4, "alpha", "s"),       # delta: dup vs base
+        (9, "gamma", "s"),       # delta: novel, first in delta
+        (14, "gamma", "s"),      # delta: dup within delta (9 claimed it)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = incremental_dedup(docs, delta_mod=5).collect()[0]
+    assert (r.n_delta, r.n_dup_vs_base, r.n_dup_within_delta, r.n_survivors) == (
+        3, 1, 1, 1,
+    )
