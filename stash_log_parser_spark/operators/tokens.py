@@ -249,3 +249,99 @@ def token_ngram_decontam(
         )
         .orderBy("source")
     )
+
+
+def token_day_drift(corpus: DataFrame) -> DataFrame:
+    """Per-day Population Stability Index of the TOKEN-ID distribution
+    against the corpus's first day — the trainer-side drift alarm that
+    catches a tokenizer/encoding change or an upstream content shift
+    before it poisons a training run, computed straight off the
+    ``tokens`` payload.
+
+    Same engine-exact discipline as psi_value_drift: fixed buckets
+    (the token ids themselves — a byte vocab is <= 256 bins), each
+    PSI term ``(p_d − p_base)·ln(p_d/p_base)`` quantized to 1e-6
+    BEFORE summing, so the per-day total is a BIGINT sum of integers
+    (no float-order risk); ids with no base-day count are skipped
+    (classic PSI epsilon-dodge) and counted in ``n_skipped_ids``
+    (day-side only — base ids absent from day d contribute no row; on
+    a byte vocab both cases are vanishingly rare).
+
+    Scale shape: the token explode collapses map-side into a
+    (day, token) census bounded by |days| × 256 rows; day totals and
+    the base-day histogram join are census-sized."""
+    tok = corpus.select("day", F.explode("tokens").alias("t"))
+    census = tok.groupBy("day", "t").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    day_tot = census.groupBy("day").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    base_day = corpus.agg(F.min("day").alias("d0"))
+    base = (
+        census.join(F.broadcast(base_day), F.col("day") == F.col("d0"))
+        .select(F.col("t"), F.col("n").alias("n_b"))
+    )
+    base_tot = base.agg(F.sum("n_b").cast("long").alias("tot_b"))
+    cur = (
+        census.join(F.broadcast(base_day), F.col("day") != F.col("d0"))
+        .drop("d0")
+        .join(base, "t", "full")
+        .filter(F.col("day").isNotNull())
+        .join(day_tot, "day")
+        .crossJoin(F.broadcast(base_tot))
+    )
+    p_d = F.col("n") / F.col("tot")
+    p_b = F.col("n_b") / F.col("tot_b")
+    both = F.col("n").isNotNull() & F.col("n_b").isNotNull()
+    term = F.when(
+        both,
+        F.floor((p_d - p_b) * F.log(p_d / p_b) * 1e6 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return (
+        cur.select("day", "tot", term.alias("e6"), both.alias("b"))
+        .groupBy("day")
+        .agg(
+            F.max("tot").cast("long").alias("n_tokens"),
+            F.sum("e6").cast("long").alias("psi_micro"),
+            F.sum((~F.col("b")).cast("long")).cast("long").alias("n_skipped_ids"),
+        )
+        .orderBy("day")
+    )
+
+
+def token_truncation_audit(corpus: DataFrame, max_len: int = 150) -> DataFrame:
+    """Truncation-loss audit for a fixed sequence budget: if training
+    truncates every sequence at ``max_len`` tokens, how many tokens —
+    and which sources — does the cut actually discard?  The question
+    every max-seq-len decision should be costed with, answerable from
+    (n_tok, source) alone: a pure scan projection + |sources|-group
+    rollup, no token array ever read.
+
+    Per source: n_docs, n_docs_truncated, n_tokens, n_tokens_lost,
+    loss_rate (round6)."""
+    over = F.greatest(F.col("n_tok").cast("long") - max_len, F.lit(0))
+    return (
+        corpus.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > max_len).cast("long"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum(F.col("n_tok").cast("long")).cast("long").alias("n_tokens"),
+            F.sum(over).cast("long").alias("n_tokens_lost"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_truncated",
+            "n_tokens",
+            "n_tokens_lost",
+            round6(
+                F.col("n_tokens_lost").cast("double") / F.col("n_tokens")
+            ).alias("loss_rate"),
+        )
+        .orderBy("source")
+    )

@@ -135,3 +135,38 @@ def test_token_ngram_decontam_short_docs_produce_no_grams(spark):
     )
     r = token_ngram_decontam(corpus, n=2).collect()[0]
     assert (r.n_train, r.n_contaminated, r.contamination_rate) == (1, 0, 0.0)
+
+
+def test_token_day_drift_identical_days_is_zero(spark):
+    from stash_log_parser_spark.operators.tokens import token_day_drift
+
+    rows = [
+        ("a", [1, 2, 2], 3, "s", "d1"),
+        ("b", [1, 2, 2], 3, "s", "d2"),  # identical distribution → PSI 0
+        ("c", [9, 9, 9], 3, "s", "d3"),  # disjoint vocab → all skipped
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, day string",
+    )
+    got = {r.day: r for r in token_day_drift(corpus).collect()}
+    assert set(got) == {"d2", "d3"}
+    assert got["d2"].psi_micro == 0 and got["d2"].n_skipped_ids == 0
+    assert got["d3"].psi_micro is None and got["d3"].n_skipped_ids == 1
+
+
+def test_token_truncation_audit_hand_case(spark):
+    from stash_log_parser_spark.operators.tokens import token_truncation_audit
+
+    rows = [
+        ("a", [0] * 10, 10, "s"),
+        ("b", [0] * 3, 3, "s"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    r = token_truncation_audit(corpus, max_len=8).collect()[0]
+    assert (r.n_docs, r.n_docs_truncated, r.n_tokens, r.n_tokens_lost) == (
+        2, 1, 13, 2,
+    )
+    assert r.loss_rate == 0.153846
