@@ -1269,3 +1269,30 @@ def test_did_estimator_empty_cell_yields_null(spark):
     )
     r = did_estimator(events).collect()[0]
     assert r.did_cents is None
+
+
+def test_uplift_by_segment_empty_arm_yields_nulls(spark):
+    from stash_log_parser_spark.operators.analyses import uplift_by_segment
+
+    # users 1,2,3 hash to arm B; nobody lands in A → rate_a/uplift NULL.
+    # each user has 2 events (segment 'low'), odd purchase count → converted
+    rows = []
+    for u in (1, 2, 3):
+        rows += [(u, "purchase"), (u, "view")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = uplift_by_segment(ev).collect()
+    assert len(r) == 1 and r[0].segment == "low"
+    assert (r[0].n_a, r[0].n_b, r[0].c_b) == (0, 3, 3)
+    assert r[0].rate_a is None and r[0].uplift is None and r[0].rate_b == 1.0
+
+
+def test_uplift_by_segment_thresholds(spark):
+    from stash_log_parser_spark.operators.analyses import uplift_by_segment
+
+    # user 6 (arm A): 8 events → 'high'; user 9 (arm A): 4 → 'mid';
+    # user 11 (arm A): 1 → 'low'
+    rows = [(6, "view")] * 8 + [(9, "view")] * 4 + [(11, "view")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r.segment: r for r in uplift_by_segment(ev).collect()}
+    assert set(got) == {"high", "mid", "low"}
+    assert all(r.n_a == 1 and r.c_a == 0 for r in got.values())
