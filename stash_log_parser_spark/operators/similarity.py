@@ -1500,3 +1500,99 @@ def pq_adc_recall(
         )
         .orderBy("query_id")
     )
+
+
+def twonn_intrinsic_dim(
+    embeddings: DataFrame,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017,
+    doi:10.1038/s41598-017-11873-y) of the embedding manifold — the
+    geometry readout behind ANN-index tuning: IVF/HNSW recall-vs-nprobe
+    curves are governed by the manifold's INTRINSIC dimension, not the
+    ambient one, and a collapsed manifold (id << ambient dim) is the
+    standard symptom of an under-trained or truncated encoder.
+
+    Estimator: for each anchor, μ = r₂/r₁ (2nd- vs 1st-NN Euclidean
+    distance); the Pareto MLE is d̂ = n / Σ ln μ.  Computed on a
+    deterministic md5-ordered sample (the estimator is already a
+    SAMPLE statistic — its variance is O(1/n) in sample size, so a
+    few hundred anchors suffice regardless of corpus scale; this is
+    how TwoNN is run in practice).  Anchors whose nearest neighbor is
+    an exact duplicate (r₁ = 0 after quantization) are excluded and
+    counted — duplicates say "0-dimensional" only degenerately.
+
+    Exactness: squared distances come from the expanded form
+    ‖a‖² − 2a·b + ‖b‖² (the same fold primitives every ANN twin here
+    pins against DuckDB's list_dot_product), round6-quantized BEFORE
+    ranking so both engines rank identical keys with id tie-breaks;
+    ln μ = (ln d₂² − ln d₁²)/2 on those quantized keys; the 1-row MLE
+    is round6-ed.
+
+    Scale shape: the global sort touches ONLY (md5, id) pairs — ids
+    are fetched, then a broadcast semi-join pulls the sample_n
+    vectors; the all-pairs block is sample_n², driver-bounded, and
+    the corpus itself is scanned exactly once."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    ids = (
+        embeddings.select(
+            F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_h")
+        )
+        .orderBy("_h", id_col)
+        .limit(sample_n)
+        .select(id_col)
+    )
+    e = embeddings.join(F.broadcast(ids), id_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    av, bv = F.col("a._v"), F.col("b._v")
+    dsq = round6(
+        _dot(av, av) - F.lit(2.0) * _dot(av, bv) + _dot(bv, bv)
+    )
+    pairs = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("anchor"),
+        F.col(f"b.{id_col}").alias("nn"),
+        dsq.alias("dsq"),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.asc("dsq"), F.asc("nn"))
+    nn2 = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .groupBy("anchor")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("dsq"))).alias("d1sq"),
+            F.min(F.when(F.col("r") == 2, F.col("dsq"))).alias("d2sq"),
+        )
+    )
+    used = nn2.select(
+        F.col("anchor"),
+        F.when(
+            (F.col("d1sq") > 0) & (F.col("d2sq") > 0),
+            (F.log("d2sq") - F.log("d1sq")) / 2,
+        ).alias("lnmu"),
+    )
+    s = used.agg(
+        F.count("*").cast("long").alias("n_sample"),
+        F.sum(F.when(F.col("lnmu").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_used"),
+        F.sum("lnmu").alias("slnmu"),
+    )
+    return s.select(
+        "n_sample",
+        "n_used",
+        (F.col("n_sample") - F.col("n_used")).cast("long").alias("n_dup_anchors"),
+        round6(
+            F.when(
+                F.col("slnmu") > 0,
+                F.col("n_used").cast("double") / F.col("slnmu"),
+            )
+        ).alias("intrinsic_dim"),
+        round6(F.col("slnmu") / F.col("n_used")).alias("mean_ln_mu"),
+    )

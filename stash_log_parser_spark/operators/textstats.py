@@ -1651,3 +1651,237 @@ def topic_tags(
             "hit_rate"
         ),
     ).orderBy("source", "topic")
+
+
+def token_linear_probe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed LINEAR PROBE: least-squares fit of whitespace-token
+    count from two cheap byte-level features (n_chars, alphabetic
+    chars) — the model a 100-TB ingest uses to BUDGET tokenization
+    (estimate corpus token count from char stats before paying for the
+    tokenizer pass).  Trained by the normal equations over sufficient
+    statistics: one distributed agg collects the exact integer moment
+    matrix (n, Σx, Σxx, Σxy, …) and the 3×3 solve is a fixed Cramer
+    expression over that single row — mathematically identical to
+    full-batch gradient descent run to convergence, but ONE pass over
+    the data regardless of iteration count.  That is the 100-TB shape:
+    d²+d running sums, no weight broadcast per step, no per-iteration
+    scan (contrast SGD, which would re-read the corpus every epoch).
+
+    Exactness: every moment is a BIGINT sum of integer features —
+    bit-exact across engines; the Cramer solve and R² are a fixed
+    expression DAG of IEEE double ops computed from those integers,
+    written with identical association in the SQL twin, then
+    round6-quantized.  Moments are cast to DOUBLE before any product
+    (ΣxxΣyy-scale products overflow BIGINT long before the sums do).
+
+    Scale shape: one projection → one 1-row hash agg (partial
+    aggregation makes it a per-partition 10-counter combine); no join,
+    no window, text leaves the scan only as three extracted integers."""
+    t = F.trim(F.col(text_col))
+    d = docs.filter(
+        (F.col("n_chars") > 0) & (F.length(t) > 0)
+    ).select(
+        F.col("n_chars").cast("long").alias("x1"),
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("x2"),
+        F.size(F.split(t, WS_RE)).cast("long").alias("y"),
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # Cramer's rule on the (symmetric) normal matrix, all in DOUBLE.
+    # The expression text below is mirrored verbatim in the SQL twin.
+    n, s1, s2 = [F.col(c).cast("double") for c in ("n", "s1", "s2")]
+    sy, s11, s12 = [F.col(c).cast("double") for c in ("sy", "s11", "s12")]
+    s22, s1y, s2y, syy = [
+        F.col(c).cast("double") for c in ("s22", "s1y", "s2y", "syy")
+    ]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    w0, w1, w2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (w0 * sy + w1 * s1y + w2 * s2y)
+    sst = syy - sy * sy / n
+    return m.select(
+        F.col("n").alias("n_docs"),
+        round6(w0).alias("w_intercept"),
+        round6(w1).alias("w_nchars"),
+        round6(w2).alias("w_alpha"),
+        round6(F.lit(1.0) - sse / sst).alias("r2"),
+        round6(F.sqrt(F.greatest(sse, F.lit(0.0)) / n)).alias("rmse"),
+    )
+
+
+def signal_spearman(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """EXACT Spearman rank correlation between two quality signals
+    (document length vs alphabetic per-mille) WITHOUT sorting the
+    corpus — the redundancy check a curation pipeline runs before
+    stacking filters (two signals at ρ≈1 gate the same documents; pay
+    for one).  The textbook form ranks all n rows (a global sort —
+    the one operation a 10^12-row table cannot afford); this one
+    exploits that both signals live on SMALL INTEGER DOMAINS: average
+    ranks per distinct value follow from the value histogram's
+    cumulative counts, and Σ rank_x·rank_y follows from the (x,y) PAIR
+    census.  Shuffles touch only histogram/census rows (≤|X|·|Y|),
+    never the corpus.
+
+    Tie handling is the exact average-rank convention, kept integral
+    via DOUBLED ranks: R2(v) = 2·(count before v) + count(v) + 1
+    = 2·avg_rank(v).  Pearson is invariant under positive affine maps,
+    so ρ over doubled ranks equals ρ over average ranks — and every
+    accumulated moment stays a BIGINT (engine-exact); only the final
+    closed-form correlation is IEEE, mirrored verbatim and round6-ed.
+
+    Scale shape: one pair-census hash agg over (x, y); two tiny
+    cumsum windows over the value dimensions; two broadcast joins of
+    the census against its own marginals; a 1-row final agg."""
+    from pyspark.sql import Window
+
+    base = docs.filter(F.col("n_chars") > 0).select(
+        F.col("n_chars").cast("long").alias("xv"),
+        F.expr(
+            f"CAST(length(regexp_replace({text_col}, '[^A-Za-z]', '')) * 1000"
+            " DIV n_chars AS BIGINT)"
+        ).alias("yv"),
+    )
+    census = base.groupBy("xv", "yv").agg(F.count("*").cast("long").alias("c"))
+    wx = Window.orderBy("xv").rowsBetween(Window.unboundedPreceding, -1)
+    xm = (
+        census.groupBy("xv")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .withColumn("cb", F.coalesce(F.sum("cnt").over(wx), F.lit(0)))
+        .select(
+            "xv", (2 * F.col("cb") + F.col("cnt") + 1).cast("long").alias("rx2")
+        )
+    )
+    wy = Window.orderBy("yv").rowsBetween(Window.unboundedPreceding, -1)
+    ym = (
+        census.groupBy("yv")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .withColumn("cb", F.coalesce(F.sum("cnt").over(wy), F.lit(0)))
+        .select(
+            "yv", (2 * F.col("cb") + F.col("cnt") + 1).cast("long").alias("ry2")
+        )
+    )
+    j = census.join(F.broadcast(xm), "xv").join(F.broadcast(ym), "yv")
+    s = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("xv").cast("long").alias("nx"),
+        F.countDistinct("yv").cast("long").alias("ny"),
+        F.sum(F.col("c") * F.col("rx2")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("ry2")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("c") * F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("nx").alias("n_x_distinct"),
+        F.col("ny").alias("n_y_distinct"),
+        round6(rho).alias("rho_spearman"),
+    )
+
+
+def chi2_independence(
+    docs: DataFrame, bucket_width: int = 256, n_buckets: int = 8
+) -> DataFrame:
+    """Pearson chi-square test of independence between SOURCE and a
+    length bucket (n_chars DIV bucket_width, capped) — the drift/bias
+    readout a multi-source ingest publishes: a large χ² says document
+    length is source-conditioned, so any length filter reweights the
+    source mixture as a side effect.  Cramér's V normalizes χ² to
+    [0,1] for cross-corpus comparison.
+
+    Each cell term is computed from EXACT integers — with N·o and
+    rt·ct both BIGINT, term = (N·o − rt·ct)² / (N·rt·ct) — so engines
+    agree on every numerator/denominator bit; only the final per-cell
+    division and the (tiny, ≤|sources|·n_buckets-term) sum are IEEE,
+    round6-quantized.
+
+    Scale shape: one projection → one contingency hash agg (census
+    rows = |sources|·n_buckets); marginals are re-aggregates of the
+    census; everything after the first agg is dimension-sized."""
+    b = docs.filter(F.col("n_chars") > 0).select(
+        F.col("source"),
+        F.least(
+            F.expr(f"CAST(n_chars DIV {bucket_width} AS BIGINT)"),
+            F.lit(n_buckets - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    census = b.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rt = census.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    ct = census.groupBy("bucket").agg(F.sum("o").cast("long").alias("ct"))
+    tot = census.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("source").cast("long").alias("r"),
+        F.countDistinct("bucket").cast("long").alias("c"),
+    )
+    # The census holds only OBSERVED cells, but chi-square sums over the
+    # full r×c grid — an empty cell still has e = rt·ct/N > 0 and
+    # contributes e to χ².  Rebuild the grid as marginal × marginal
+    # (dimension-sized cross of two broadcast tables) and left-join the
+    # observed counts, coalescing absent cells to o = 0.
+    grid = rt.crossJoin(F.broadcast(ct))
+    cells = (
+        grid.join(F.broadcast(census), ["source", "bucket"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+        .join(F.broadcast(tot))
+    )
+    num = F.col("n") * F.col("o") - F.col("rt") * F.col("ct")
+    term = (num * num).cast("double") / (
+        F.col("n") * F.col("rt") * F.col("ct")
+    ).cast("double")
+    agg = cells.groupBy("n", "r", "c").agg(F.sum(term).alias("chi2_raw"))
+    dof = ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+    vden = (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_sources"),
+        F.col("c").alias("n_buckets"),
+        dof.alias("dof"),
+        round6(F.col("chi2_raw")).alias("chi2"),
+        round6(
+            F.when(
+                (dof > 0) & (vden > 0), F.sqrt(F.col("chi2_raw") / vden)
+            )
+        ).alias("cramers_v"),
+    )

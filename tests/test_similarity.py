@@ -683,3 +683,49 @@ def test_pq_adc_recall_perfect_on_planted_codebook_points(spark):
     got = pq_adc_recall(emb, m=2, k=2, n_queries=2, topk=2).collect()
     assert [r.recall_at_k for r in got] == [1.0, 1.0]
     assert [r.query_id for r in got] == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic dimension
+# ---------------------------------------------------------------------------
+
+
+def test_twonn_recovers_planar_manifold(spark):
+    # 2-D uniform points embedded in 8-D ambient space: the TwoNN MLE
+    # must see the MANIFOLD dimension (≈2), not the ambient 8.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(size=(300, 2))
+    rows = [
+        (i, [float(x), float(y), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = S.twonn_intrinsic_dim(df, sample_n=256).collect()[0]
+    assert r.n_sample == 256
+    assert r.n_used == 256  # no duplicate points in a continuous draw
+    assert 1.5 < r.intrinsic_dim < 2.6
+
+
+def test_twonn_counts_duplicate_anchors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(size=(50, 3))
+    rows = [
+        (i, [float(a) for a in p], 0) for i, p in enumerate(pts)
+    ]
+    # plant two exact duplicates: their d1 quantizes to 0 → excluded
+    rows.append((100, rows[0][1], 0))
+    rows.append((101, rows[1][1], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = S.twonn_intrinsic_dim(df, sample_n=100).collect()[0]
+    assert r.n_sample == 52
+    assert r.n_dup_anchors == 4  # both members of each duplicate pair
+    assert r.n_used == 48
+    assert r.intrinsic_dim is not None

@@ -954,3 +954,173 @@ def test_topic_tags_is_case_insensitive_and_multi_topic(spark):
     got = {r.topic: r for r in TS.topic_tags(docs, lexicon=lex).collect()}
     # the same word counts toward every topic listing it
     assert got["a"].hits == 1 and got["b"].hits == 2
+
+
+# ---------------------------------------------------------------------------
+# stats ops: linear probe / spearman / chi-square
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stat_docs(spark):
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y22", "!!", "zz"]
+    rows = []
+    for i in range(80):
+        n_words = rng.randint(3, 40)
+        text = " ".join(rng.choice(words) for _ in range(n_words))
+        src = "web" if i % 3 else "books"
+        rows.append((i, text, "en", src, len(text)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_token_linear_probe_matches_lstsq(stat_docs):
+    import re
+
+    import numpy as np
+
+    r = TS.token_linear_probe(stat_docs).collect()[0]
+    rows = stat_docs.collect()
+    feats = []
+    for d in rows:
+        t = d.text.strip()
+        if d.n_chars <= 0 or not t:
+            continue
+        x1 = d.n_chars
+        x2 = len(re.sub("[^A-Za-z]", "", d.text))
+        y = len(re.split(r"\s+", t))
+        feats.append((x1, x2, y))
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in feats])
+    y = np.array([float(y) for _, _, y in feats])
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert r.n_docs == len(feats)
+    assert abs(r.w_intercept - w[0]) < 1e-4
+    assert abs(r.w_nchars - w[1]) < 1e-4
+    assert abs(r.w_alpha - w[2]) < 1e-4
+    pred = X @ w
+    sse = float(((y - pred) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert abs(r.r2 - (1 - sse / sst)) < 1e-4
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def _py_spearman(xs, ys):
+    from collections import Counter
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        ranks, cb = {}, 0
+        for v in sorted(cnt):
+            ranks[v] = cb + (cnt[v] + 1) / 2
+            cb += cnt[v]
+        return [ranks[v] for v in vals]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    return num / den
+
+
+def test_signal_spearman_matches_reference(stat_docs):
+    import re
+
+    r = TS.signal_spearman(stat_docs).collect()[0]
+    xs, ys = [], []
+    for d in stat_docs.collect():
+        if d.n_chars <= 0:
+            continue
+        xs.append(d.n_chars)
+        ys.append(len(re.sub("[^A-Za-z]", "", d.text)) * 1000 // d.n_chars)
+    assert r.n_docs == len(xs)
+    assert abs(r.rho_spearman - _py_spearman(xs, ys)) < 1e-5
+
+
+def test_signal_spearman_degenerate_is_null(spark):
+    # constant n_chars → zero x-rank variance → NULL by contract
+    rows = [
+        (i, "a" * (i + 1) + "!" * (20 - i), "en", "s", 21) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert TS.signal_spearman(df).collect()[0].rho_spearman is None
+    # all-alpha docs: y constant at 1000 → NULL (y-variance zero)
+    df2 = spark.createDataFrame(
+        [(i, "a" * (i + 1), "en", "s", i + 1) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert TS.signal_spearman(df2).collect()[0].rho_spearman is None
+
+
+def test_signal_spearman_sign(spark):
+    # longer docs get LOWER alpha per-mille → rho == −1 exactly
+    rows = [
+        (i, "a" * 5 + "!" * i, "en", "s", 5 + i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = TS.signal_spearman(df).collect()[0]
+    assert r.rho_spearman == -1.0
+
+
+def test_chi2_independence_extremes(spark):
+    # perfectly independent 2×2: identical length mix in both sources
+    rows = []
+    k = 0
+    for src in ("a", "b"):
+        for ln in (10, 600):
+            for _ in range(20):
+                rows.append((k, "x" * ln, "en", src, ln))
+                k += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = TS.chi2_independence(df).collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1
+    # perfectly dependent: source determines the bucket → Cramér's V = 1
+    rows2 = [(i, "x" * 10, "en", "short", 10) for i in range(20)] + [
+        (100 + i, "x" * 600, "en", "long", 600) for i in range(20)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r2 = TS.chi2_independence(df2).collect()[0]
+    assert r2.cramers_v == 1.0
+    assert abs(r2.chi2 - 40.0) < 1e-9  # chi2 = N for a perfect 2×2
+
+
+def test_chi2_matches_reference(stat_docs):
+    from collections import Counter
+
+    r = TS.chi2_independence(stat_docs).collect()[0]
+    cells = Counter()
+    for d in stat_docs.collect():
+        if d.n_chars <= 0:
+            continue
+        cells[(d.source, min(d.n_chars // 256, 7))] += 1
+    n = sum(cells.values())
+    rts = Counter()
+    cts = Counter()
+    for (s, b), o in cells.items():
+        rts[s] += o
+        cts[b] += o
+    # sum over the FULL r×c grid — absent cells contribute e = rt*ct/n
+    chi2 = sum(
+        (n * cells.get((s, b), 0) - rts[s] * cts[b]) ** 2
+        / (n * rts[s] * cts[b])
+        for s in rts
+        for b in cts
+    )
+    assert r.n_docs == n
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert r.dof == (len(rts) - 1) * (len(cts) - 1)
