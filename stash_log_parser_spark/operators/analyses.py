@@ -2895,3 +2895,153 @@ def uplift_by_segment(events: DataFrame, user_col: str = "user_id") -> DataFrame
         F.when(F.col("n_b") > 0, _r6(rate_b)).alias("rate_b"),
         F.when(both, _r6(rate_b - rate_a)).alias("uplift"),
     ).orderBy("segment")
+
+
+def mann_whitney_u(
+    events: DataFrame, value_col: str = "value", user_col: str = "user_id"
+) -> DataFrame:
+    """Mann–Whitney U rank test between the A/B arms' value
+    distributions — the nonparametric twin of the mean-lift readout:
+    heavy-tailed revenue/latency metrics routinely show a "lift" that
+    is three whale users, and U asks the robust question ("does a
+    random B draw exceed a random A draw?") that the t-approximation
+    cannot.  Arms use the same md5 device as ``ab_lift``/``ab_power_mde``
+    so all experiment queries describe one population.
+
+    The textbook form ranks all n observations — a global sort this
+    engine never pays.  Values are cents-quantized onto a SMALL
+    INTEGER DOMAIN, so average ranks follow from the value census's
+    cumulative counts (the ``signal_spearman`` trick): with DOUBLED
+    ranks R2(v) = 2·(count below v) + count(v) + 1 every accumulated
+    moment stays BIGINT-exact, and 2·U_A = Σ c_A(v)·R2(v) − n_A(n_A+1)
+    exactly.  The tie-corrected normal approximation
+    σ² = n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1))) consumes only those
+    integers; z and the rank-biserial effect size are one fixed IEEE
+    chain, mirrored verbatim in the oracle and round6-quantized.
+
+    Scale shape: one corpus-scale hash agg (value census, map-side
+    partials); one cumsum window over the CENSUS (value-domain-sized,
+    cents-quantized — bounded by the metric's dynamic range, not the
+    row count); a 1-row final agg."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    arm_a = (
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8"
+    )
+    d = events.filter(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("v"),
+        arm_a.cast("long").alias("ia"),
+    )
+    census = d.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("ia")).cast("long").alias("cb"),
+        F.count("*").cast("long").alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = (
+        F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+        + F.col("c")
+        + F.lit(1)
+    ).cast("long")
+    ranked = census.withColumn("r2", r2)
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("sr2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).cast("long").alias("tie"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u2a = (F.col("sr2a") - na * (na + F.lit(1))).cast("long")
+    # tie-corrected sigma of U; the doubled-U z divides by 2σ.
+    var = (
+        (na * nb).cast("double")
+        / 12.0
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("tie").cast("double") / (n * (n - F.lit(1))).cast("double")
+        )
+    )
+    # all-tied degenerate case: sigma = 0 AND U2 = na*nb exactly, so the
+    # 0/0 is conventionally z = 0 (guarded — ANSI mode raises on /0).
+    z = F.when(
+        var > 0,
+        (u2a - na * nb).cast("double") / (F.lit(2.0) * F.sqrt(var)),
+    ).otherwise(F.when(u2a == na * nb, F.lit(0.0)))
+    rbs = u2a.cast("double") / (na * nb).cast("double") - F.lit(1.0)
+    ok = (na > 0) & (nb > 0)
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u2a.alias("u2_a"),
+        F.when(ok, round6(u2a.cast("double") / 2.0)).alias("u_a"),
+        F.when(ok, round6(z)).alias("z_u"),
+        F.when(ok, round6(rbs)).alias("rank_biserial"),
+    )
+
+
+def ks_two_sample(
+    events: DataFrame, value_col: str = "value", user_col: str = "user_id"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the A/B arms'
+    value distributions — the distribution-equality gate an experiment
+    platform runs as an A/A sanity check (any D above the asymptotic
+    threshold on an A/A split means the bucketing hash is biased) and
+    as the "did the treatment move ANYTHING" omnibus test.
+
+    Exactness: the supremum is computed as an INTEGER maximum —
+    D = max_v |C_A(v)·n_B − C_B(v)·n_A| / (n_A·n_B) with C the census
+    cumulative counts, so both engines agree on the argmax bit-for-bit
+    (no float ECDF subtraction anywhere); only the final division, the
+    asymptotic λ = D·sqrt(n_A·n_B/n) and the α=0.05 comparison against
+    the closed-form c(α) = sqrt(−ln(0.025)/2) are IEEE, mirrored
+    verbatim and round6-quantized.
+
+    Scale shape: identical to ``mann_whitney_u`` — corpus-scale value
+    census, one census-sized cumsum window, 1-row agg."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    arm_a = (
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8"
+    )
+    d = events.filter(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("v"),
+        arm_a.cast("long").alias("ia"),
+    )
+    census = d.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("ia")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = census.select(
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    tot = census.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    dnum = F.abs(F.col("cuma") * nb - F.col("cumb") * na)
+    agg = cum.join(F.broadcast(tot)).agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.max(dnum).cast("long").alias("d_num_max"),
+    )
+    na2, nb2 = F.col("n_a"), F.col("n_b")
+    ksd = F.col("d_num_max").cast("double") / (na2 * nb2).cast("double")
+    lam = ksd * F.sqrt(
+        (na2 * nb2).cast("double") / (na2 + nb2).cast("double")
+    )
+    crit = F.sqrt(-F.log(F.lit(0.025)) / F.lit(2.0))
+    ok = (na2 > 0) & (nb2 > 0)
+    return agg.select(
+        na2,
+        nb2,
+        F.col("d_num_max"),
+        F.when(ok, round6(ksd)).alias("ks_d"),
+        F.when(ok, round6(lam)).alias("ks_lambda"),
+        F.when(ok, (lam > crit).cast("long")).alias("reject_05"),
+    )

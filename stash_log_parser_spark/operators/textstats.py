@@ -1885,3 +1885,49 @@ def chi2_independence(
             )
         ).alias("cramers_v"),
     )
+
+
+def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-richness panel from the word census: Chao1 richness
+    (bias-corrected), Good–Turing unseen mass, and the hapax ratio —
+    the "how much vocabulary is still unobserved" readout a corpus
+    pipeline publishes when sizing a tokenizer vocab or deciding
+    whether another crawl batch still adds words.  F1 (hapax) and F2
+    (dis legomena) drive both estimators:
+
+        chao1  = V + F1·(F1−1) / (2·(F2+1))      (bias-corrected form,
+                                                  defined even at F2=0)
+        p0_GT  = F1 / N                          (Good–Turing mass of
+                                                  unseen words)
+
+    Exactness: V, N, F1, F2 are BIGINT aggregates of the exact census;
+    the three estimator expressions are one fixed IEEE chain each,
+    mirrored verbatim in the oracle and round6-quantized.
+
+    Scale shape: corpus→vocab collapse (word-keyed hash agg, map-side
+    partials) is the only corpus-scale exchange; the panel is a 1-row
+    re-aggregate of the vocab table."""
+    w = docs.select(F.explode(_words(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = w.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    agg = vocab.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2_dis"),
+    )
+    f1 = F.col("f1_hapax").cast("double")
+    f2 = F.col("f2_dis").cast("double")
+    chao1 = F.col("vocab_size").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab_size",
+        "f1_hapax",
+        "f2_dis",
+        round6(chao1).alias("chao1"),
+        round6(f1 / F.col("n_tokens").cast("double")).alias("gt_unseen_mass"),
+        round6(f1 / F.col("vocab_size").cast("double")).alias("hapax_ratio"),
+    )

@@ -1296,3 +1296,115 @@ def test_uplift_by_segment_thresholds(spark):
     got = {r.segment: r for r in uplift_by_segment(ev).collect()}
     assert set(got) == {"high", "mid", "low"}
     assert all(r.n_a == 1 and r.c_a == 0 for r in got.values())
+
+
+def _arm_a(uid: int) -> bool:
+    import hashlib
+
+    return hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+
+
+def test_mann_whitney_bruteforce_mirror(spark):
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators.analyses import mann_whitney_u
+
+    t0 = dt.datetime(2024, 1, 1)
+    # deterministic values with ties, arms via the md5 device
+    rows = []
+    for i in range(80):
+        rows.append((i, t0, i, "view", float((i * 7) % 13) + 0.25))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = mann_whitney_u(df).collect()[0]
+
+    va = [int(math.floor(v * 100 + 0.5)) for (_, _, u, _, v) in rows if _arm_a(u)]
+    vb = [int(math.floor(v * 100 + 0.5)) for (_, _, u, _, v) in rows if not _arm_a(u)]
+    assert r.n_a == len(va) and r.n_b == len(vb)
+    # doubled U_A by cross-pair brute force: 2·#{a>b} + #{a==b}
+    u2 = sum(2 for a in va for b in vb if a > b) + sum(
+        1 for a in va for b in vb if a == b
+    )
+    assert r.u2_a == u2
+    assert abs(r.u_a - u2 / 2) < 1e-9
+    # tie-corrected z recomputed in pure python
+    from collections import Counter
+
+    cnt = Counter(va + vb)
+    n = len(va) + len(vb)
+    tie = sum(c**3 - c for c in cnt.values())
+    var = len(va) * len(vb) / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u2 - len(va) * len(vb)) / (2 * math.sqrt(var))
+    assert abs(r.z_u - z) < 2e-6
+    assert abs(r.rank_biserial - (u2 / (len(va) * len(vb)) - 1)) < 2e-6
+
+
+def test_mann_whitney_identical_arms_zero_z(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import mann_whitney_u
+
+    t0 = dt.datetime(2024, 1, 1)
+    # every user contributes the SAME single value -> U2 = na*nb, z = 0,
+    # rank-biserial = 0
+    rows = [(i, t0, i, "view", 5.0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = mann_whitney_u(df).collect()[0]
+    assert r.u2_a == r.n_a * r.n_b
+    assert r.z_u == 0.0 and r.rank_biserial == 0.0
+
+
+def test_ks_two_sample_bruteforce_mirror(spark):
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators.analyses import ks_two_sample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):
+        # arm-dependent shift so D is decidedly nonzero
+        v = float((i * 11) % 17) + (3.0 if _arm_a(i) else 0.0)
+        rows.append((i, t0, i, "view", v))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = ks_two_sample(df).collect()[0]
+
+    va = sorted(int(math.floor(v * 100 + 0.5)) for (_, _, u, _, v) in rows if _arm_a(u))
+    vb = sorted(int(math.floor(v * 100 + 0.5)) for (_, _, u, _, v) in rows if not _arm_a(u))
+    na, nb = len(va), len(vb)
+    support = sorted(set(va + vb))
+    dmax = max(
+        abs(sum(1 for x in va if x <= s) * nb - sum(1 for x in vb if x <= s) * na)
+        for s in support
+    )
+    assert (r.n_a, r.n_b, r.d_num_max) == (na, nb, dmax)
+    d = dmax / (na * nb)
+    lam = d * math.sqrt(na * nb / (na + nb))
+    assert abs(r.ks_d - d) < 2e-6
+    assert abs(r.ks_lambda - lam) < 2e-6
+    assert r.reject_05 == (1 if lam > math.sqrt(-math.log(0.025) / 2) else 0)
+
+
+def test_ks_identical_distributions_zero(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import ks_two_sample
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same constant everywhere -> ECDFs identical -> D = 0, no rejection
+    rows = [(i, t0, i, "view", 1.0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = ks_two_sample(df).collect()[0]
+    assert r.d_num_max == 0 and r.ks_d == 0.0 and r.reject_05 == 0

@@ -1124,3 +1124,41 @@ def test_chi2_matches_reference(stat_docs):
     assert r.n_docs == n
     assert abs(r.chi2 - chi2) < 1e-6
     assert r.dof == (len(rts) - 1) * (len(cts) - 1)
+
+
+def test_vocab_richness_hand_corpus(spark):
+    # corpus: "a a a b b c d e" -> N=8 V=5 F1=3 (c,d,e) F2=1 (b)
+    rows = [
+        (0, "a a a b", "en", "s", 7),
+        (1, "b c d e", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = TS.vocab_richness(df).collect()[0]
+    assert (r.n_tokens, r.vocab_size, r.f1_hapax, r.f2_dis) == (8, 5, 3, 1)
+    # chao1 = 5 + 3*2/(2*2) = 6.5 ; GT mass = 3/8 ; hapax ratio = 3/5
+    assert r.chao1 == 6.5
+    assert r.gt_unseen_mass == 0.375
+    assert r.hapax_ratio == 0.6
+
+
+def test_vocab_richness_no_hapax(spark):
+    # every word appears twice -> F1=0 -> chao1 = V, unseen mass 0
+    df = spark.createDataFrame(
+        [(0, "x y x y", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TS.vocab_richness(df).collect()[0]
+    assert (r.n_tokens, r.vocab_size, r.f1_hapax, r.f2_dis) == (4, 2, 0, 2)
+    assert r.chao1 == 2.0 and r.gt_unseen_mass == 0.0 and r.hapax_ratio == 0.0
+
+
+def test_vocab_richness_case_and_whitespace(spark):
+    # lowercasing folds "The"/"the"; multi-space and tabs split cleanly
+    df = spark.createDataFrame(
+        [(0, "The  the\tcat", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TS.vocab_richness(df).collect()[0]
+    assert (r.n_tokens, r.vocab_size, r.f1_hapax, r.f2_dis) == (3, 2, 1, 1)
