@@ -3045,3 +3045,80 @@ def ks_two_sample(
         F.when(ok, round6(lam)).alias("ks_lambda"),
         F.when(ok, (lam > crit).cast("long")).alias("reject_05"),
     )
+
+
+def js_arm_divergence(
+    events: DataFrame, value_col: str = "value", user_col: str = "user_id"
+) -> DataFrame:
+    """Jensen–Shannon divergence between the A/B arms' value
+    distributions over the HDR power-of-two buckets — the bounded,
+    symmetric "how different are these two distributions" number
+    (0 ≤ JS ≤ ln 2) that complements ``ks_two_sample``'s supremum view:
+    KS sees the single worst ECDF gap, JS integrates disagreement over
+    the whole histogram, so a fat-tail-only shift that KS shrugs at
+    still registers.
+
+    Buckets are ``psi_value_drift``'s device (bit-length of integer
+    cents; 0 for non-positive) — fixed and engine-exact.  Each bucket's
+    term ½(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2 is computed from
+    exact BIGINT counts, quantized to 1e-9 nats, and SUMMED AS BIGINT —
+    integer addition is order-independent, so the engines agree
+    bit-for-bit (the psi_term_e6 discipline, tightened three decimal
+    places because this op reports the sum, not the per-bucket rows).
+    0·ln 0 terms are 0 by the p > 0 guards.
+
+    Scale shape: one corpus-scale (bucket, arm) hash-agg; everything
+    after is ≤64 bucket rows; 1-row output."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    arm_a = (
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8"
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    bucket = F.when(cents > 0, F.length(F.bin(cents))).otherwise(0).cast("int")
+    census = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), arm_a.cast("long").alias("ia"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("ia").cast("long").alias("ca"),
+            F.sum(F.lit(1) - F.col("ia")).cast("long").alias("cb"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    na = F.sum("ca").over(w_all)
+    nb = F.sum("cb").over(w_all)
+    # empty-arm guard (ANSI /0): an absent arm contributes p = 0, the
+    # readout columns are NULL-masked by `ok` below anyway.
+    p = F.when(na > 0, F.col("ca").cast("double") / na.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(nb > 0, F.col("cb").cast("double") / nb.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    rows = census.select(
+        na.cast("long").alias("na"),
+        nb.cast("long").alias("nb"),
+        F.floor(term * 1_000_000_000 + F.lit(0.5)).cast("long").alias("t9"),
+    )
+    agg = rows.groupBy("na", "nb").agg(
+        F.sum("t9").cast("long").alias("js_e9"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    ok = (F.col("na") > 0) & (F.col("nb") > 0)
+    js = F.col("js_e9").cast("double") / 1_000_000_000.0
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_buckets",
+        "js_e9",
+        F.when(ok, round6(js)).alias("js_nats"),
+        F.when(ok, round6(js / F.log(F.lit(2.0)))).alias("js_bits_norm"),
+    )

@@ -1931,3 +1931,134 @@ def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
         round6(f1 / F.col("n_tokens").cast("double")).alias("gt_unseen_mass"),
         round6(f1 / F.col("vocab_size").cast("double")).alias("hapax_ratio"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k PMI collocations over the adjacent-bigram census — the
+    classic "which word pairs are glued together" corpus readout, used
+    in curation to surface boilerplate stock phrases (high-PMI pairs
+    repeated across sources) and as a tokenizer-merge sanity check
+    (BPE's first merges should roughly track the PMI head).
+
+    PMI is computed ENTIRELY inside the bigram event space (no unigram/
+    bigram denominator mixing): with N total bigrams, c_xy the pair
+    count and c_x·/c_·y the first/second-position marginals,
+    PMI = ln(c_xy·N / (c_x·.c_·y)).  All four operands are BIGINT
+    census aggregates; ranking happens on the 1e-6-quantized PMI with
+    a lexicographic bigram tie-break so both engines pick the same k
+    rows (ln on an exact integer ratio is bit-stable on one libm —
+    the char_entropy precedent).
+
+    Scale shape: one corpus-scale bigram hash-agg (map-side partials);
+    marginals are re-aggregates of the census; the top-k window runs
+    on the min_count-filtered census (vocab-sized — the documented
+    word_rarity window precedent)."""
+    from pyspark.sql import Window
+
+    ws = _words(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    ws,
+                    F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+                lambda s: (s["x"] != "") & (s["y"] != ""),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    census = pairs.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    mx = census.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    my = census.groupBy("y").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    tot = census.agg(F.sum("c_xy").cast("long").alias("n_bigrams"))
+    cand = (
+        census.filter(F.col("c_xy") >= min_count)
+        .join(mx, "x")
+        .join(my, "y")
+        .join(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("c_xy") * F.col("n_bigrams")).cast("double")
+        / (F.col("c_x") * F.col("c_y")).cast("double")
+    )
+    scored = cand.withColumn(
+        "pmi_e6", F.floor(pmi * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            round6(F.col("pmi_e6").cast("double") / 1_000_000.0).alias("pmi"),
+        )
+        .orderBy("rank")
+    )
+
+
+def token_burstiness(
+    docs: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of per-document
+    counts for the top-k corpus words — the burstiness readout that
+    separates CONTENT words (bursty: a doc about the topic uses the
+    word many times, VMR >> 1) from FUNCTION/boilerplate words
+    (Poisson-ish, VMR ≈ 1).  A template-flooded corpus shows inverted
+    burstiness: its "content" head goes flat because every word count
+    is stamped from the same template.
+
+    Zeros count: with D total docs, S1 = Σ_d c_wd and S2 = Σ_d c_wd²
+    (absent docs contribute 0 to both), VMR = (D·S2 − S1²)/(D·S1) —
+    an EXACT integer ratio per word, one IEEE division at the end,
+    round6-quantized.  doc_frequency rides along.
+
+    Scale shape: one (word, doc) hash-agg at corpus scale, one word
+    hash-agg over that, and the top-k window on the vocab table (the
+    word_rarity precedent)."""
+    from pyspark.sql import Window
+
+    d_tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    wd = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_w = wd.groupBy("w").agg(
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("df"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("s1"), F.asc("w")))
+    top = per_w.withColumn("rank", rk.cast("long")).filter(
+        F.col("rank") <= top_k
+    )
+    out = top.join(F.broadcast(d_tot))
+    vmr = (
+        F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("n_docs") * F.col("s1")).cast("double")
+    return out.select(
+        "rank",
+        "w",
+        F.col("s1").alias("freq"),
+        F.col("df").alias("doc_freq"),
+        round6(vmr).alias("vmr"),
+    ).orderBy("rank")

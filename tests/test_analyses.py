@@ -1408,3 +1408,61 @@ def test_ks_identical_distributions_zero(spark):
     )
     r = ks_two_sample(df).collect()[0]
     assert r.d_num_max == 0 and r.ks_d == 0.0 and r.reject_05 == 0
+
+
+def test_js_divergence_python_mirror(spark):
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from stash_log_parser_spark.operators.analyses import js_arm_divergence
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        v = float((i * 13) % 40) + (8.0 if _arm_a(i) else 0.5)
+        rows.append((i, t0, i, "view", v))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = js_arm_divergence(df).collect()[0]
+
+    def bucket(v):
+        c = int(math.floor(v * 100 + 0.5))
+        return c.bit_length() if c > 0 else 0
+
+    ca, cb = Counter(), Counter()
+    for (_, _, u, _, v) in rows:
+        (ca if _arm_a(u) else cb)[bucket(v)] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (r.n_a, r.n_b) == (na, nb)
+    js_e9 = 0
+    for b in set(ca) | set(cb):
+        p = ca[b] / na
+        q = cb[b] / nb
+        m = (p + q) / 2.0
+        t = ((p * math.log(p / m) if ca[b] > 0 else 0.0)
+             + (q * math.log(q / m) if cb[b] > 0 else 0.0)) / 2.0
+        js_e9 += math.floor(t * 1_000_000_000 + 0.5)
+    assert r.js_e9 == js_e9
+    assert abs(r.js_nats - js_e9 / 1e9) < 6e-7
+    assert abs(r.js_bits_norm - (js_e9 / 1e9) / math.log(2.0)) < 6e-7
+    assert 0.0 <= r.js_nats <= math.log(2.0) + 1e-9
+
+
+def test_js_divergence_identical_is_zero(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import js_arm_divergence
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one shared constant value -> arms have identical one-bucket
+    # histograms -> JS = 0 exactly
+    rows = [(i, t0, i, "view", 7.0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = js_arm_divergence(df).collect()[0]
+    assert r.js_e9 == 0 and r.js_nats == 0.0 and r.n_buckets == 1

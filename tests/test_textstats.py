@@ -1162,3 +1162,72 @@ def test_vocab_richness_case_and_whitespace(spark):
     )
     r = TS.vocab_richness(df).collect()[0]
     assert (r.n_tokens, r.vocab_size, r.f1_hapax, r.f2_dis) == (3, 2, 1, 1)
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    import math
+
+    # "new york" always adjacent; fillers independent
+    rows = [(i, "new york is big and new york is old", "en", "s", 30) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = TS.pmi_collocations(df, top_k=5, min_count=3).collect()
+    assert out, "expected candidate bigrams"
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    top = out[0]
+    # brute-force reference over the bigram event space
+    words = "new york is big and new york is old".split()
+    bigrams = [(a, b) for a, b in zip(words, words[1:])] * 3
+    from collections import Counter
+
+    cb = Counter(bigrams)
+    cx = Counter(a for a, _ in bigrams)
+    cy = Counter(b for _, b in bigrams)
+    n = len(bigrams)
+    ref = {
+        (x, y): math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cb.items()
+        if c >= 3
+    }
+    # operator tie-break: pmi desc, then (x, y) ASC
+    best = sorted(
+        ref.items(), key=lambda kv: (-round(kv[1] * 1e6), kv[0])
+    )[0]
+    assert (top.x, top.y) == best[0]
+    assert abs(top.pmi - best[1]) < 2e-6
+    # counts ride along exactly
+    assert top.c_xy == cb[(top.x, top.y)]
+    assert top.c_x == cx[top.x] and top.c_y == cy[top.y]
+
+
+def test_pmi_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # every bigram occurs once < min_count=2 -> empty result
+    assert TS.pmi_collocations(df, top_k=10, min_count=2).count() == 0
+
+
+def test_token_burstiness_reference(spark):
+    # word "x": doc counts [3, 0, 1]; word "y": [1, 1, 1] (poisson-flat)
+    rows = [
+        (0, "x x x y", "en", "s", 7),
+        (1, "y z", "en", "s", 3),
+        (2, "x y z", "en", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.w: r for r in TS.token_burstiness(df, top_k=10).collect()}
+    d, s1, s2 = 3, 4, 10  # x: counts 3,0,1
+    assert out["x"].freq == 4 and out["x"].doc_freq == 2
+    assert abs(out["x"].vmr - (d * s2 - s1 * s1) / (d * s1)) < 6e-7
+    # constant-per-doc word: variance>0 still (3 docs, counts 1,1,1 -> vmr
+    # = (3*3-9)/(3*3) = 0 ... wait E over all docs incl zeros: all ones ->
+    # var 0 -> vmr = 2/3? compute exactly:
+    assert abs(out["y"].vmr - (3 * 3 - 3 * 3) / (3 * 3)) < 6e-7  # = 0.0
+    # ranks ordered by freq desc then word
+    ranks = [r.rank for r in sorted(out.values(), key=lambda r: r.rank)]
+    assert ranks == list(range(1, len(out) + 1))
