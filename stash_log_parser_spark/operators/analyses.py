@@ -3122,3 +3122,57 @@ def js_arm_divergence(
         F.when(ok, round6(js)).alias("js_nats"),
         F.when(ok, round6(js / F.log(F.lit(2.0)))).alias("js_bits_norm"),
     )
+
+
+def arrival_dispersion(parsed: DataFrame) -> DataFrame:
+    """Index of dispersion (variance-to-mean) of per-minute arrival
+    counts, per protocol — the Poisson sanity check an SRE runs on a
+    request log before trusting any rate-based alert: VMR ≈ 1 means
+    memoryless arrivals (rate alerts are well-calibrated), VMR >> 1
+    means bursts/retry storms (a static threshold will both flap and
+    miss), VMR < 1 means a rate-limited or polled client.
+
+    EMPTY minutes count: with M = span minutes (global min→max over
+    all protocols, so rows are comparable), n = Σ counts and
+    S2 = Σ counts², VMR = (M·S2 − n²)/(M·n) — an exact BIGINT ratio
+    (the ``token_burstiness`` identity on the time axis), one IEEE
+    division, round6-quantized.  active/empty minute counts ride
+    along so a flat VMR from a mostly-empty span is visible.
+
+    Scale shape: one (protocol, minute) hash-agg at corpus scale
+    (map-side partials), a 1-row global min/max broadcast back, and a
+    per-protocol re-aggregate — census-sized everything after the
+    first agg."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    minute = F.floor(F.unix_timestamp(F.col("ts")) / 60).cast("long")
+    base = parsed.filter(F.col("is_parsed")).select(
+        F.col("protocol"), minute.alias("m")
+    )
+    census = base.groupBy("protocol", "m").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bounds = census.agg(
+        F.min("m").alias("m0"), F.max("m").alias("m1")
+    )
+    per_p = (
+        census.groupBy("protocol")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+            F.count("*").cast("long").alias("active_minutes"),
+        )
+        .crossJoin(F.broadcast(bounds))
+    )
+    span = (F.col("m1") - F.col("m0") + F.lit(1)).cast("long")
+    vmr = (span * F.col("s2") - F.col("n") * F.col("n")).cast("double") / (
+        span * F.col("n")
+    ).cast("double")
+    return per_p.select(
+        "protocol",
+        F.col("n").alias("n_requests"),
+        span.alias("span_minutes"),
+        "active_minutes",
+        (span - F.col("active_minutes")).cast("long").alias("empty_minutes"),
+        round6(vmr).alias("vmr"),
+    ).orderBy("protocol")

@@ -2062,3 +2062,69 @@ def token_burstiness(
         F.col("df").alias("doc_freq"),
         round6(vmr).alias("vmr"),
     ).orderBy("rank")
+
+
+def word_cond_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conditional word entropy H(next | current) of the corpus bigram
+    model — the one-number "how predictable is this text" readout
+    (natural prose ≈ 6–8 bits/word; template soup collapses toward 0;
+    shuffled-word noise approaches the unigram entropy).  Complements
+    ``bigram_lm_score`` (per-doc fluency) with the corpus-level rate,
+    and ``zipf_fit``/``token_burstiness`` as the third orthogonal
+    template detector.
+
+    Identity that removes every cross-engine float hazard: with
+    S(T) = Σ_t c_t·lnq(c_t) over a census T (lnq = ln quantized to
+    1e-4 units — the zipf_fit discipline; c·lnq stays in int64 to
+    ~10^14 bigrams), and both entropies sharing denominator N,
+
+        H(Y|X) = H(X,Y) − H(X) = (S(first-marginal) − S(bigram)) / (N·10⁴)
+
+    — the ln N terms CANCEL, so the conditional entropy is an exact
+    integer difference divided once.  H(X,Y), H(X) themselves need
+    ln N (one libm call on an exact integer — bit-stable), and the
+    perplexity is exp of the quantized rate; all round6-quantized.
+
+    Scale shape: one corpus-scale bigram hash-agg; the first-word
+    marginal is a re-aggregate; two 1-row sums; no window, no join."""
+    ws = _words(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    ws,
+                    F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+                lambda s: (s["x"] != "") & (s["y"] != ""),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    census = pairs.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    lnq = lambda c: F.floor(  # noqa: E731 — local quantized-ln helper
+        F.log(c.cast("double")) * 10_000 + F.lit(0.5)
+    ).cast("long")
+    s_xy = census.agg(
+        F.sum(F.col("c") * lnq(F.col("c"))).cast("long").alias("s_xy"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    s_x = (
+        census.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .agg(F.sum(F.col("cx") * lnq(F.col("cx"))).cast("long").alias("s_x"))
+    )
+    j = s_xy.join(F.broadcast(s_x))
+    n_d = F.col("n").cast("double")
+    ln_n = F.log(n_d)
+    h_xy = ln_n - F.col("s_xy").cast("double") / (n_d * 10_000.0)
+    h_x = ln_n - F.col("s_x").cast("double") / (n_d * 10_000.0)
+    h_cond = (F.col("s_x") - F.col("s_xy")).cast("double") / (n_d * 10_000.0)
+    return j.select(
+        F.col("n").alias("n_bigrams"),
+        round6(h_xy).alias("h_bigram_nats"),
+        round6(h_x).alias("h_first_nats"),
+        round6(h_cond).alias("h_cond_nats"),
+        round6(F.exp(h_cond)).alias("ppl_cond"),
+    )

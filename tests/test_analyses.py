@@ -1466,3 +1466,46 @@ def test_js_divergence_identical_is_zero(spark):
     )
     r = js_arm_divergence(df).collect()[0]
     assert r.js_e9 == 0 and r.js_nats == 0.0 and r.n_buckets == 1
+
+
+def test_arrival_dispersion_reference(spark):
+    """Hand-built parsed frame: minutes 0,1,2,4 (minute 3 empty).
+    http counts [3,0,1,0,1] over span 5; ssh constant 1/minute."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import arrival_dispersion
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for m, k in [(0, 3), (2, 1), (4, 1)]:
+        for _ in range(k):
+            rows.append(("http", t0 + dt.timedelta(minutes=m), True))
+    for m in range(5):
+        rows.append(("ssh", t0 + dt.timedelta(minutes=m), True))
+    rows.append(("https", t0, False))  # malformed: excluded
+    df = spark.createDataFrame(rows, "protocol string, ts timestamp, is_parsed boolean")
+    out = {r.protocol: r for r in arrival_dispersion(df).collect()}
+    assert set(out) == {"http", "ssh"}
+    h = out["http"]
+    # n=5, s2=9+1+1=11, M=5 -> vmr = (5*11-25)/(5*5) = 30/25 = 1.2
+    assert (h.n_requests, h.span_minutes, h.active_minutes, h.empty_minutes) == (5, 5, 3, 2)
+    assert abs(h.vmr - 1.2) < 6e-7
+    s = out["ssh"]
+    # constant 1/min: s2=5, vmr = (5*5-25)/(5*5) = 0
+    assert s.vmr == 0.0 and s.empty_minutes == 0
+
+
+def test_arrival_dispersion_shared_span(spark):
+    """The span is GLOBAL: a protocol active in one minute still gets
+    the full span in its denominator."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import arrival_dispersion
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("ssh", t0, True), ("ssh", t0 + dt.timedelta(minutes=9), True),
+            ("http", t0 + dt.timedelta(minutes=4), True)]
+    df = spark.createDataFrame(rows, "protocol string, ts timestamp, is_parsed boolean")
+    out = {r.protocol: r for r in arrival_dispersion(df).collect()}
+    assert out["http"].span_minutes == 10 and out["ssh"].span_minutes == 10
+    assert out["http"].empty_minutes == 9

@@ -1231,3 +1231,47 @@ def test_token_burstiness_reference(spark):
     # ranks ordered by freq desc then word
     ranks = [r.rank for r in sorted(out.values(), key=lambda r: r.rank)]
     assert ranks == list(range(1, len(out) + 1))
+
+
+def test_word_cond_entropy_deterministic_chain(spark):
+    """'a b a b a b' repeated: next word is DETERMINED by current word
+    -> H(Y|X) = 0, ppl = 1."""
+    df = spark.createDataFrame(
+        [(i, "a b " * 20, "en", "s", 80) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TS.word_cond_entropy(df).collect()[0]
+    assert r.h_cond_nats == 0.0 and r.ppl_cond == 1.0
+    # H(X,Y) == H(X) when Y is a function of X
+    assert r.h_bigram_nats == r.h_first_nats
+
+
+def test_word_cond_entropy_python_mirror(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog met",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = TS.word_cond_entropy(df).collect()[0]
+    bi = Counter()
+    for t in texts:
+        w = t.split()
+        bi.update(zip(w, w[1:]))
+    n = sum(bi.values())
+    lnq = lambda c: math.floor(math.log(c) * 10000 + 0.5)
+    s_xy = sum(c * lnq(c) for c in bi.values())
+    first = Counter()
+    for (x, _), c in bi.items():
+        first[x] += c
+    s_x = sum(c * lnq(c) for c in first.values())
+    assert r.n_bigrams == n
+    assert abs(r.h_cond_nats - (s_x - s_xy) / (n * 10000)) < 6e-7
+    assert abs(r.h_bigram_nats - (math.log(n) - s_xy / (n * 10000))) < 6e-7
+    assert r.h_cond_nats > 0
