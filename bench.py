@@ -131,6 +131,8 @@ def main() -> dict:
         "emb_lsh_topk",
         "emb_ivf_topk",
         "log_token_bigram_novelty",
+        "docs_pmi_collocations",
+        "events_mann_whitney",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 
