@@ -1973,8 +1973,15 @@ def pmi_collocations(
             )
         ).alias("p")
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    census = pairs.groupBy("x", "y").agg(
-        F.count("*").cast("long").alias("c_xy")
+    # Materialize the census ONCE: four consumers branch off it
+    # (marginals ×2, total, candidates) and Spark's exchange reuse does
+    # not unify them (verified: 4 corpus scans without this) — at
+    # 100 TB the corpus must be scanned and exploded exactly once; the
+    # cached census is vocab²-bounded, not corpus-sized.
+    census = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .cache()
     )
     mx = census.groupBy("x").agg(F.sum("c_xy").cast("long").alias("c_x"))
     my = census.groupBy("y").agg(F.sum("c_xy").cast("long").alias("c_y"))
@@ -2100,8 +2107,12 @@ def word_cond_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    census = pairs.groupBy("x", "y").agg(
-        F.count("*").cast("long").alias("c")
+    # one corpus scan: the census feeds both the joint sum and the
+    # first-word marginal (same rationale as pmi_collocations).
+    census = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+        .cache()
     )
     lnq = lambda c: F.floor(  # noqa: E731 — local quantized-ln helper
         F.log(c.cast("double")) * 10_000 + F.lit(0.5)
