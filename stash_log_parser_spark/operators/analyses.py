@@ -3010,10 +3010,13 @@ def ks_two_sample(
         F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("v"),
         arm_a.cast("long").alias("ia"),
     )
+    # two consumers (cumulatives + totals) branch off the census —
+    # materialize once so the corpus is scanned once (census is
+    # value-domain-sized).
     census = d.groupBy("v").agg(
         F.sum("ia").cast("long").alias("ca"),
         F.sum(F.lit(1) - F.col("ia")).cast("long").alias("cb"),
-    )
+    ).cache()
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = census.select(
         F.sum("ca").over(w).cast("long").alias("cuma"),
@@ -3149,9 +3152,11 @@ def arrival_dispersion(parsed: DataFrame) -> DataFrame:
     base = parsed.filter(F.col("is_parsed")).select(
         F.col("protocol"), minute.alias("m")
     )
+    # two consumers (global bounds + per-protocol sums) branch off the
+    # census — materialize once so the parsed log is scanned once.
     census = base.groupBy("protocol", "m").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).cache()
     bounds = census.agg(
         F.min("m").alias("m0"), F.max("m").alias("m1")
     )

@@ -1771,7 +1771,14 @@ def signal_spearman(docs: DataFrame, text_col: str = "text") -> DataFrame:
             " DIV n_chars AS BIGINT)"
         ).alias("yv"),
     )
-    census = base.groupBy("xv", "yv").agg(F.count("*").cast("long").alias("c"))
+    # three consumers (two marginals + the rank join) branch off the
+    # census and exchange reuse does not unify them — materialize once
+    # so the corpus is scanned once (census is |X|·|Y|-bounded).
+    census = (
+        base.groupBy("xv", "yv")
+        .agg(F.count("*").cast("long").alias("c"))
+        .cache()
+    )
     wx = Window.orderBy("xv").rowsBetween(Window.unboundedPreceding, -1)
     xm = (
         census.groupBy("xv")
@@ -1843,8 +1850,13 @@ def chi2_independence(
             F.lit(n_buckets - 1).cast("long"),
         ).alias("bucket"),
     )
-    census = b.groupBy("source", "bucket").agg(
-        F.count("*").cast("long").alias("o")
+    # four consumers (row/col marginals, totals, the grid left-join)
+    # branch off the contingency census — materialize once so the
+    # corpus is scanned once (census is |sources|·n_buckets rows).
+    census = (
+        b.groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("o"))
+        .cache()
     )
     rt = census.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
     ct = census.groupBy("bucket").agg(F.sum("o").cast("long").alias("ct"))
