@@ -929,3 +929,170 @@ def incremental_dedup(
         )
         .orderBy("source")
     )
+
+
+def band_entries_of(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """NARROW banded LSH entries (doc_id, band, bucket) from a minhash
+    signature frame — the shared banding device of minhash_lsh_pairs,
+    re-exported so incremental callers can band ONE signature pass and
+    split it, instead of re-hashing per side."""
+    rows = k // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.get("minhash", b * rows + r) for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("be"),
+    ).select("doc_id", "be.band", "be.bucket")
+
+
+def incremental_near_dedup(
+    docs: DataFrame,
+    delta_mod: int = 5,
+    n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = 8,
+    jaccard_threshold: float = 0.2,
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    cap_metrics: dict | None = None,
+) -> DataFrame:
+    """Snapshot-incremental NEAR-duplicate dedup — ``incremental_dedup``
+    with MinHash-LSH + Jaccard verification in place of exact hashing:
+    the nightly-crawl shape where tonight's batch must drop documents
+    that are ~90 %-similar (not just byte-identical) to anything the
+    committed corpus already kept, without re-deduping the corpus.
+
+    Verdicts per delta doc, mutually exclusive and registry-first:
+    ``dup_vs_base`` (a verified near-dup of ANY base doc — the base is
+    the standing registry, band entries of the committed corpus),
+    else ``dup_within_delta`` (member of a verified near-dup CLUSTER
+    among the base-surviving delta docs that is not the cluster's
+    minimum id — connected components via near_dup_clusters, so A~B,
+    B~C collapses to one survivor even if A~C was never emitted),
+    else survivor.  Output per source: n_delta, n_dup_vs_base,
+    n_dup_within_delta, n_survivors.
+
+    Scale shape: ONE shingle+signature pass over the corpus, banded
+    once and split into registry/delta sides (in production the
+    registry side is the persisted band-entry table the ingest
+    maintains — the only part of the base ever touched); the bucket
+    cap (shared audited device) bounds both the cross join and the
+    delta self-join; shingles re-attach only to candidate PAIRS.
+    The oracle is the exact all-pairs Jaccard twin + recursive
+    transitive closure (LSH params chosen so candidates provably cover
+    every ≥-threshold pair on the tested corpora — the
+    docs_lsh_recall_audit contract)."""
+    from .textstats import round6
+
+    is_delta = F.col("doc_id") % delta_mod == (delta_mod - 1)
+    sh = with_shingles(docs, n, text_col).select(
+        "doc_id", "source", "shingles", is_delta.alias("is_delta")
+    )
+    sigs = with_minhash(sh, k)
+    entries = band_entries_of(sigs, k, bands)
+    entries = apply_bucket_cap(
+        entries, ["band", "bucket"], max_bucket, cap_metrics
+    )
+    flags = sh.select("doc_id", "is_delta")
+    entries = entries.join(flags, "doc_id")
+    reg_e = entries.filter(~F.col("is_delta")).select(
+        F.col("doc_id").alias("reg_id"), "band", "bucket"
+    )
+    del_e = entries.filter(F.col("is_delta")).select(
+        "doc_id", "band", "bucket"
+    )
+    shingle_tbl = sh.select("doc_id", "shingles")
+
+    def verified(cand: DataFrame, left: str, right: str) -> DataFrame:
+        c = (
+            cand.join(
+                shingle_tbl.select(
+                    F.col("doc_id").alias(left),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                left,
+            )
+            .join(
+                shingle_tbl.select(
+                    F.col("doc_id").alias(right),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                right,
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = round6(inter / F.greatest(union, F.lit(1)))
+        return c.filter(jac >= jaccard_threshold).select(left, right)
+
+    cross = (
+        del_e.join(reg_e, ["band", "bucket"])
+        .select("doc_id", "reg_id")
+        .dropDuplicates(["doc_id", "reg_id"])
+    )
+    dup_base = verified(cross, "doc_id", "reg_id").select("doc_id").distinct()
+
+    survivors1 = (
+        sh.filter(F.col("is_delta"))
+        .join(dup_base, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    a = del_e.join(survivors1, "doc_id").alias("a")
+    b = del_e.join(survivors1, "doc_id").alias("b")
+    in_delta_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = verified(in_delta_cand, "doc_a", "doc_b")
+    clusters = near_dup_clusters(pairs)
+    dup_within = clusters.filter(F.col("cluster") != F.col("doc_id")).select(
+        "doc_id", F.lit(True).alias("dw")
+    )
+    flagged = (
+        sh.filter(F.col("is_delta"))
+        .select("doc_id", "source")
+        .join(dup_base.select("doc_id", F.lit(True).alias("db")), "doc_id", "left")
+        .join(dup_within, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("db", F.lit(False)).alias("dup_base"),
+            F.coalesce("dw", F.lit(False)).alias("dup_within"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_delta"),
+            F.sum(F.col("dup_base").cast("long"))
+            .cast("long")
+            .alias("n_dup_vs_base"),
+            F.sum(((~F.col("dup_base")) & F.col("dup_within")).cast("long"))
+            .cast("long")
+            .alias("n_dup_within_delta"),
+            F.sum(
+                ((~F.col("dup_base")) & (~F.col("dup_within"))).cast("long")
+            )
+            .cast("long")
+            .alias("n_survivors"),
+        )
+        .orderBy("source")
+    )

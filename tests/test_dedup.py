@@ -544,3 +544,32 @@ def test_incremental_dedup_verdicts(spark):
     assert (r.n_delta, r.n_dup_vs_base, r.n_dup_within_delta, r.n_survivors) == (
         3, 1, 1, 1,
     )
+
+
+def test_incremental_near_dedup_verdicts(spark):
+    """Near-dup variant: a delta doc ~90%-similar (not identical) to a
+    base doc is dropped vs base; a near-dup pair inside the delta
+    collapses to one survivor; a genuinely novel delta doc survives."""
+    from stash_log_parser_spark.operators.dedup import incremental_near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    # delta 4: one word changed from base  -> near-dup vs base
+    d4 = base.replace("lazy", "sleepy")
+    # delta 9 / 14: near-dups of each other, unrelated to base
+    d9 = "pack my box with five dozen liquor jugs before the long trip south"
+    d14 = d9.replace("liquor", "juice")
+    # delta 19: novel
+    d19 = "completely different content about spark shuffle partitions and codegen"
+    rows = [
+        (0, base, "s"),
+        (1, "unrelated base text holding registry entries for this corpus", "s"),
+        (4, d4, "s"),
+        (9, d9, "s"),
+        (14, d14, "s"),
+        (19, d19, "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = incremental_near_dedup(docs, delta_mod=5, jaccard_threshold=0.2).collect()[0]
+    assert (r.n_delta, r.n_dup_vs_base, r.n_dup_within_delta, r.n_survivors) == (
+        4, 1, 1, 2,
+    )
