@@ -621,3 +621,78 @@ def shard_rebalance(
             "moved_frac"
         ),
     ).orderBy("strategy")
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int = 200,
+    strat_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: how many docs to
+    draw from each stratum so a fixed human-eval / labeling budget
+    minimizes the variance of the corpus-level mean of ``value_col``.
+    The survey-sampling answer is n_h ∝ N_h·S_h (stratum size times
+    stratum std-dev): big AND internally-diverse sources get more of
+    the budget than big-but-uniform ones — the question every eval-set
+    designer asks before paying annotators.
+
+    Exactness: the stratum variance is computed from EXACT integer
+    moments (Σx, Σx² over an integer value column stay BIGINT-exact;
+    var = (n·Σx² − (Σx)²)/(n·(n−1)) is one double division from exact
+    ints), so both engines see bit-identical weights. Fractional
+    quotas are round6-quantized before largest-remainder rounding and
+    remainder ties break on the stratum name, so the integer
+    allocation is engine-exact too. The largest-remainder step
+    guarantees Σ alloc_n == budget exactly.
+
+    Scale shape: one corpus-scale hash agg (map-side partial sums) to
+    a strata-sized frame; every window below runs over that tiny
+    frame (#strata rows), never the corpus."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    per = (
+        docs.groupBy(strat_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col(value_col).cast("long")).cast("long").alias("sx"),
+            F.sum(
+                F.col(value_col).cast("long") * F.col(value_col).cast("long")
+            )
+            .cast("long")
+            .alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n_docs"), F.col("sx"), F.col("sxx")
+    var = F.when(
+        n > 1,
+        (n * sxx - sx * sx).cast("double") / (n * (n - F.lit(1))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("w", n.cast("double") * F.sqrt(F.greatest(var, F.lit(0.0))))
+    all_w = Window.partitionBy()
+    quota = round6(
+        F.lit(float(budget)) * F.col("w") / F.sum("w").over(all_w)
+    )
+    per = per.withColumn("quota", quota).withColumn(
+        "base", F.floor(F.col("quota")).cast("long")
+    )
+    leftover = (F.lit(budget) - F.sum("base").over(all_w)).cast("long")
+    rem_rank = F.row_number().over(
+        Window.partitionBy().orderBy(
+            F.desc(round6(F.col("quota") - F.col("base"))), F.asc(strat_col)
+        )
+    )
+    out = per.withColumn(
+        "alloc_n",
+        (F.col("base") + (rem_rank <= leftover).cast("long")).cast("long"),
+    )
+    return out.select(
+        F.col(strat_col),
+        F.col("n_docs"),
+        round6(F.sqrt(F.greatest(var, F.lit(0.0)))).alias("stddev"),
+        F.col("quota"),
+        F.col("alloc_n"),
+        round6(F.col("alloc_n").cast("double") / n.cast("double")).alias(
+            "sample_frac"
+        ),
+    ).orderBy(strat_col)

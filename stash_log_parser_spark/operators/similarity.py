@@ -1596,3 +1596,75 @@ def twonn_intrinsic_dim(
         ).alias("intrinsic_dim"),
         round6(F.col("slnmu") / F.col("n_used")).alias("mean_ln_mu"),
     )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-first (Gonzalez) k-center coreset over the embedding
+    table — the classic 2-approximation for picking k MAXIMALLY
+    DIVERSE exemplars, the dual of dedup: SemDeDup removes what is too
+    close together, this selects what is farthest apart (seed sets for
+    active labeling, eval probes, cluster initialization).
+
+    Seed = the vector of largest squared norm (tie → smallest id);
+    each following round selects the point FARTHEST from everything
+    selected so far (max over points of min-over-centers distance).
+    Distances are squared L2 via the inner-product identity
+    |a−b|² = |a|² + |b|² − 2⟨a,b⟩ with round6 quantization at every
+    comparison point and id tie-breaks, so both engines select the
+    identical sequence.
+
+    Scale shape: the inherently sequential part of Gonzalez is k — a
+    SMALL constant — not the corpus: each round is ONE distributed
+    scan computing least(min_d, d²(·, new_center)) plus a 1-row
+    argmax reduce (TakeOrdered, no global sort), with the center
+    vector broadcast as a literal. k scans of the corpus for k
+    exemplars is the textbook distributed shape; min_d folds
+    incrementally so round r does O(1) vector ops per row regardless
+    of r. The driver holds only the k selected rows.
+
+    Returns (sel_round, vec_id, min_dist) — min_dist is the point's
+    distance-to-selected-set at the moment it was chosen (NULL for
+    the seed), i.e. the running covering radius."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n2", round6(_dot(F.col("v"), F.col("v"))))
+    base = base.persist()
+    try:
+        seed = base.orderBy(F.desc("n2"), F.asc("vid")).limit(1).collect()[0]
+        picked = [(1, int(seed.vid), None)]
+
+        def d2_to(center_vec, center_n2):
+            lit_vec = F.array(*[F.lit(float(x)) for x in center_vec])
+            return round6(
+                F.col("n2")
+                + F.lit(float(center_n2))
+                - F.lit(2.0) * _dot(F.col("v"), lit_vec)
+            )
+
+        cur = base.filter(F.col("vid") != int(seed.vid)).withColumn(
+            "min_d", d2_to(seed.v, seed.n2)
+        )
+        for r in range(2, k + 1):
+            far = cur.orderBy(F.desc("min_d"), F.asc("vid")).limit(1).collect()
+            if not far:
+                break
+            far = far[0]
+            picked.append((r, int(far.vid), float(far.min_d)))
+            if r < k:
+                cur = cur.filter(F.col("vid") != int(far.vid)).withColumn(
+                    "min_d", F.least(F.col("min_d"), d2_to(far.v, far.n2))
+                )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        picked, "sel_round int, vec_id long, min_dist double"
+    ).orderBy("sel_round")
