@@ -566,6 +566,105 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kneser_ney_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per document — the
+    smoothing upgrade of ``bigram_lm_score``. The raw MLE bigram model
+    assigns zero (−∞ log) probability to any bigram it has seen only
+    through the doc being scored and over-trusts frequent first words;
+    KN is THE standard fix (the KenLM default) and what a production
+    CCNet-style fluency filter actually runs:
+
+        P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    i.e. discount every observed bigram by D and redistribute the
+    held-out mass to a CONTINUATION unigram (how many distinct
+    contexts w2 follows — "san francisco" makes 'francisco' frequent
+    but not versatile). Since the corpus is also the model, every
+    bigram has c ≥ 1 and the score is finite, but the ranking now
+    reflects versatility, not just frequency.
+
+    Exactness: all five count tables (c(w1w2), c(w1·), follower/
+    predecessor type counts N1+, total bigram types T) are BIGINT;
+    D = 0.75 is exact binary, so P_KN is a fixed IEEE expression DAG
+    over integers — bit-identical across engines. Each ln P is
+    quantized to integer MICRO-NATS and summed as BIGINT (order-
+    independent — the repo's JS-divergence device), so the per-doc
+    mean is engine-exact.
+
+    Scale shape: identical to ``bigram_lm_score`` — one bigram explode
+    feeds a gram-type census (zipf-bounded derived dimension); the
+    follower/predecessor/total tables all derive from that census (no
+    second corpus pass); the doc-side join keys on the gram string and
+    AQE broadcasts the census while it fits. No window, no sort."""
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.when(n >= 2, grams).otherwise(F.array())).alias("gram"),
+    )
+    bi = doc_grams.groupBy("gram").agg(F.count("*").cast("long").alias("cb"))
+    bi = bi.withColumn(
+        "w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+    ).withColumn("w2", F.split_part(F.col("gram"), F.lit(" "), F.lit(2)))
+    fol = bi.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cw"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    pre = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n1p"))
+    tot = bi.agg(F.count("*").cast("long").alias("t_types"))
+    model = (
+        bi.join(fol, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    d_lit = F.lit(float(discount))
+    # The expression below is mirrored verbatim in the SQL twin.
+    p = (
+        F.greatest(F.col("cb").cast("double") - d_lit, F.lit(0.0))
+        / F.col("cw").cast("double")
+        + (d_lit * F.col("n1f").cast("double") / F.col("cw").cast("double"))
+        * (F.col("n1p").cast("double") / F.col("t_types").cast("double"))
+    )
+    model = model.select(
+        "gram",
+        F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long").alias("lp_micro"),
+    )
+    scored = (
+        doc_grams.join(model, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round6(
+                -F.col("s_micro").cast("double")
+                / (F.lit(1e6) * F.col("n_bigrams").cast("double"))
+            ).alias("kn_xent"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("kn_xent", F.lit(0.0)).alias("kn_xent"),
+        )
+    )
+
+
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space
 # symbols — the GPT-2 pretokenizer's shape minus the lookahead/unicode
 # classes neither engine's regex treats identically. Applied to

@@ -298,6 +298,45 @@ def test_bigram_lm_score_exact(spark):
     assert (got[4].n_bigrams, got[4].neg_avg_logp) == (0, 0.0)
 
 
+def test_kneser_ney_score_exact(spark):
+    """Hand corpus mirrors the closed form: with bigrams 'a b'×2 and
+    'a c'×1, c(a·)=3, N1+(a·)=2, N1+(·b)=N1+(·c)=1, T=2 and D=0.75:
+    P(b|a) = 1.25/3 + (0.75·2/3)·(1/2), P(c|a) = 0.25/3 + same
+    backoff. Scores follow the micro-nat quantization exactly;
+    <2-word docs come back 0/0.0."""
+    import math
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.kneser_ney_score(df).collect()}
+
+    def kn(cb, cw, n1f, n1p, t):
+        p = max(cb - 0.75, 0.0) / cw + (0.75 * n1f / cw) * (n1p / t)
+        lp = math.floor(math.log(p) * 1e6 + 0.5)
+        return math.floor((-lp / (1e6 * 1)) * 1e6 + 0.5) / 1e6
+
+    assert got[1].n_bigrams == 1 and got[1].kn_xent == kn(2, 3, 2, 1, 2)
+    assert got[3].kn_xent == kn(1, 3, 2, 1, 2)
+    assert got[3].kn_xent > got[1].kn_xent  # discounted MLE dominates
+    assert (got[4].n_bigrams, got[4].kn_xent) == (0, 0.0)
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The KN signature: a w2 that follows MANY distinct contexts gets
+    more backoff mass than an equally-frequent w2 welded to one
+    context. 'z' appears 3× but only ever after 'q'; 'b' appears 3×
+    after 3 different words → unseen-context backoff favors b."""
+    rows = [
+        (1, "q z"), (2, "q z"), (3, "q z"),
+        (4, "u b"), (5, "v b"), (6, "w b"), (7, "s b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.kneser_ney_score(df).collect()}
+    # P(z|q) = (3-.75)/3 + (.75/3)(1/5) = 0.80
+    # P(b|u) = (1-.75)/1 + (.75)(4/5)  = 0.85 — versatility wins
+    assert got[4].kn_xent < got[1].kn_xent
+
+
 def test_gopher_quality_matches_python_reference(spark):
     """Property test: flags equal a pure-python reference on random
     texts mixing words, digits, symbols, and ellipses."""
