@@ -1668,3 +1668,90 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picked, "sel_round int, vec_id long, min_dist double"
     ).orderBy("sel_round")
+
+
+def silhouette_by_cell(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per IVF cell — the
+    cluster-quality eval for the k-means coarse quantizer every other
+    embedding operator here builds on (IVF top-k, SemDeDup, nprobe
+    sweep). The full silhouette needs all pairwise distances (O(n²) —
+    impossible at corpus scale); the standard scalable variant replaces
+    mean-distance-to-cluster with distance-to-centroid:
+
+        a(x) = 1 − cos(x, own centroid)
+        b(x) = 1 − max over other centroids cos(x, ·)
+        s(x) = (b − a) / max(a, b)     (0 when max(a,b) = 0)
+
+    s ≈ 1 means tight, well-separated cells (nprobe=1 would already
+    recall well); s ≈ 0 means boundary-hugging points (raise nprobe or
+    n_cells). Because assignment is argmax-cosine, a ≤ b and s ∈ [0,1].
+
+    Exactness: the fit is the engine-portable kmeans_centroids (round-6
+    centroid means); per-row cosines are round6-quantized, a/b/s are
+    fixed IEEE expressions over those quantized values, and s is summed
+    as integer MICRO units (BIGINT — order-independent), so per-cell
+    means are engine-exact.
+
+    Scale shape: one Arrow-matmul assignment pass (shuffle-free) + one
+    projection computing all n_cells cosines against LITERAL centroid
+    arrays inside whole-stage codegen, then a cells-sized hash agg —
+    the corpus is scanned, never shuffled; only (cell, s_micro)
+    partials move. Returns per-cell rows plus an overall cell = -1
+    row."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    C = kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    e = with_ivf_cells(embeddings.select(id_col, vec_col), C, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    cos_arr = F.array(
+        *[
+            round6(
+                cosine_expr(v, F.array(*[F.lit(float(x)) for x in C[j]]))
+            )
+            for j in range(C.shape[0])
+        ]
+    )
+    cell = F.col("cell")
+    own = F.get(cos_arr, cell)
+    oth = F.array_max(
+        F.filter(cos_arr, lambda x, i: i != cell)
+    )
+    a = F.lit(1.0) - own
+    b = F.lit(1.0) - oth
+    denom = F.greatest(a, b)
+    s = F.when(denom > 0, (b - a) / denom).otherwise(F.lit(0.0))
+    scored = e.select(
+        cell, F.floor(s * 1e6 + F.lit(0.5)).cast("long").alias("s_micro")
+    )
+    # One corpus-scale hash agg to cells-sized partials; the overall
+    # row folds from those partials (exact BIGINT sums), so the corpus
+    # is scanned exactly once.
+    per = scored.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("s_micro").cast("long").alias("sm"),
+    )
+    overall = per.agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("sm").cast("long").alias("sm"),
+    ).select(F.lit(-1).cast("int").alias("cell"), "n_vecs", "sm")
+    return (
+        per.select(F.col("cell").cast("int"), "n_vecs", "sm")
+        .unionByName(overall)
+        .select(
+            "cell",
+            "n_vecs",
+            round6(
+                F.col("sm").cast("double")
+                / (F.lit(1e6) * F.col("n_vecs").cast("double"))
+            ).alias("mean_sil"),
+        )
+        .orderBy("cell")
+    )

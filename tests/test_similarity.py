@@ -729,3 +729,41 @@ def test_twonn_counts_duplicate_anchors(spark):
     assert r.n_dup_anchors == 4  # both members of each duplicate pair
     assert r.n_used == 48
     assert r.intrinsic_dim is not None
+
+
+def test_silhouette_orthogonal_clusters_and_boundary_point(spark):
+    """Two exactly-orthogonal clusters → silhouette 1.0 everywhere;
+    a 45° boundary point scores exactly 0 and drags its cell's mean
+    to the closed-form (1+1+0)/3."""
+    import math
+
+    e1 = [1.0, 0.0]
+    e2 = [0.0, 1.0]
+    mid = [1 / math.sqrt(2), 1 / math.sqrt(2)]
+    rows = [(0, e1), (1, e2), (2, e1), (3, e2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cell: r for r in S.silhouette_by_cell(df, n_cells=2, iters=1).collect()}
+    assert got[0].n_vecs == 2 and got[0].mean_sil == 1.0
+    assert got[1].n_vecs == 2 and got[1].mean_sil == 1.0
+    assert got[-1].n_vecs == 4 and got[-1].mean_sil == 1.0
+
+    rows.append((4, mid))  # equidistant → tie-break into cell 0's fit
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.cell: r for r in S.silhouette_by_cell(df, n_cells=2, iters=1).collect()}
+    # numpy mirror of the 1-iter fit: mid joins cell 0, whose centroid
+    # becomes round(mean(e1, e1, mid), 6); cell 1 stays exactly e2.
+    import numpy as np
+
+    c0 = np.round(np.mean([e1, e1, mid], axis=0), 6)
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    cos = lambda u, v: float(
+        np.dot(u, v) / max(np.linalg.norm(u) * np.linalg.norm(v), 1e-12)
+    )
+    micro = []
+    for v in (e1, e1, mid):
+        a, b = 1.0 - q6(cos(v, c0)), 1.0 - q6(cos(v, e2))
+        micro.append(math.floor((b - a) / max(a, b) * 1e6 + 0.5))
+    assert got[0].n_vecs == 3
+    assert got[0].mean_sil == q6(sum(micro) / (1e6 * 3))
+    assert got[1].mean_sil == 1.0
+    assert got[-1].n_vecs == 5
