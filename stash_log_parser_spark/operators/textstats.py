@@ -1323,6 +1323,131 @@ def bm25_topk(
     )
 
 
+def retrieval_ndcg(
+    docs: DataFrame,
+    n_queries: int = 3,
+    q_terms: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking against graded term-overlap
+    relevance — the retrieval-quality eval that closes the loop on
+    bm25_topk (a retriever without a ranking metric is a liability; RAG
+    pipelines ship nDCG dashboards, not vibes). Relevance of doc d for
+    query q is graded by coverage of q's term set:
+    rel = min(3, |terms(q) ∩ words(d)|), the standard 4-level scale.
+
+        DCG@k  = Σ_{r=1..k} (2^rel(d_r) − 1) / log2(r + 1)
+        IDCG@k = the same sum under the ideal (rel-sorted) ordering
+        nDCG   = DCG / IDCG
+
+    The trick worth stealing: IDCG needs the ideal ORDER of a
+    corpus-sized candidate set, but rel has only 4 levels, so the ideal
+    prefix follows from the per-level COUNTS (n₃, n₂, n₁) — a tiny agg,
+    no global sort, position r's ideal rel is a closed-form CASE over
+    cumulative counts.
+
+    Exactness: gains are exact small ints, each discounted term is
+    quantized to integer MICRO units and summed as BIGINT, and nDCG is
+    one round6-quantized BIGINT ratio — engine-exact modulo the
+    accepted 1-ulp log2 class.
+
+    Scale shape: the rel table is `distinct(doc,word) ⋈ bcast(≤24
+    query terms)` — the corpus side never shuffles beyond its distinct;
+    DCG joins the k·n_queries ranked rows against it; IDCG explodes 5
+    positions per query over the counts frame. The BM25 ranking itself
+    is bm25_topk's plan (a production run would share the words scan;
+    at eval cardinality the second scan is noise)."""
+    from pyspark.sql import Window
+
+    ranking = bm25_topk(
+        docs, n_queries=n_queries, q_terms=q_terms, k=k, text_col=text_col
+    ).select("query_id", "doc_id", "rank")
+    words = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    )
+    qids = (
+        docs.orderBy("doc_id")
+        .limit(n_queries)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    w_first = Window.partitionBy("query_id").orderBy(F.asc("fpos"), F.asc("w"))
+    qterms = (
+        words.join(F.broadcast(qids), words["doc_id"] == qids["query_id"])
+        .groupBy("query_id", "w")
+        .agg(F.min("pos").alias("fpos"))
+        .withColumn("_qr", F.row_number().over(w_first))
+        .filter(F.col("_qr") <= q_terms)
+        .select("query_id", "w")
+    )
+    ov = (
+        words.select("doc_id", "w")
+        .distinct()
+        .join(F.broadcast(qterms), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.lit(3), F.count("*")).cast("int").alias("rel"))
+    )
+
+    def _term_micro(rel: Column, pos: Column) -> Column:
+        return F.floor(
+            (F.pow(F.lit(2.0), rel) - F.lit(1.0))
+            / F.log2(pos + F.lit(1))
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long")
+
+    dcg = (
+        ranking.join(ov, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            _term_micro(
+                F.coalesce(F.col("rel"), F.lit(0)), F.col("rank")
+            ).alias("tm"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("tm").cast("long").alias("dcg_micro"))
+    )
+    lvl = ov.groupBy("query_id").agg(
+        F.sum((F.col("rel") == 3).cast("long")).cast("long").alias("n3"),
+        F.sum((F.col("rel") == 2).cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("rel") == 1).cast("long")).cast("long").alias("n1"),
+    )
+    p = F.col("p")
+    rel_p = (
+        F.when(p <= F.col("n3"), F.lit(3))
+        .when(p <= F.col("n3") + F.col("n2"), F.lit(2))
+        .when(p <= F.col("n3") + F.col("n2") + F.col("n1"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    idcg = (
+        lvl.select(
+            "query_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("p"),
+            "n3", "n2", "n1",
+        )
+        .select("query_id", _term_micro(rel_p, p).alias("tm"))
+        .groupBy("query_id")
+        .agg(F.sum("tm").cast("long").alias("idcg_micro"))
+    )
+    dm = F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long")
+    im = F.coalesce(F.col("idcg_micro"), F.lit(0)).cast("long")
+    return (
+        qids.join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            (dm.cast("double") / F.lit(1e6)).alias("dcg"),
+            (im.cast("double") / F.lit(1e6)).alias("idcg"),
+            F.when(
+                im > 0, round6(dm.cast("double") / im.cast("double"))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def readability_by_source(
     docs: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

@@ -1314,3 +1314,34 @@ def test_word_cond_entropy_python_mirror(spark):
     assert abs(r.h_cond_nats - (s_x - s_xy) / (n * 10000)) < 6e-7
     assert abs(r.h_bigram_nats - (math.log(n) - s_xy / (n * 10000))) < 6e-7
     assert r.h_cond_nats > 0
+
+
+def test_retrieval_ndcg_perfect_and_inverted_order(spark):
+    """Scenario A: BM25 order matches relevance order → nDCG = 1.0
+    with the closed-form DCG. Scenario B: tf-saturated BM25 ranks a
+    rel-1 doc above the rel-2 doc → nDCG = the exact quantized ratio
+    (1/log2(2) + 3/log2(3)) / (3/log2(2) + 1/log2(3))."""
+    import math
+
+    q6m = lambda x: math.floor(x * 1e6 + 0.5)
+    t_rel1_p2 = q6m(1 / math.log2(3))
+    t_rel2_p2 = q6m(3 / math.log2(3))
+
+    rows = [(0, "apple banana"), (1, "apple banana"),
+            (2, "apple x"), (3, "zzz yyy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = TS.retrieval_ndcg(df, n_queries=1, q_terms=2, k=2).collect()[0]
+    assert r.query_id == 0
+    assert r.dcg == (3000000 + t_rel1_p2) / 1e6  # doc1 rel2 then doc2 rel1
+    assert r.idcg == r.dcg and r.ndcg == 1.0
+
+    filler = " ".join(f"f{i}" for i in range(22))
+    rows = [(0, "apple banana"),
+            (1, "apple apple apple apple apple apple apple apple"),
+            (2, "apple banana " + filler), (3, "zzz yyy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = TS.retrieval_ndcg(df, n_queries=1, q_terms=2, k=2).collect()[0]
+    dcg_m = 1000000 + t_rel2_p2   # rel1 at pos1, rel2 at pos2
+    idcg_m = 3000000 + t_rel1_p2  # ideal: rel2 first
+    assert r.dcg == dcg_m / 1e6 and r.idcg == idcg_m / 1e6
+    assert r.ndcg == math.floor(dcg_m / idcg_m * 1e6 + 0.5) / 1e6 < 1.0
