@@ -1177,6 +1177,68 @@ def ab_lift(
     )
 
 
+def srm_check(
+    events: DataFrame,
+    n_variants: int = 4,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sample-Ratio Mismatch check — the assignment-integrity gate
+    every experimentation platform runs BEFORE reading any metric: if
+    users didn't land in the k equal-probability variants at the
+    expected ratio, the experiment is corrupted (redirect bugs, bot
+    filtering skew, logging loss) and lift numbers are meaningless.
+    Pearson goodness-of-fit against the uniform design:
+
+        χ² = Σ_i (n_i − N/k)² / (N/k)  =  Σ_i (k·n_i − N)² / (k·N)
+
+    The right-hand identity keeps the numerator an exact BIGINT (no
+    N/k rounding); only the single final division is IEEE, mirrored
+    and round6-ed. Variants hash from the same md5 device as ab_lift /
+    train_test_split: first hex nibble in 4 equal ranges, so the
+    expected split is uniform BY CONSTRUCTION and a flag here means
+    data loss, not design. Flag fires at the α=0.05 critical value for
+    k−1 df (7.814728 for k=4).
+
+    Scale shape: one distinct-users hash agg (map-side partials) to a
+    1-row frame; everything after is scalar arithmetic. ``n_variants``
+    must be 2, 4, 8, or 16 (equal nibble ranges)."""
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    if n_variants not in (2, 4, 8, 16):
+        raise ValueError("n_variants must divide the 16 hex nibbles evenly")
+    crit = {2: 3.841459, 4: 7.814728, 8: 14.067140, 16: 24.995790}
+    width = 16 // n_variants
+    nib = F.conv(
+        F.substring(F.md5(F.col("u").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    users = (
+        events.select(F.col(user_col).alias("u"))
+        .distinct()
+        .select((nib / width).cast("int").alias("v"))
+    )
+    agg = users.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        *[
+            F.sum((F.col("v") == i).cast("long")).cast("long").alias(f"n_v{i}")
+            for i in range(n_variants)
+        ],
+    )
+    k = F.lit(n_variants).cast("long")
+    dev2 = None
+    for i in range(n_variants):
+        t = (k * F.col(f"n_v{i}") - F.col("n_users")) * (
+            k * F.col(f"n_v{i}") - F.col("n_users")
+        )
+        dev2 = t if dev2 is None else dev2 + t
+    chi2 = dev2.cast("double") / (k * F.col("n_users")).cast("double")
+    return agg.select(
+        "n_users",
+        *[f"n_v{i}" for i in range(n_variants)],
+        _r6(chi2).alias("chi2"),
+        (chi2 > F.lit(crit[n_variants])).alias("srm_detected"),
+    )
+
+
 def conversion_lag(
     events: DataFrame,
     from_type: str = "view",

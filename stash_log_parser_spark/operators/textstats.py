@@ -1877,6 +1877,73 @@ def topic_tags(
     ).orderBy("source", "topic")
 
 
+def _cramer3(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy):
+    """Cramer solve of the 3×3 normal equations (intercept + two
+    features) from DOUBLE-cast exact integer moments, plus SSE/SST.
+    Fixed association, mirrored verbatim in every SQL twin that fits a
+    probe. Returns (w0, w1, w2, sse, sst) Column expressions."""
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    w0, w1, w2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (w0 * sy + w1 * s1y + w2 * s2y)
+    sst = syy - sy * sy / n
+    return w0, w1, w2, sse, sst
+
+
+_PROBE_MOMENTS = ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y",
+                  "s2y", "syy")
+
+
+def _probe_features(docs: DataFrame, text_col: str, *extra) -> DataFrame:
+    """The linear-probe feature projection shared by token_linear_probe
+    and loo_probe_influence: x1 = n_chars, x2 = alphabetic chars,
+    y = whitespace tokens, over non-empty docs."""
+    t = F.trim(F.col(text_col))
+    return docs.filter(
+        (F.col("n_chars") > 0) & (F.length(t) > 0)
+    ).select(
+        *extra,
+        F.col("n_chars").cast("long").alias("x1"),
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("x2"),
+        F.size(F.split(t, WS_RE)).cast("long").alias("y"),
+    )
+
+
+def _probe_moment_aggs():
+    return [
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ]
+
+
 def token_linear_probe(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distributed LINEAR PROBE: least-squares fit of whitespace-token
     count from two cheap byte-level features (n_chars, alphabetic
@@ -1901,58 +1968,17 @@ def token_linear_probe(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: one projection → one 1-row hash agg (partial
     aggregation makes it a per-partition 10-counter combine); no join,
     no window, text leaves the scan only as three extracted integers."""
-    t = F.trim(F.col(text_col))
-    d = docs.filter(
-        (F.col("n_chars") > 0) & (F.length(t) > 0)
-    ).select(
-        F.col("n_chars").cast("long").alias("x1"),
-        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
-        .cast("long")
-        .alias("x2"),
-        F.size(F.split(t, WS_RE)).cast("long").alias("y"),
-    )
-    m = d.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x1").cast("long").alias("s1"),
-        F.sum("x2").cast("long").alias("s2"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-    )
+    m = _probe_features(docs, text_col).agg(*_probe_moment_aggs())
     # Cramer's rule on the (symmetric) normal matrix, all in DOUBLE.
-    # The expression text below is mirrored verbatim in the SQL twin.
+    # The expression text (_cramer3) is mirrored verbatim in the SQL twin.
     n, s1, s2 = [F.col(c).cast("double") for c in ("n", "s1", "s2")]
     sy, s11, s12 = [F.col(c).cast("double") for c in ("sy", "s11", "s12")]
     s22, s1y, s2y, syy = [
         F.col(c).cast("double") for c in ("s22", "s1y", "s2y", "syy")
     ]
-    det = (
-        n * (s11 * s22 - s12 * s12)
-        - s1 * (s1 * s22 - s12 * s2)
-        + s2 * (s1 * s12 - s11 * s2)
+    w0, w1, w2, sse, sst = _cramer3(
+        n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy
     )
-    det0 = (
-        sy * (s11 * s22 - s12 * s12)
-        - s1 * (s1y * s22 - s12 * s2y)
-        + s2 * (s1y * s12 - s11 * s2y)
-    )
-    det1 = (
-        n * (s1y * s22 - s12 * s2y)
-        - sy * (s1 * s22 - s12 * s2)
-        + s2 * (s1 * s2y - s1y * s2)
-    )
-    det2 = (
-        n * (s11 * s2y - s1y * s12)
-        - s1 * (s1 * s2y - s1y * s2)
-        + sy * (s1 * s12 - s11 * s2)
-    )
-    w0, w1, w2 = det0 / det, det1 / det, det2 / det
-    sse = syy - (w0 * sy + w1 * s1y + w2 * s2y)
-    sst = syy - sy * sy / n
     return m.select(
         F.col("n").alias("n_docs"),
         round6(w0).alias("w_intercept"),
@@ -1961,6 +1987,58 @@ def token_linear_probe(docs: DataFrame, text_col: str = "text") -> DataFrame:
         round6(F.lit(1.0) - sse / sst).alias("r2"),
         round6(F.sqrt(F.greatest(sse, F.lit(0.0)) / n)).alias("rmse"),
     )
+
+
+def loo_probe_influence(
+    docs: DataFrame, text_col: str = "text", by_col: str = "source"
+) -> DataFrame:
+    """Leave-one-SOURCE-out influence on the token linear probe — the
+    cheapest honest data-valuation readout: refit token_linear_probe's
+    model with each source held out and report how far the
+    coefficients (and fit quality) move. A source whose removal barely
+    shifts the weights is redundant for this model; one that swings
+    them is load-bearing (or an outlier polluting the fit) — the
+    question a mixture owner asks before dropping or down-weighting a
+    source.
+
+    The sufficient-statistics trick makes all |S|+1 fits ONE corpus
+    pass: the 10 exact BIGINT moments aggregate per source, the full
+    model's moments are the column sums of that tiny frame, and each
+    leave-one-out moment vector is total − own (exact integer
+    subtraction). Every Cramer solve runs over the |S|-row frame —
+    refitting costs nothing no matter how large the corpus. Contrast
+    per-example influence functions, which need a Hessian-vector
+    product per example; at the source granularity the normal
+    equations give the EXACT refit, not an approximation.
+
+    Exactness: same contract as token_linear_probe — integer moments,
+    one fixed double expression DAG (shared _cramer3), round6 at the
+    end; deltas subtract raw doubles BEFORE quantization.
+
+    Scale shape: one hash agg corpus → |S| rows; window sums + solves
+    over that frame only."""
+    from pyspark.sql import Window
+
+    per = (
+        _probe_features(docs, text_col, F.col(by_col).alias("src"))
+        .groupBy("src")
+        .agg(*_probe_moment_aggs())
+    )
+    w_all = Window.partitionBy()
+    tot = {c: F.sum(c).over(w_all) for c in _PROBE_MOMENTS}
+    full = [tot[c].cast("double") for c in _PROBE_MOMENTS]
+    loo = [(tot[c] - F.col(c)).cast("double") for c in _PROBE_MOMENTS]
+    _, w1f, w2f, _, _ = _cramer3(*full)
+    _, w1l, w2l, ssel, sstl = _cramer3(*loo)
+    return per.select(
+        F.col("src").alias(by_col),
+        F.col("n").alias("n_docs"),
+        round6(w1l).alias("w_nchars_loo"),
+        round6(w2l).alias("w_alpha_loo"),
+        round6(F.lit(1.0) - ssel / sstl).alias("r2_loo"),
+        round6(w1f - w1l).alias("d_nchars"),
+        round6(w2f - w2l).alias("d_alpha"),
+    ).orderBy(by_col)
 
 
 def signal_spearman(docs: DataFrame, text_col: str = "text") -> DataFrame:

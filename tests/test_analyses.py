@@ -1509,3 +1509,38 @@ def test_arrival_dispersion_shared_span(spark):
     out = {r.protocol: r for r in arrival_dispersion(df).collect()}
     assert out["http"].span_minutes == 10 and out["ssh"].span_minutes == 10
     assert out["http"].empty_minutes == 9
+
+
+def test_srm_check_balanced_vs_planted_loss(spark):
+    """Users drawn uniformly over ids pass the SRM gate; dropping one
+    whole nibble-range (simulated logging loss of variant 0) must trip
+    the chi-square flag. n_variants must divide the nibble space."""
+    import hashlib
+
+    import pytest as _pt
+    from stash_log_parser_spark.operators import analyses as A
+
+    rows = [(i, i % 97, "view") for i in range(4000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    r = A.srm_check(df, n_variants=4).collect()[0]
+    assert r.n_users == 97
+    assert r.n_v0 + r.n_v1 + r.n_v2 + r.n_v3 == 97
+    assert not r.srm_detected
+
+    def nib(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[0], 16)
+
+    lost = [(i, u, "view") for i, (_, u, _) in enumerate(rows) if nib(u) >= 4]
+    df2 = spark.createDataFrame(
+        lost, "event_id long, user_id long, event_type string"
+    )
+    r2 = A.srm_check(df2, n_variants=4).collect()[0]
+    assert r2.n_v0 == 0 and r2.srm_detected
+    # exact chi2 identity on integers
+    n = r2.n_users
+    dev = sum((4 * v - n) ** 2 for v in (r2.n_v0, r2.n_v1, r2.n_v2, r2.n_v3))
+    import math
+    assert r2.chi2 == math.floor(dev / (4 * n) * 1e6 + 0.5) / 1e6
+
+    with _pt.raises(ValueError):
+        A.srm_check(df, n_variants=5)

@@ -1345,3 +1345,57 @@ def test_retrieval_ndcg_perfect_and_inverted_order(spark):
     idcg_m = 3000000 + t_rel1_p2  # ideal: rel2 first
     assert r.dcg == dcg_m / 1e6 and r.idcg == idcg_m / 1e6
     assert r.ndcg == math.floor(dcg_m / idcg_m * 1e6 + 0.5) / 1e6 < 1.0
+
+
+def test_loo_probe_influence_matches_numpy_refits(spark):
+    """Each held-out fit equals numpy lstsq on the remaining rows; the
+    full-fit deltas are the raw-double differences, round6-ed."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    did = 0
+    for src, base in (("a", 1), ("b", 2), ("c", 9)):
+        for _ in range(30):
+            n_words = int(rng.randint(3, 40))
+            text = " ".join(
+                "x" * (base + (j % 4)) + "7" * (j % 3)
+                for j in range(n_words)
+            )
+            rows.append((did, src, text, len(text)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, n_chars long")
+    got = {r.source: r for r in TS.loo_probe_influence(df).collect()}
+
+    feats = {}
+    for _, src, text, n_chars in rows:
+        x2 = sum(1 for ch in text if ch.isalpha())
+        y = len(text.split())
+        feats.setdefault(src, []).append((n_chars, x2, y))
+
+    def fit(srcs):
+        X, Y = [], []
+        for s in srcs:
+            for x1, x2, y in feats[s]:
+                X.append([1.0, x1, x2]); Y.append(y)
+        X, Y = np.array(X), np.array(Y)
+        # solve the normal equations exactly like _cramer3
+        A = X.T @ X
+        b = X.T @ Y
+        return np.linalg.solve(A, b)
+
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    wf = fit(["a", "b", "c"])
+    for held in ("a", "b", "c"):
+        rest = [s for s in ("a", "b", "c") if s != held]
+        wl = fit(rest)
+        assert got[held].n_docs == 30
+        assert abs(got[held].w_nchars_loo - q6(wl[1])) <= 2e-6
+        assert abs(got[held].w_alpha_loo - q6(wl[2])) <= 2e-6
+        assert abs(got[held].d_nchars - q6(wf[1] - wl[1])) <= 2e-6
+    # the off-trend source c moves the fit more than a or b
+    assert abs(got["c"].d_alpha) > max(
+        abs(got["a"].d_alpha), abs(got["b"].d_alpha)
+    )
