@@ -1177,6 +1177,90 @@ def ab_lift(
     )
 
 
+def pettitt_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on the per-key DAILY
+    event-count series — the rank-based complement to cusum_drift:
+    CUSUM needs a known baseline and catches sustained mean shifts;
+    Pettitt asks "did the distribution change somewhere, and WHEN?"
+    with no distributional assumption, the standard first look at a
+    volume regime change (deploys, traffic migrations, bot onsets).
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),   K = max_t |U_t|
+
+    computed WITHOUT the O(T²) double sum through the midrank
+    identity U_t = S2_t − t·(T+1), where S2_t is the running sum of
+    DOUBLED average ranks (the repo's Mann-Whitney device): doubled
+    midranks are integers, so every U_t — and K — is exact BIGINT on
+    both engines. Approximate significance p ≈ 2·exp(−6K²/(T³+T²)).
+
+    Scale shape: one corpus-scale (key, day) hash agg; ranks come from
+    the (key, count-value) census via one cumulative window, and the
+    U_t scan is a second window — both over the census (keys × days
+    rows), never the event table."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6 as _r6
+
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd")
+    census = events.groupBy(
+        F.col(key_col).alias("k"), day.alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    vals = census.groupBy("k", "x").agg(F.count("*").cast("long").alias("m"))
+    w_cum = (
+        Window.partitionBy("k")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = vals.withColumn(
+        "r2", 2 * (F.sum("m").over(w_cum) - F.col("m")) + F.col("m") + 1
+    )
+    ranked = census.join(vals.select("k", "x", "r2"), ["k", "x"])
+    w_day = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy("k")
+    u = (
+        ranked.withColumn("t", F.row_number().over(
+            Window.partitionBy("k").orderBy("day")
+        ))
+        .withColumn("s2", F.sum("r2").over(w_day))
+        .withColumn("n_days", F.count("*").over(w_key))
+        .withColumn(
+            "u", (F.col("s2") - F.col("t") * (F.col("n_days") + 1)).cast("long")
+        )
+        .filter(F.col("t") < F.col("n_days"))
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.desc(F.abs(F.col("u"))), F.asc("day"))
+    )
+    kk = F.col("k_stat").cast("double")
+    tt = F.col("n_days").cast("double")
+    return (
+        u.withColumn("_pk", pick)
+        .filter(F.col("_pk") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.abs(F.col("u")).cast("long").alias("k_stat"),
+            F.col("day").alias("change_day"),
+        )
+        .withColumn(
+            "p_approx",
+            _r6(
+                F.lit(2.0)
+                * F.exp(F.lit(-6.0) * kk * kk / (tt * tt * tt + tt * tt))
+            ),
+        )
+        .orderBy(key_col)
+    )
+
+
 def srm_check(
     events: DataFrame,
     n_variants: int = 4,

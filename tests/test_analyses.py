@@ -1544,3 +1544,31 @@ def test_srm_check_balanced_vs_planted_loss(spark):
 
     with _pt.raises(ValueError):
         A.srm_check(df, n_variants=5)
+
+
+def test_pettitt_planted_changepoint_exact(spark):
+    """10 days at 10 events/day then 10 days at 30/day: the midrank
+    identity gives U_10 = -100 exactly (K = 100 at the last low day);
+    the approximate p matches the closed form."""
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators import analyses as A
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 10 if d < 10 else 30
+        day = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+        for _ in range(n):
+            rows.append((eid, day, "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = A.pettitt_changepoint(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_days == 20 and r.k_stat == 100
+    assert r.change_day == "2024-01-10"
+    p = 2.0 * math.exp(-6.0 * 100.0 * 100.0 / (20.0 ** 3 + 20.0 ** 2))
+    assert r.p_approx == math.floor(p * 1e6 + 0.5) / 1e6
+    assert r.p_approx < 0.01
