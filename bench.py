@@ -133,6 +133,8 @@ def main() -> dict:
         "log_token_bigram_novelty",
         "docs_pmi_collocations",
         "events_mann_whitney",
+        "docs_kneser_ney",
+        "emb_silhouette",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

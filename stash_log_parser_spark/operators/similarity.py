@@ -1731,22 +1731,19 @@ def silhouette_by_cell(
     scored = e.select(
         cell, F.floor(s * 1e6 + F.lit(0.5)).cast("long").alias("s_micro")
     )
-    # One corpus-scale hash agg to cells-sized partials; the overall
-    # row folds from those partials (exact BIGINT sums), so the corpus
-    # is scanned exactly once.
-    per = scored.groupBy("cell").agg(
-        F.count("*").cast("long").alias("n_vecs"),
-        F.sum("s_micro").cast("long").alias("sm"),
-    )
-    overall = per.agg(
-        F.sum("n_vecs").cast("long").alias("n_vecs"),
-        F.sum("sm").cast("long").alias("sm"),
-    ).select(F.lit(-1).cast("int").alias("cell"), "n_vecs", "sm")
+    # cube("cell") = grouping sets {(cell), ()}: per-cell rows AND the
+    # overall row from ONE corpus-scale hash agg (a separate
+    # union-of-aggregations branch re-runs the whole Arrow assignment
+    # scan — observed as two hashpartitioning exchanges in the plan).
+    # cell is never NULL in the data, so NULL marks the total row.
     return (
-        per.select(F.col("cell").cast("int"), "n_vecs", "sm")
-        .unionByName(overall)
+        scored.cube("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("s_micro").cast("long").alias("sm"),
+        )
         .select(
-            "cell",
+            F.coalesce(F.col("cell"), F.lit(-1)).cast("int").alias("cell"),
             "n_vecs",
             round6(
                 F.col("sm").cast("double")
