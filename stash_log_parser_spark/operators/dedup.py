@@ -535,13 +535,20 @@ def ngram_decontaminate(
     n× the corpus words but collapse to distinct (doc_id) immediately
     after the semi join."""
     def grams(df: DataFrame) -> DataFrame:
-        ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        # split materialized first — indexing the raw split expression
+        # inside the HOF re-runs the regex per element (no CSE in
+        # lambdas), turning the explode O(words²)
+        base = df.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+        )
+        ws = F.col("_ws")
         n_words = F.size(ws)
         g = F.transform(
             F.sequence(F.lit(0), n_words - n),
             lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
         )
-        return df.select(
+        return base.select(
             "doc_id",
             F.explode(F.when(n_words >= n, g).otherwise(F.array())).alias("gram"),
         )
@@ -608,13 +615,19 @@ def segment_dedup(
     ``n_distinct_hashes`` and ``expected_collision_drops`` are filled
     eagerly (one extra distinct-count over the already-shuffled census
     keys)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # split materialized first — slicing the raw split expression
+    # inside the HOF re-runs the regex per segment (no CSE in lambdas)
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    words = F.col("_ws")
     n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     seg_at = lambda i: F.concat_ws(
         " ", F.slice(words, i * seg_words + 1, seg_words)
     )
     hashes = F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.xxhash64(seg_at(i)))
-    seg_tbl = docs.select(
+    seg_tbl = base.select(
         "doc_id", F.posexplode(hashes).alias("idx", "h")
     )
     if audit is not None:
@@ -642,7 +655,7 @@ def segment_dedup(
     # normalized: lowercased, whitespace-collapsed); the md5 remains the
     # oracle-facing digest either way.
     return (
-        docs.join(kept_idx, "doc_id", "left")
+        base.join(kept_idx, "doc_id", "left")
         .select(
             "doc_id",
             n_seg.alias("n_segments"),
@@ -675,7 +688,13 @@ def duplicate_ngram_spans(
     operator."""
     from .textstats import round6
 
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # split materialized first — slicing the raw split expression
+    # inside the HOF re-runs the regex per window (no CSE in lambdas)
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    words = F.col("_ws")
     upper = F.size(words) - n + 1
     wins = F.when(
         upper >= 1,
@@ -684,7 +703,7 @@ def duplicate_ngram_spans(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    pos = docs.select("doc_id", F.explode(wins).alias("h"))
+    pos = base.select("doc_id", F.explode(wins).alias("h"))
     census = pos.groupBy("h").agg(F.count("*").alias("cnt"))
     per = (
         pos.join(census, "h")
@@ -729,7 +748,13 @@ def ngram_novelty(
     engines agree on exactly."""
     from .textstats import round6
 
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # split materialized first — slicing the raw split expression
+    # inside the HOF re-runs the regex per gram (no CSE in lambdas)
+    wbase = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    words = F.col("_ws")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     grams = F.array_distinct(
         F.transform(
@@ -739,7 +764,7 @@ def ngram_novelty(
             ),
         )
     )
-    sh = docs.select(
+    sh = wbase.select(
         "doc_id",
         F.explode(grams).alias("g"),
     ).select(

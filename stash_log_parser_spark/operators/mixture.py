@@ -227,14 +227,21 @@ def dsir_importance(
     doc-side gram stream; final agg shuffles (id) only. No global
     windows, no Python.
     """
-    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # split materialized first — indexing the raw split expression
+    # inside the HOF re-runs the regex per element (no CSE in lambdas)
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    ws = F.col("_ws")
     n = F.size(ws)
     bigrams = F.transform(
         F.sequence(F.lit(0), n - 2),
         lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
     )
     grams = F.concat(ws, F.when(n >= 2, bigrams).otherwise(F.array()))
-    feats = docs.select(
+    feats = base.select(
         F.col(id_col),
         F.col(source_col),
         F.explode(F.when(n >= 1, grams).otherwise(F.array())).alias("gram"),
