@@ -110,6 +110,19 @@ QUERIES = [
         " candidate list, so the word-keyed global exchange carries only"
         " candidates (<= n_shards x k by the pigeonhole bound).",
     ),
+    (
+        "docs_kneser_ney",
+        "Bigram KN smoothing: ONE explode over the materialized split"
+        " feeds the cached gram-type census; followers/predecessors/total"
+        " derive from the census (zipf-bounded), and the doc-side join"
+        " keys on the gram string — text never re-splits per element.",
+    ),
+    (
+        "emb_silhouette",
+        "Centroid silhouette: one Arrow assignment pass + literal-centroid"
+        " cosines in codegen; cube('cell') emits per-cell AND overall from"
+        " ONE hash agg (no second corpus scan); no vector in any Exchange.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
