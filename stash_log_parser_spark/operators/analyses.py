@@ -3327,3 +3327,248 @@ def arrival_dispersion(parsed: DataFrame) -> DataFrame:
         (span - F.col("active_minutes")).cast("long").alias("empty_minutes"),
         round6(vmr).alias("vmr"),
     ).orderBy("protocol")
+
+
+def sprt_bernoulli(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    p0: float = 0.15,
+    p1: float = 0.25,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald sequential probability-ratio test (SPRT) on the conversion
+    rate — the early-stopping twin of ``ab_power_mde``: instead of
+    fixing n up front, the experimenter watches the cumulative
+    log-likelihood ratio after every event and stops the moment it
+    leaves the (lower, upper) continuation band.  This is the op a
+    launch-review dashboard runs hourly: "can we already call it?".
+
+    LLR after n events with k conversions is the closed form
+    ``k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))`` — a fixed IEEE chain
+    over two BIGINT prefix counts, so the only state is (n, k).
+    Boundaries: upper = ln((1−β)/α) → accept H1, lower = ln(β/(1−α))
+    → accept H0 (Wald's approximation, exact enough that the overshoot
+    is one event's step).
+
+    Scale shape — NO global sort: the event order is (ts, event_id),
+    but the prefix counts are computed the ``max_concurrent`` way:
+    one corpus-scale hash-agg to per-DAY (n_d, k_d) partials, a
+    days-dimension cumulative window to give each day its starting
+    (N, K) offset, then a window partitioned BY DAY for the within-day
+    prefix — every window partition is day-bounded.  The first
+    boundary crossing is a 1-row min-struct aggregate (no orderBy
+    +limit job).  At 10^12 rows the day-level envelope
+    [start + (n_d−k_d)·b, start + k_d·a] additionally prunes the fine
+    scan to candidate days — the partials already computed are exactly
+    that envelope.
+    """
+    import math
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    a = math.log(p1 / p0)  # per-conversion step, > 0
+    b = math.log((1.0 - p1) / (1.0 - p0))  # per-miss step, < 0
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+
+    base = events.select(
+        F.to_date("ts").alias("day"),
+        F.col("ts"),
+        F.col("event_id"),
+        (F.col("event_type") == convert_type).cast("long").alias("x"),
+    )
+    # day partials + cumulative offsets (days-dimension window).
+    daily = base.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("x").cast("long").alias("k_d"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = daily.select(
+        "day",
+        F.coalesce(F.sum("n_d").over(wd), F.lit(0)).alias("n0"),
+        F.coalesce(F.sum("k_d").over(wd), F.lit(0)).alias("k0"),
+    )
+    # within-day prefix, window partitioned by day (bounded partitions).
+    ww = (
+        Window.partitionBy("day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fine = (
+        base.join(F.broadcast(offsets), "day")
+        .withColumn("n", F.col("n0") + F.count("*").over(ww))
+        .withColumn("k", F.col("k0") + F.sum("x").over(ww))
+    )
+    llr = (
+        F.col("k").cast("double") * F.lit(a)
+        + (F.col("n") - F.col("k")).cast("double") * F.lit(b)
+    )
+    crossed = fine.withColumn("llr", llr).filter(
+        (F.col("llr") >= F.lit(upper)) | (F.col("llr") <= F.lit(lower))
+    )
+    # earliest crossing: 1-row min over a lexicographic struct.
+    first = crossed.agg(
+        F.min(F.struct("n", "k", "llr")).alias("s")
+    ).select(
+        F.col("s.n").alias("n_at"), F.col("s.k").alias("k_at"),
+        F.col("s.llr").alias("llr_at"),
+    )
+    totals = base.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("x").cast("long").alias("k_total"),
+    )
+    out = totals.crossJoin(F.broadcast(first))
+    decision = (
+        F.when(F.col("llr_at").isNull(), F.lit("continue"))
+        .when(F.col("llr_at") >= F.lit(upper), F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+    )
+    final_llr = (
+        F.col("k_total").cast("double") * F.lit(a)
+        + (F.col("n_total") - F.col("k_total")).cast("double") * F.lit(b)
+    )
+    return out.select(
+        "n_total",
+        "k_total",
+        decision.alias("decision"),
+        F.coalesce(F.col("n_at"), F.col("n_total")).alias("n_at_decision"),
+        F.coalesce(F.col("k_at"), F.col("k_total")).alias("k_at_decision"),
+        round6(F.coalesce(F.col("llr_at"), final_llr)).alias("llr_at_decision"),
+        round6(F.lit(upper)).alias("upper_bound"),
+        round6(F.lit(lower)).alias("lower_bound"),
+    )
+
+
+def user_access_entropy(parsed: DataFrame, min_requests: int = 5) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the repository-access
+    distribution — the access-pattern anomaly feature an insider-risk
+    or capacity review computes from a VCS log: a build bot hammering
+    one repo has entropy ≈ 0, a crawler touching everything sits near
+    log2(n_repos), and a sudden entropy jump for a human account is a
+    credential-sharing tell.  ``norm_entropy`` (entropy / log2(n_repos))
+    makes users with different breadth comparable.
+
+    Same exact device as ``char_entropy``: per-(user, repo) BIGINT
+    counts c give H = (ln n − Σ c·ln c / n) / ln 2 with one division
+    at the end, round6-quantized.
+
+    Scale shape: one corpus-scale (user, repo) hash-agg with map-side
+    partials, then a users-sized re-aggregate; no window, no sort
+    until the final users-dimension orderBy."""
+    import math
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    pc = (
+        parsed.filter(
+            F.col("is_parsed")
+            & F.col("username").isNotNull()
+            & F.col("repo_slug").isNotNull()
+        )
+        .groupBy("username", "repo_slug")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = pc.groupBy("username").agg(
+        F.sum("c").cast("long").alias("n_requests"),
+        F.count("*").cast("long").alias("n_repos"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("s"),
+    ).filter(F.col("n_requests") >= min_requests)
+    # ln(2) folded as the same literal both engines see → the /ln2 is
+    # bit-identical across Spark and the DuckDB oracle.
+    ln2 = F.lit(math.log(2.0))
+    ent = (
+        F.log(F.col("n_requests").cast("double")) - F.col("s") / F.col("n_requests")
+    ) / ln2
+    norm = F.when(
+        F.col("n_repos") > 1,
+        ent / (F.log(F.col("n_repos").cast("double")) / ln2),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "username",
+        "n_requests",
+        "n_repos",
+        round6(ent).alias("entropy_bits"),
+        round6(norm).alias("norm_entropy"),
+    ).orderBy("username")
+
+
+def xcorr_lead_lag(
+    events: DataFrame,
+    type_x: str = "click",
+    type_y: str = "purchase",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event types' HOURLY
+    count series: Pearson r between x_t and y_{t+lag} for lag 0..max_lag
+    — the "does clicking now predict buying two hours later?" screen
+    that decides whether an attribution window is even plausible.
+    ``autocorr_lag1`` is the self-series special case; this is the
+    cross-series general form.
+
+    EMPTY hours count as zero (both series live on the same dense
+    min→max hour spine, built with ``sequence`` — never a driver-side
+    loop), so r is over the full span, not just co-active hours.
+    Pearson comes from BIGINT-exact moment sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — one IEEE chain per lag, round6-quantized.
+
+    Scale shape: one corpus-scale (type, hour) hash-agg; everything
+    after is hours-dimension-sized (the spine × (max_lag+1) lag rows);
+    the lag join is an hours-sized broadcast."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    hc = (
+        events.filter(F.col("event_type").isin(type_x, type_y))
+        .select(F.col("event_type").alias("t"), hour.alias("h"))
+        .groupBy("t", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    ).cache()
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    xs = hc.filter(F.col("t") == type_x).select("h", F.col("c").alias("cx"))
+    ys = hc.filter(F.col("t") == type_y).select("h", F.col("c").alias("cy"))
+    dense = (
+        spine.join(xs, "h", "left")
+        .join(ys, "h", "left")
+        .select(
+            "h",
+            F.coalesce("cx", F.lit(0)).alias("x"),
+            F.coalesce("cy", F.lit(0)).alias("y"),
+        )
+    )
+    lags = dense.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dense.select(F.col("h").alias("hx"), "x")
+    bdf = dense.select(F.col("h").alias("hy"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(bdf),
+            F.col("hy") == F.col("hx") + F.col("lag"),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov2 = (n * F.col("sxy") - sx * sy).cast("double")
+    vx2 = (n * F.col("sxx") - sx * sx).cast("double")
+    vy2 = (n * F.col("syy") - sy * sy).cast("double")
+    r = F.when(
+        (vx2 > 0) & (vy2 > 0), cov2 / F.sqrt(vx2 * vy2)
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_hours"),
+        round6(r).alias("pearson_r"),
+    ).orderBy("lag")

@@ -1572,3 +1572,125 @@ def test_pettitt_planted_changepoint_exact(spark):
     p = 2.0 * math.exp(-6.0 * 100.0 * 100.0 / (20.0 ** 3 + 20.0 ** 2))
     assert r.p_approx == math.floor(p * 1e6 + 0.5) / 1e6
     assert r.p_approx < 0.01
+
+
+def test_sprt_accepts_h1_at_exact_crossing(spark):
+    """p0=0.15, p1=0.25: a = ln(5/3), b = ln(15/17), upper = ln(19).
+    With conversions only, llr = n·a crosses 2.944 at n = 6 exactly
+    (5·a = 2.554 < 2.944 < 6·a = 3.065)."""
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators import analyses as A
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), "purchase") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = A.sprt_bernoulli(df).collect()[0]
+    a = math.log(0.25 / 0.15)
+    assert r.decision == "accept_h1"
+    assert r.n_at_decision == 6 and r.k_at_decision == 6
+    assert r.llr_at_decision == math.floor(6 * a * 1e6 + 0.5) / 1e6
+    assert r.n_total == 10 and r.k_total == 10
+
+
+def test_sprt_continue_when_inside_band(spark):
+    """2 conversions out of 10 (rate 0.2, between p0 and p1) never
+    leaves (lower, upper): decision = continue, n_at = n_total."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators import analyses as A
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i),
+         "purchase" if i in (3, 7) else "view")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = A.sprt_bernoulli(df).collect()[0]
+    assert r.decision == "continue"
+    assert r.n_at_decision == 10 and r.k_at_decision == 2
+    assert r.lower_bound < r.llr_at_decision < r.upper_bound
+
+
+def test_sprt_cross_day_prefix_offsets(spark):
+    """Events split across 3 days: the day-partitioned prefix must be
+    identical to a global one — all misses day 1 (llr falls), then
+    conversions days 2-3; the crossing lands mid-day-3."""
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators import analyses as A
+
+    rows = []
+    eid = 0
+    for d, (n, typ) in enumerate([(4, "view"), (5, "purchase"), (8, "purchase")]):
+        day = dt.datetime(2024, 1, 1 + d)
+        for i in range(n):
+            rows.append((eid, day + dt.timedelta(minutes=i), typ))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = A.sprt_bernoulli(df).collect()[0]
+    a = math.log(0.25 / 0.15)
+    b = math.log(0.75 / 0.85)
+    # brute-force the crossing index
+    xs = [0] * 4 + [1] * 13
+    k = n = 0
+    upper = math.log(0.95 / 0.05)
+    for x in xs:
+        n += 1
+        k += x
+        if k * a + (n - k) * b >= upper:
+            break
+    assert r.decision == "accept_h1"
+    assert r.n_at_decision == n and r.k_at_decision == k
+
+
+def test_user_access_entropy_uniform_and_point_mass(spark):
+    """One user splits 8 requests over 4 repos evenly (H = 2 bits,
+    norm 1); another hits one repo 6 times (H = 0, norm 0 by the
+    n_repos=1 convention); a 3-request user is dropped by min_requests."""
+    from stash_log_parser_spark.operators import analyses as A
+
+    rows = (
+        [(True, "alice", f"proj/r{i}") for i in range(4) for _ in range(2)]
+        + [(True, "bot", "proj/hot")] * 6
+        + [(True, "carol", "proj/r0")] * 3
+        + [(False, "mallory", "proj/r0")] * 9
+    )
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, username string, repo_slug string"
+    )
+    out = {r.username: r for r in A.user_access_entropy(df).collect()}
+    assert set(out) == {"alice", "bot"}
+    assert out["alice"].n_requests == 8 and out["alice"].n_repos == 4
+    assert out["alice"].entropy_bits == 2.0
+    assert out["alice"].norm_entropy == 1.0
+    assert out["bot"].entropy_bits == 0.0 and out["bot"].norm_entropy == 0.0
+
+
+def test_xcorr_perfect_lag1(spark):
+    """Purchases are clicks shifted one hour later with identical
+    counts: pearson_r at lag 1 is exactly 1.0 and lag 0 is below it."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators import analyses as A
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(6):
+        for _ in range(h + 1):
+            rows.append((eid, base + dt.timedelta(hours=h), "click"))
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h + 1), "purchase"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.lag: r for r in A.xcorr_lead_lag(df).collect()}
+    assert out[1].pearson_r == 1.0
+    assert out[0].pearson_r is None or out[0].pearson_r < 1.0
+    # spine spans 7 hours; lag-1 join leaves 6 aligned pairs
+    assert out[1].n_hours == 6
