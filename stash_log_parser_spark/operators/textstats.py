@@ -2471,3 +2471,83 @@ def word_cond_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         round6(h_cond).alias("h_cond_nats"),
         round6(F.exp(h_cond)).alias("ppl_cond"),
     )
+
+
+def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source DATA CARD — the one-row-per-source summary a dataset
+    release ships (and the first table a curation review opens):
+    volume (docs, chars, tokens), the language story (distinct langs,
+    dominant lang + its share), the exact-duplicate rate, and the
+    median document length.  Composes the engine's own primitives —
+    the BPE-ish ``TOKEN_RE`` tokenizer, the md5 exact-dup census, and
+    the small-int-domain median (lower median: smallest length whose
+    doubled cumulative count reaches n) — so the card's numbers agree
+    with the dedicated queries by construction.
+
+    Scale shape: ONE corpus-scale projection (md5 + token count per
+    row), then everything is keyed by ``source`` — hash-aggs with
+    map-side partials.  The only windows run over the (source, lang)
+    and (source, n_chars) CENSUSES, both bounded by |langs| and the
+    length domain, never by the row count."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.trim(F.lower(F.col(text_col))), F.lit(TOKEN_RE), 0
+    )
+    per = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nt"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    base = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.countDistinct("h").cast("long").alias("n_uniq"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = per.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("c"), F.desc("lang"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("c").alias("top_c"))
+    )
+    cen = per.groupBy("source", "nc").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("nc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        cen.withColumn("cum", F.sum("c").over(w_cum))
+        .join(base.select("source", "n_docs"), "source")
+        .filter(F.lit(2) * F.col("cum") >= F.col("n_docs"))
+        .groupBy("source")
+        .agg(F.min("nc").cast("long").alias("p50_chars"))
+    )
+    out = base.join(top, "source").join(med, "source")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        round6(F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+            "avg_tokens"
+        ),
+        "p50_chars",
+        "n_langs",
+        "top_lang",
+        round6(F.col("top_c").cast("double") / F.col("n_docs")).alias(
+            "top_lang_share"
+        ),
+        round6(
+            (F.col("n_docs") - F.col("n_uniq")).cast("double")
+            / F.col("n_docs")
+        ).alias("exact_dup_rate"),
+    ).orderBy("source")

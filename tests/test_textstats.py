@@ -1399,3 +1399,32 @@ def test_loo_probe_influence_matches_numpy_refits(spark):
     assert abs(got["c"].d_alpha) > max(
         abs(got["a"].d_alpha), abs(got["b"].d_alpha)
     )
+
+
+def test_data_card_exact_small(spark):
+    """Hand-computable card: source A = 3 docs (one exact dup pair),
+    langs en/en/fr, lengths 5/5/9 → median 5, dup rate 1/3; source B =
+    1 doc. Token counts under TOKEN_RE ('ab cd' → 2 tokens etc.)."""
+    from stash_log_parser_spark.operators.textstats import data_card
+
+    rows = [
+        (1, "ab cd", "en", "A", 5),
+        (2, "ab cd", "en", "A", 5),
+        (3, "ab cd ef!", "fr", "A", 9),
+        (4, "zz 123 !?", "en", "B", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in data_card(df).collect()}
+    a, b = out["A"], out["B"]
+    assert a.n_docs == 3 and a.n_chars == 19
+    # 'ab cd' = 2 toks, 'ab cd ef!' = 4 (ab, cd, ef, !)
+    assert a.n_tokens == 2 + 2 + 4
+    assert a.p50_chars == 5
+    assert a.n_langs == 2 and a.top_lang == "en"
+    assert a.top_lang_share == round(2 / 3, 6) or abs(a.top_lang_share - 2 / 3) < 1e-6
+    assert a.exact_dup_rate == round(1 / 3, 6) or abs(a.exact_dup_rate - 1 / 3) < 1e-6
+    # 'zz 123 !?' = zz, 123, !, ? = 4 tokens; no dups
+    assert b.n_tokens == 4 and b.exact_dup_rate == 0.0
+    assert b.top_lang_share == 1.0 and b.p50_chars == 9
