@@ -24,6 +24,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     exact_dedup_keep_first,
     jaccard_pairs_bruteforce,
+    jaccard_pairs_exact,
     minhash_lsh_pairs,
     simhash,
     simhash_near_pairs,

@@ -573,3 +573,43 @@ def test_incremental_near_dedup_verdicts(spark):
     assert (r.n_delta, r.n_dup_vs_base, r.n_dup_within_delta, r.n_survivors) == (
         4, 1, 1, 2,
     )
+
+
+def test_jaccard_exact_equals_bruteforce(docs):
+    """The prefix-filtered inverted-index exact join must return the
+    IDENTICAL (pair, jaccard) set as the O(n²) cross join, at a low
+    and a high threshold — on the planted-dup fixture and on the real
+    sf0.001 documents table."""
+    for t in (0.2, 0.5):
+        brute = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.jaccard_pairs_bruteforce(docs, n=3, threshold=t).collect()
+        }
+        fast = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.jaccard_pairs_exact(docs, n=3, threshold=t).collect()
+        }
+        assert fast == brute and len(brute) > 0
+
+
+def test_jaccard_exact_equals_bruteforce_sf0001(spark):
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs_bruteforce(real, n=3, threshold=0.2).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs_exact(real, n=3, threshold=0.2).collect()
+    }
+    assert fast == brute
+
+
+def test_jaccard_exact_rejects_zero_threshold(spark):
+    import pytest as _pt
+
+    from stash_log_parser_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        D.jaccard_pairs_exact(df, threshold=0.0)
