@@ -135,6 +135,7 @@ def main() -> dict:
         "events_mann_whitney",
         "docs_kneser_ney",
         "emb_silhouette",
+        "docs_token_runs",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -703,3 +703,93 @@ def neyman_allocation(
             "sample_frac"
         ),
     ).orderBy(strat_col)
+
+
+def unimax_plan(
+    docs: DataFrame,
+    token_budget: int,
+    epochs_cap: float = 4.0,
+    source_col: str = "source",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling" — public): spread a total token
+    budget as EQUALLY as possible across sources, but never take more
+    than ``epochs_cap`` epochs of any source — the fairness-first
+    alternative to temperature sampling that avoids both starving tiny
+    sources and pathologically over-epoching them.
+
+    Exact integer waterfilling, fully window-form (no loop): with
+    per-source capacity cap_i = epochs_cap·tokens_i (micro-exact BIGINT)
+    sorted ascending, source k is CAPPED iff
+    cap_k·(K-k+1) <= B - P_{k-1}  (P = prefix cap sum) — an exact
+    integer test whose capped set is provably a prefix (caps ascending:
+    if the test fails at k it fails at k+1 by cross-multiplication).
+    Capped sources take cap_i; the m uncapped ones split the remainder
+    evenly: alloc = (B - P_m) div (K-m). The < K-token floor remainder
+    stays unallocated (a real run rounds to whole sequences anyway).
+    Every comparison is BIGINT — no float can flip a row between
+    engines.
+
+    Plan: ONE source-keyed hash-agg over the corpus (map-side partials
+    apply); everything after is windows over the K-row (dimension-
+    sized) plan table. The 100 TB cost is the one aggregation scan.
+    """
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    ec_micro = int(round(epochs_cap * 1_000_000))
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(length_col).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "cap_toks", F.expr(f"({ec_micro}L * n_tokens) div 1000000L")
+    )
+    w_ord = Window.orderBy("cap_toks", "source")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    B = F.lit(int(token_budget)).cast("long")
+    ranked = (
+        per.withColumn("k", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "prefix_cap",
+            F.coalesce(F.sum("cap_toks").over(w_pre), F.lit(0)).cast("long"),
+        )
+        .withColumn("n_src", F.count("*").over(w_all).cast("long"))
+        .withColumn(
+            "capped",
+            F.col("cap_toks") * (F.col("n_src") - F.col("k") + F.lit(1))
+            <= B - F.col("prefix_cap"),
+        )
+    )
+    summed = ranked.withColumn(
+        "m", F.sum(F.col("capped").cast("long")).over(w_all)
+    ).withColumn(
+        "capped_mass",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_toks"))).over(w_all),
+            F.lit(0),
+        ).cast("long"),
+    )
+    # greatest(...,1) guards the all-capped case (budget > total
+    # capacity): the divisor is never hit then, but neither engine
+    # should have to lazily skip a div-by-zero
+    share = F.expr(
+        "(%s - capped_mass) div greatest(n_src - m, 1)" % int(token_budget)
+    )
+    return summed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "cap_toks",
+        F.when(F.col("capped"), F.col("cap_toks"))
+        .otherwise(F.greatest(share, F.lit(0).cast("long")))
+        .cast("long")
+        .alias("alloc_toks"),
+        "capped",
+    ).withColumn(
+        "epochs",
+        round6(F.col("alloc_toks").cast("double") / F.col("n_tokens")),
+    ).orderBy("source")

@@ -2551,3 +2551,154 @@ def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
             / F.col("n_docs")
         ).alias("exact_dup_rate"),
     ).orderBy("source")
+
+
+def token_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_run_flag: int = 8,
+    support_flag: float = 0.2,
+    min_words_for_support: int = 50,
+) -> DataFrame:
+    """Degenerate-repetition QC over the word/token sequence: the two
+    classic loop-artifact signals a pretraining curation pass screens
+    for (reference has no analog; this is the tokens-axis quality
+    screen the 10^12-sequence corpus needs before packing).
+
+    Per document over the lowercased whitespace token stream:
+      * ``max_run``     — longest run of the SAME consecutive token
+                          ("foo foo foo ..." degenerate-generation
+                          loops; prose rarely exceeds 2-3);
+      * ``n_distinct``  / ``support_ratio`` — type/token ratio; a long
+                          doc cycling over a tiny vocabulary is a loop
+                          even when no single token repeats adjacently
+                          ("a b a b a b ...").
+    ``degenerate`` flags max_run >= max_run_flag OR (n_words >=
+    min_words_for_support AND support_ratio <= support_flag).
+
+    Plan: ONE narrow projection, no shuffle, no explode — the run
+    scan is a single left fold (F.aggregate) over the materialized
+    split array carrying (prev, run, best) struct state; JVM-side
+    interpreted per element, fine at document word counts (10²-10³,
+    same tradeoff note as repetition_score). The SQL twin recomputes
+    max_run relationally (unnest + gaps-and-islands) — two
+    independent formulations agreeing is the point of the oracle.
+    """
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n_words = F.size(ws).cast("long")
+    zero = F.lit(0).cast("long")
+    state = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+    def _step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+    max_run = F.aggregate(ws, state, _step, lambda acc: acc["best"])
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    # two-stage select so the fold and the distinct run ONCE per row:
+    # CollapseProject would otherwise inline max_run into the
+    # degenerate flag and evaluate the whole fold twice
+    mid = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        max_run.alias("max_run"),
+        n_distinct.alias("n_distinct"),
+        round6(n_distinct.cast("double") / n_words).alias("support_ratio"),
+    )
+    return mid.select(
+        "*",
+        (
+            (F.col("max_run") >= F.lit(max_run_flag))
+            | (
+                (F.col("n_words") >= F.lit(min_words_for_support))
+                & (F.col("support_ratio") <= F.lit(float(support_flag)))
+            )
+        ).alias("degenerate"),
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-hygiene audit of the deterministic train/test split: how
+    many documents of each split have an EXACT-duplicate twin in the
+    other split (the contamination a held-out set inherits when the
+    split is drawn before dedup — the standard decontamination review
+    question, run here with the engine's own split rule and exact-dup
+    key so the audit measures the real pipeline, not a proxy).
+
+    Scale shape: leakage is decidable at the content-hash GROUP level
+    — a group leaks iff it spans both splits — so there is NO join
+    back to the corpus: one hash-agg on md5(text) with two conditional
+    map-side-partial sums, then a 2-row rollup. The only exchange
+    carries (16-byte hash, two longs).
+
+    Output: one row per split with n_docs, n_leaked (docs whose exact
+    twin lives in the other split), leak_rate (round6).
+    """
+    t = max(0, min(256, int(train_frac * 256)))
+    threshold = "zz" if t == 256 else format(t, "02x")
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("h"),
+        F.when(h2 < threshold, "train").otherwise("test").alias("split"),
+    )
+    grp = keyed.groupBy("h").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    zero = F.lit(0).cast("long")
+    rows = grp.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train").alias("split"),
+                    F.col("n_train").alias("n"),
+                    F.when(F.col("n_test") > 0, F.col("n_train"))
+                    .otherwise(zero)
+                    .alias("leak"),
+                ),
+                F.struct(
+                    F.lit("test").alias("split"),
+                    F.col("n_test").alias("n"),
+                    F.when(F.col("n_train") > 0, F.col("n_test"))
+                    .otherwise(zero)
+                    .alias("leak"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.split", "s.n", "s.leak")
+    return (
+        rows.groupBy("split")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("leak").cast("long").alias("n_leaked"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_leaked",
+            round6(
+                F.col("n_leaked").cast("double")
+                / F.when(F.col("n_docs") > 0, F.col("n_docs"))
+            ).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )

@@ -433,3 +433,64 @@ def test_shard_rebalance_ring_matches_python_reference(spark):
             moved += 1
     got = {r.strategy: r for r in M.shard_rebalance(docs, 8, 9).collect()}
     assert got["ring"].n_moved == moved
+
+
+def _unimax_ref(caps: dict, budget: int) -> dict:
+    """Iterative real-waterfilling reference: repeatedly give every
+    unfinished source an equal integer share, capping as they fill."""
+    alloc = {s: 0 for s in caps}
+    live = sorted(caps, key=lambda s: (caps[s], s))
+    remaining = budget
+    # iterate: cap ascending — once a source is capped, redistribute
+    while live:
+        share = remaining // len(live)
+        s = live[0]
+        if caps[s] <= share:
+            alloc[s] = caps[s]
+            remaining -= caps[s]
+            live.pop(0)
+        else:
+            # nobody else caps either (caps ascending): equal split
+            for t in live:
+                alloc[t] = share
+            break
+    return alloc
+
+
+@pytest.mark.parametrize(
+    "budget", [1_000, 50_000, 10_000_000, 100_000_000]
+)
+def test_unimax_plan_matches_waterfilling_reference(spark, budget):
+    rows = [
+        (i, f"s{j}", ln)
+        for i, (j, ln) in enumerate(
+            [(0, 50), (0, 70), (1, 5000), (1, 9000), (2, 400),
+             (3, 120000), (3, 80000), (4, 20)]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    got = {
+        r.source: r
+        for r in M.unimax_plan(docs, budget, epochs_cap=4.0).collect()
+    }
+    caps = {s: 4 * n for s, n in
+            [("s0", 120), ("s1", 14000), ("s2", 400), ("s3", 200000),
+             ("s4", 20)]}
+    ref = _unimax_ref(caps, budget)
+    for s, want in ref.items():
+        assert got[s].cap_toks == caps[s]
+        assert got[s].alloc_toks == want, (s, budget)
+    assert sum(r.alloc_toks for r in got.values()) <= budget \
+        or all(r.capped for r in got.values())
+
+
+def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
+    docs = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 30)], "doc_id long, source string, n_chars long"
+    )
+    got = {r.source: r for r in
+           M.unimax_plan(docs, 10**9, epochs_cap=2.0).collect()}
+    assert got["a"].alloc_toks == 20 and got["a"].capped
+    assert got["b"].alloc_toks == 60 and got["b"].capped

@@ -1428,3 +1428,64 @@ def test_data_card_exact_small(spark):
     # 'zz 123 !?' = zz, 123, !, ? = 4 tokens; no dups
     assert b.n_tokens == 4 and b.exact_dup_rate == 0.0
     assert b.top_lang_share == 1.0 and b.p50_chars == 9
+
+
+def test_token_runs_max_run_and_support(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "foo foo foo foo bar baz"),
+            (1, "a b c d e f g h"),
+            (2, "x " * 10),          # trailing space -> trim handles
+            (3, "A a B b"),          # lowercased before runs
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TS.token_runs(docs).collect()}
+    assert got[0].max_run == 4 and got[0].n_distinct == 3
+    assert got[1].max_run == 1 and not got[1].degenerate
+    assert got[2].max_run == 10 and got[2].degenerate  # >= 8 flag
+    assert got[3].max_run == 2  # case-folded: "a a" and "b b"
+    assert got[3].n_distinct == 2
+
+
+def test_token_runs_low_support_flags_long_cycler(spark):
+    # 60 words cycling over a 2-word vocabulary: no adjacent repeat
+    # (max_run 1) but type/token ratio 2/60 — the loop the support
+    # rule exists to catch
+    docs = spark.createDataFrame(
+        [(0, "yes no " * 30)], "doc_id long, text string"
+    )
+    r = TS.token_runs(docs).collect()[0]
+    assert r.max_run == 1
+    assert r.n_words == 60 and r.n_distinct == 2
+    assert r.degenerate
+
+
+def test_split_leakage_counts_cross_split_twins(spark):
+    import hashlib
+
+    # ids chosen arbitrarily; recompute which side each lands on with
+    # the same md5 rule instead of guessing
+    def side(i):
+        return (
+            "train"
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "cc"
+            else "test"
+        )
+
+    ids = list(range(40))
+    # docs 0..9 share text "dup"; everyone else unique
+    rows = [(i, "dup" if i < 10 else f"unique {i}") for i in ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.split: r for r in TS.split_leakage(docs, 0.8).collect()}
+
+    splits = {i: side(i) for i in ids}
+    dup_sides = {splits[i] for i in range(10)}
+    for s in ("train", "test"):
+        assert got[s].n_docs == sum(1 for i in ids if splits[i] == s)
+        want_leak = (
+            sum(1 for i in range(10) if splits[i] == s)
+            if len(dup_sides) == 2
+            else 0
+        )
+        assert got[s].n_leaked == want_leak, s
