@@ -1489,3 +1489,20 @@ def test_split_leakage_counts_cross_split_twins(spark):
             else 0
         )
         assert got[s].n_leaked == want_leak, s
+
+
+def test_token_runs_arrow_equals_hof_paths(spark):
+    rows = [
+        (0, "foo foo foo foo bar baz"),
+        (1, "yes no " * 30),
+        (2, "x"),
+        (3, None),  # null text -> null stats on both paths
+        (4, "a b a b c c c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r) for r in
+         TS.token_runs(docs, use_arrow=True).collect()}
+    h = {r.doc_id: tuple(r) for r in
+         TS.token_runs(docs, use_arrow=False).collect()}
+    assert a == h
+    assert a[3][1] is None  # null propagates, row not dropped

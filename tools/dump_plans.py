@@ -123,6 +123,24 @@ QUERIES = [
         " cosines in codegen; cube('cell') emits per-cell AND overall from"
         " ONE hash agg (no second corpus scan); no vector in any Exchange.",
     ),
+    (
+        "docs_token_runs",
+        "Degenerate-repetition QC: JVM split + ONE Arrow run-length stage,"
+        " shuffle-free narrow projection — no explode, no per-element"
+        " interpreter work.",
+    ),
+    (
+        "corpus_unimax",
+        "UniMax waterfilling: one source-keyed hash-agg over the corpus"
+        " (map-side partials); every window after it runs on the K-row"
+        " dimension-sized plan table.",
+    ),
+    (
+        "docs_split_leakage",
+        "Split contamination: ONE exchange keyed on md5(text) carrying"
+        " (hash, two longs); leakage decided at group level — no corpus"
+        " join-back.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
