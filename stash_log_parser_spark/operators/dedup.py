@@ -1196,3 +1196,56 @@ def incremental_near_dedup(
         )
         .orderBy("source")
     )
+
+
+def dup_size_pareto(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-cluster-size census: for each exact-dup cluster size k,
+    how many clusters have that size, how many documents they hold, and
+    the cumulative corpus share reclaimable by deduplicating all
+    clusters of size >= k — the "is duplication a head or a tail
+    problem" dashboard (one pathological 10^6-copy boilerplate page vs
+    a million pairwise dups demand different mitigations; web corpora
+    routinely show both).
+
+    Scale shape: two hash-aggs, each one exchange narrower than the
+    last — corpus → (md5, count) census → (size k, cluster count)
+    distribution (at most ~log-many distinct sizes in practice); the
+    cumulative window runs over that tiny table ordered k DESC.
+    reclaim = Σ_{j>=k} (j-1)·n_clusters(j): dedup keeps one copy per
+    cluster. All counts BIGINT; the share is one final round6.
+    """
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    census = docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    dist = census.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    # window over the size-distribution table (tiny by construction);
+    # total re-enters as a 1-row broadcast cross join
+    w_ge = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = docs.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        dist.withColumn(
+            "reclaim_docs",
+            F.sum((F.col("k") - F.lit(1)) * F.col("n_clusters"))
+            .over(w_ge)
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            "reclaim_docs",
+            round6(
+                F.col("reclaim_docs").cast("double") / F.col("n_total")
+            ).alias("reclaim_share"),
+        )
+        .orderBy(F.col("k").desc())
+    )

@@ -613,3 +613,24 @@ def test_jaccard_exact_rejects_zero_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pt.raises(ValueError):
         D.jaccard_pairs_exact(df, threshold=0.0)
+
+
+def test_dup_size_pareto_exact_small(spark):
+    # 3 copies of A, 2 copies of B, 5 uniques -> 10 docs
+    rows = (
+        [(i, "AAA") for i in range(3)]
+        + [(10 + i, "BBB") for i in range(2)]
+        + [(20 + i, f"u{i}") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from stash_log_parser_spark.operators.dedup import dup_size_pareto
+
+    got = {r.k: r for r in dup_size_pareto(docs).collect()}
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2
+    assert got[1].n_clusters == 5 and got[1].n_docs == 5
+    # reclaim: k>=3 -> 2 docs; k>=2 -> 2+1=3; k>=1 adds nothing
+    assert got[3].reclaim_docs == 2
+    assert got[2].reclaim_docs == 3
+    assert got[1].reclaim_docs == 3
+    assert got[2].reclaim_share == 0.3
