@@ -793,3 +793,111 @@ def unimax_plan(
         "epochs",
         round6(F.col("alloc_toks").cast("double") / F.col("n_tokens")),
     ).orderBy("source")
+
+
+def shuffle_order(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle as a (shard, pos) training
+    order — the reproducible global permutation every pretraining run
+    needs ("same data, same order, any cluster"). A doc's priority is
+    ``md5(seed ':' doc_id)``: shard = the repo's standard 48-bit
+    md5-prefix int mod ``n_shards``, pos = rank of the full hex
+    priority within the shard. The order therefore depends only on
+    (seed, doc_id) — stable across runs, partitionings, engines, and
+    corpus growth (adding docs never reorders existing pairs within a
+    shard relative to each other).
+
+    Scale shape: one exchange keyed on shard (uniform by md5
+    construction) and a per-shard sort — NO global sort. Each shard
+    is one sort task, so ``n_shards`` is the parallelism dial: at
+    10^12 docs you run n_shards ~ 10^5 (10^7 rows/task); the default 8
+    is test-scale. Data-loader contract: readers consume shards
+    round-robin and each shard is internally hash-random, so any
+    prefix of the (shard-interleaved) stream is an unbiased sample.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    pr = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    h48 = F.conv(F.substring(pr, 1, 12), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("pr", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            pr.alias("pr"),
+            (h48 % n_shards).cast("long").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def interleave_order(
+    docs: DataFrame,
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Proportional deterministic source interleave — the data-loader
+    mixing order that feeds each source at a steady rate equal to its
+    corpus share (stride scheduling / WFQ): source s's r-th doc (in
+    seeded-hash order) runs at virtual time ``vt = (2r-1) / (2*n_s)``,
+    and the global order is ascending vt (ties broken by source then
+    rank). A 10%-share source then appears once per ~10 positions
+    throughout, instead of clumping — the property curriculum and
+    multi-domain training schedules rely on.
+
+    The global position is computed WITHOUT a global sort or a global
+    single-partition window, via the range-bucket rank device: bucket
+    ``b = floor(vt * n_buckets)`` (vt is in (0,1)); per-bucket
+    row_number ranks locally; bucket offsets come from a cumulative
+    count over the tiny ``n_buckets``-row histogram; global
+    ``pos = offset[b] + local rank``. Exactly the sampled-range-
+    partition trick a distributed sort uses, but with deterministic
+    closed-form boundaries. Exchanges: one on source (per-source
+    rank), one on bucket (uniform: vt is near-uniform on (0,1)).
+
+    vt is IEEE double arithmetic on exact small integers — identical
+    in any engine — and never reaches the output; only ``pos``,
+    ``src_rank`` and identity columns do.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    pr = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w_src = Window.partitionBy(source_col).orderBy("pr", id_col)
+    ranked = (
+        docs.select(F.col(id_col), F.col(source_col), pr.alias("pr"))
+        .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
+        .withColumn(
+            "n_s", F.count("*").over(Window.partitionBy(source_col)).cast("long")
+        )
+        .withColumn(
+            "vt",
+            (F.lit(2) * F.col("src_rank") - F.lit(1)).cast("double")
+            / (F.lit(2) * F.col("n_s")).cast("double"),
+        )
+        .withColumn("b", F.floor(F.col("vt") * F.lit(n_buckets)).cast("long"))
+    )
+    w_b = Window.partitionBy("b").orderBy("vt", source_col, "src_rank")
+    local = ranked.withColumn("rn", F.row_number().over(w_b).cast("long"))
+    # bucket offsets: cumulative count over the <= n_buckets-row histogram
+    hist = ranked.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "b", F.coalesce(F.sum("n_b").over(w_cum), F.lit(0)).cast("long").alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "b")
+        .select(
+            (F.col("off") + F.col("rn")).alias("pos"),
+            F.col(id_col),
+            F.col(source_col),
+            "src_rank",
+        )
+        .orderBy("pos")
+    )

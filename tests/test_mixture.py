@@ -494,3 +494,85 @@ def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
            M.unimax_plan(docs, 10**9, epochs_cap=2.0).collect()}
     assert got["a"].alloc_toks == 20 and got["a"].capped
     assert got["b"].alloc_toks == 60 and got["b"].capped
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_shuffle_order_is_a_permutation_and_deterministic(spark):
+    docs = _mk_docs(spark, [(i, "s") for i in range(40)])
+    a = M.shuffle_order(docs, n_shards=4, seed=7).collect()
+    b = M.shuffle_order(docs, n_shards=4, seed=7).collect()
+    assert a == b  # same seed -> identical order, any run
+    assert sorted(r.doc_id for r in a) == list(range(40))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), shard
+    # different seed -> different permutation (overwhelmingly)
+    c = M.shuffle_order(docs, n_shards=4, seed=8).collect()
+    assert [r.doc_id for r in c] != [r.doc_id for r in a]
+
+
+def test_shuffle_order_stable_under_corpus_growth(spark):
+    small = _mk_docs(spark, [(i, "s") for i in range(30)])
+    grown = _mk_docs(spark, [(i, "s") for i in range(45)])
+    o1 = M.shuffle_order(small, n_shards=4, seed=42).collect()
+    o2 = M.shuffle_order(grown, n_shards=4, seed=42).collect()
+    rel1 = {}
+    for r in o1:
+        rel1.setdefault(r.shard, []).append(r.doc_id)
+    rel2 = {}
+    for r in o2:
+        if r.doc_id < 30:
+            rel2.setdefault(r.shard, []).append(r.doc_id)
+    # new docs never reorder existing pairs within a shard
+    assert rel1 == rel2
+
+
+def test_shuffle_order_rejects_bad_n_shards(spark):
+    docs = _mk_docs(spark, [(1, "s")])
+    with pytest.raises(ValueError):
+        M.shuffle_order(docs, n_shards=0)
+
+
+def _interleave_ref(rows, seed):
+    import hashlib
+
+    per = {}
+    for doc_id, source in rows:
+        pr = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+        per.setdefault(source, []).append((pr, doc_id))
+    out = []
+    for source, lst in per.items():
+        lst.sort()
+        n = len(lst)
+        for i, (_, doc_id) in enumerate(lst, 1):
+            out.append(((2 * i - 1) / (2 * n), source, i, doc_id))
+    out.sort()
+    return [(p + 1, doc_id, source, r)
+            for p, (_, source, r, doc_id) in enumerate(out)]
+
+
+def test_interleave_order_matches_python_reference(spark):
+    rows = [(i, f"s{i % 3}") for i in range(31)] + [(100 + i, "rare") for i in range(3)]
+    docs = _mk_docs(spark, rows)
+    got = [(r.pos, r.doc_id, r.source, r.src_rank)
+           for r in M.interleave_order(docs, seed=5).collect()]
+    assert got == _interleave_ref(rows, 5)
+
+
+def test_interleave_order_spreads_sources_proportionally(spark):
+    # 8 of "a", 8 of "b": stride order must strictly alternate
+    rows = [(i, "a") for i in range(8)] + [(10 + i, "b") for i in range(8)]
+    got = M.interleave_order(_mk_docs(spark, rows), seed=1).collect()
+    sources = [r.source for r in sorted(got, key=lambda r: r.pos)]
+    assert all(sources[i] != sources[i + 1] for i in range(0, 16, 2))
+    # and a 1-in-4 source appears once in every 4-slot stripe
+    rows = [(i, "big") for i in range(12)] + [(50 + i, "small") for i in range(4)]
+    got = M.interleave_order(_mk_docs(spark, rows), seed=1).collect()
+    order = [r.source for r in sorted(got, key=lambda r: r.pos)]
+    for stripe in range(4):
+        assert order[stripe * 4 : stripe * 4 + 4].count("small") == 1
