@@ -1249,3 +1249,77 @@ def dup_size_pareto(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy(F.col("k").desc())
     )
+
+
+def lsh_s_curve(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    configs: tuple = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)),
+    text_col: str = "text",
+) -> DataFrame:
+    """Analytic banding-parameter sweep — the LSH tuning dashboard.
+    For every (bands, rows_per_band) config sharing one signature
+    budget (b*r = 16 here), the probability MinHash-LSH surfaces a
+    pair with Jaccard J is the classic s-curve ``p = 1 - (1 - J^r)^b``;
+    summing p over the corpus's ACTUAL qualifying pairs (the exact
+    inverted-index join, :func:`jaccard_pairs_exact`) gives the
+    expected detected-pair count and expected recall per config —
+    "which banding should this corpus run" decided from its own pair
+    distribution instead of the textbook threshold rule of thumb
+    t ≈ (1/b)^(1/r).
+
+    Engine-exactness devices: powers are REPEATED MULTIPLICATION (not
+    ``pow()``, whose last-ulp rounding is not guaranteed identical
+    across engines) over the already-round6'd J, and the per-pair
+    probabilities are e6-quantized to BIGINT before the sum, so the
+    aggregate is order-independent. Scale shape: the pair set is the
+    exact-join output (bounded by shingle document frequency, see
+    jaccard_pairs_exact); the sweep itself is a constant-width
+    explode — |configs| rows per pair — into one hash-agg.
+    """
+    if not configs:
+        raise ValueError("configs must be non-empty")
+    pairs = jaccard_pairs_exact(docs, n=n, threshold=threshold, text_col=text_col)
+
+    def powi(col, k: int):
+        out = F.lit(1.0)
+        for _ in range(k):
+            out = out * col
+        return out
+
+    j = F.col("jaccard")
+    entries = [
+        F.struct(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.floor(
+                (F.lit(1.0) - powi(F.lit(1.0) - powi(j, r), b)) * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p_e6"),
+        )
+        for b, r in configs
+    ]
+    from stash_log_parser_spark.operators.textstats import round6
+
+    return (
+        pairs.select(F.explode(F.array(*entries)).alias("kv"))
+        .groupBy(
+            F.col("kv.bands").alias("bands"),
+            F.col("kv.rows_per_band").alias("rows_per_band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("kv.p_e6").cast("long").alias("exp_detected_e6"),
+        )
+        .withColumn(
+            "exp_recall",
+            round6(
+                F.col("exp_detected_e6").cast("double")
+                / 1e6
+                / F.col("n_pairs").cast("double")
+            ),
+        )
+        .orderBy("bands", "rows_per_band")
+    )

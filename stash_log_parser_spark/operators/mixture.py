@@ -901,3 +901,70 @@ def interleave_order(
         )
         .orderBy("pos")
     )
+
+
+def order_audit(
+    order_df: DataFrame,
+    source_col: str = "source",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Shuffle-quality audit of a training order: per source, the
+    run-length structure (how badly the source clumps) and the
+    adjacent same-source pair count against its exact
+    uniform-random-permutation expectation ``n_s*(n_s-1)/n`` — the
+    dashboard that catches a broken shuffle (or a pathological
+    interleave) BEFORE a run burns compute on correlated batches.
+
+    Devices: runs via the gaps-and-islands key ``pos - rank(pos within
+    source)`` (one per-source window — sources are the partition, no
+    global sort); adjacency via a self equi-join on ``pos + 1``
+    (exchange keyed on pos — the scale-safe alternative to a global
+    lag window, which would be a single partition). The expectation is
+    an exact integer ratio, reported round6.
+
+    Output per source: ``n_docs, n_runs, max_run, adj_same,
+    exp_adj_same``.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    o = order_df.select(
+        F.col(pos_col).alias("pos"), F.col(source_col).alias("source")
+    )
+    w_src = Window.partitionBy("source").orderBy("pos")
+    islands = o.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_src)
+    )
+    runs = (
+        islands.groupBy("source", "grp")
+        .agg(F.count("*").cast("long").alias("run_len"))
+        .groupBy("source")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+    )
+    nxt = o.select((F.col("pos") - F.lit(1)).alias("pos"), F.col("source").alias("next_source"))
+    adj = (
+        o.join(nxt, "pos")
+        .filter(F.col("source") == F.col("next_source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("adj_same"))
+    )
+    total = o.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        runs.join(adj, "source", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_runs",
+            "max_run",
+            F.coalesce(F.col("adj_same"), F.lit(0)).cast("long").alias("adj_same"),
+            round6(
+                (F.col("n_docs") * (F.col("n_docs") - F.lit(1))).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("exp_adj_same"),
+        )
+        .orderBy("source")
+    )

@@ -634,3 +634,48 @@ def test_dup_size_pareto_exact_small(spark):
     assert got[2].reclaim_docs == 3
     assert got[1].reclaim_docs == 3
     assert got[2].reclaim_share == 0.3
+
+
+def test_lsh_s_curve_matches_closed_form(spark):
+    # two identical docs (J=1) and one near-pair; verify the s-curve
+    # p = 1-(1-J^r)^b against python floats on the exact pair set
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon ETA"),
+            (4, "totally unrelated words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    from stash_log_parser_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        lsh_s_curve,
+    )
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in jaccard_pairs_exact(docs, threshold=0.2).collect()}
+    got = {(r.bands, r.rows_per_band): r
+           for r in lsh_s_curve(docs, threshold=0.2).collect()}
+    for (b, r), row in got.items():
+        exp = 0
+        for j in pairs.values():
+            jr = 1.0
+            for _ in range(int(r)):
+                jr = jr * j
+            q = 1.0
+            for _ in range(int(b)):
+                q = q * (1.0 - jr)
+            exp += int((1.0 - q) * 1e6 + 0.5)
+        assert row.n_pairs == len(pairs)
+        assert row.exp_detected_e6 == exp, (b, r)
+    # J=1 pair is always detected: every config's sum >= 1e6
+    assert all(r.exp_detected_e6 >= 10**6 for r in got.values())
+
+
+def test_lsh_s_curve_rejects_empty_configs(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    from stash_log_parser_spark.operators.dedup import lsh_s_curve
+
+    with pytest.raises(ValueError):
+        lsh_s_curve(docs, configs=())

@@ -576,3 +576,31 @@ def test_interleave_order_spreads_sources_proportionally(spark):
     order = [r.source for r in sorted(got, key=lambda r: r.pos)]
     for stripe in range(4):
         assert order[stripe * 4 : stripe * 4 + 4].count("small") == 1
+
+
+def test_order_audit_exact_small(spark):
+    # hand-built order: a a b a b b  (positions 1..6)
+    order = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "b"), (6, "b")],
+        "pos long, source string",
+    )
+    got = {r.source: r for r in M.order_audit(order).collect()}
+    assert got["a"].n_docs == 3 and got["a"].n_runs == 2
+    assert got["a"].max_run == 2 and got["a"].adj_same == 1
+    assert got["b"].n_docs == 3 and got["b"].n_runs == 2
+    assert got["b"].max_run == 2 and got["b"].adj_same == 1
+    # E[adj same] = n_s(n_s-1)/n = 3*2/6 = 1.0 for both
+    assert got["a"].exp_adj_same == 1.0
+
+
+def test_order_audit_flags_unshuffled_order(spark):
+    # fully sorted-by-source order: one run each, maximal adjacency
+    rows = [(i + 1, "a") for i in range(5)] + [(6 + i, "b") for i in range(5)]
+    got = {r.source: r
+           for r in M.order_audit(
+               spark.createDataFrame(rows, "pos long, source string")
+           ).collect()}
+    for s in ("a", "b"):
+        assert got[s].n_runs == 1 and got[s].max_run == 5
+        assert got[s].adj_same == 4
+        assert got[s].adj_same > got[s].exp_adj_same  # clumpier than random
