@@ -653,3 +653,36 @@ def streaming_user_stats_tws(events: DataFrame):
         "wire the StatefulProcessor per the docstring once the "
         "environment provides protobuf"
     )
+
+
+def streaming_scd2_enrich(events_stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static SCD2 AS-OF enrichment: each streamed event picks
+    the dimension version ACTIVE AT ITS EVENT TIME — the "campaign /
+    price / config as of the click" join every telemetry pipeline
+    needs, expressed as a per-batch stream-static join whose predicate
+    is the validity-interval containment ``valid_from <= ts <
+    valid_to`` (valid_to NULL = current). SCD2 intervals are disjoint
+    per key, so containment matches AT MOST ONE version — no argmax
+    pass, and no stream-stream state: the static side is re-planned
+    (and broadcast when dimension-sized) every micro-batch, nothing is
+    watermarked.
+
+    Events before a key's first version keep a NULL state (LEFT join)
+    — dropped-row enrichment is a silent-bias bug this surfaces as an
+    explicit NULL group. Output: running (event_type, active_state)
+    census in complete mode; drained over availableNow it must equal
+    the batch as-of SQL exactly (the driver oracle).
+    """
+    e = events_stream.alias("e")
+    d = dim.select("user_id", "state", "valid_from", "valid_to").alias("d")
+    joined = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("e.event_type").alias("event_type"),
+        F.col("d.state").alias("active_state"),
+    ).agg(F.count("*").alias("n_events"))

@@ -653,3 +653,61 @@ def test_transform_with_state_seam_is_guarded(spark):
     # on THIS container the probe names the protobuf breakage
     if reason is not None:
         assert "protobuf" in reason
+
+
+def test_streaming_scd2_enrich_asof_semantics(spark, tmp_path):
+    """As-of boundary rules: an event AT a version's valid_from joins
+    that version (half-open intervals); events before the key's first
+    version keep NULL state; the current (open) version matches
+    onward events."""
+    import datetime as dt
+    import os
+
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_scd2_enrich,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    # dim: user 1 is 'A' from 02:00, 'B' from 05:00 (current)
+    dim = spark.createDataFrame(
+        [
+            (1, "A", t(2), t(5)),
+            (1, "B", t(5), None),
+        ],
+        "user_id long, state string, valid_from timestamp_ntz,"
+        " valid_to timestamp_ntz",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, t(1), 1, "click"),   # before first version -> NULL
+            (2, t(2), 1, "click"),   # boundary: joins 'A'
+            (3, t(4), 1, "view"),    # inside 'A'
+            (4, t(5), 1, "click"),   # boundary: 'B' (half-open)
+            (5, t(9), 1, "view"),    # current 'B'
+            (6, t(3), 2, "click"),   # unknown user -> NULL
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    d = os.path.join(tmp_path, "ev")
+    events.coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        )
+        .parquet(d)
+    )
+    run_to_memory(streaming_scd2_enrich(stream, dim), "scd2_asof_t", "complete")
+    got = {
+        (r.event_type, r.active_state): r.n_events
+        for r in spark.table("scd2_asof_t").collect()
+    }
+    assert got == {
+        ("click", None): 2,
+        ("click", "A"): 1,
+        ("click", "B"): 1,
+        ("view", "A"): 1,
+        ("view", "B"): 1,
+    }
