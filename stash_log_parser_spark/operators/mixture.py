@@ -811,11 +811,15 @@ def shuffle_order(
     corpus growth (adding docs never reorders existing pairs within a
     shard relative to each other).
 
-    Scale shape: one exchange keyed on shard (uniform by md5
-    construction) and a per-shard sort — NO global sort. Each shard
-    is one sort task, so ``n_shards`` is the parallelism dial: at
-    10^12 docs you run n_shards ~ 10^5 (10^7 rows/task); the default 8
-    is test-scale. Data-loader contract: readers consume shards
+    Scale shape: computing (shard, pos) takes one exchange keyed on
+    shard (uniform by md5 construction) and a per-shard sort — no
+    global sort. Each shard is one sort task, so ``n_shards`` is the
+    parallelism dial: at 10^12 docs you run n_shards ~ 10^5 (10^7
+    rows/task); the default 8 is test-scale. The trailing
+    ``orderBy(shard, pos)`` is the oracle-contract presentation only —
+    the production sink writes shard-partitioned files via
+    ``partitionBy("shard")`` + ``sortWithinPartitions("pos")``, never a
+    global range sort. Data-loader contract: readers consume shards
     round-robin and each shard is internally hash-random, so any
     prefix of the (shard-interleaved) stream is an unbiased sample.
     """

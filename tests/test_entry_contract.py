@@ -159,3 +159,42 @@ def test_dup_ratio_never_shuffles_text(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_interleave_order_reuses_the_source_exchange(spark):
+    """interleave_order's bucket histogram must reuse the per-source
+    rank exchange (ReusedExchange), not rescan the corpus; and the
+    offset table must arrive via broadcast."""
+    df = E.queries()["corpus_interleave_order"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_order_sorts_within_shards_not_globally(spark):
+    """shuffle_order's rank subplan: the only non-presentational sort
+    is per-shard (hash partitioning on shard) — the single range sort
+    is the trailing oracle-contract orderBy."""
+    df = E.queries()["corpus_shuffle_order"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("rangepartitioning") == 1, final[:2000]
+    assert "hashpartitioning(shard" in final
+
+
+def test_rollup_is_one_expand_with_broadcast_nation(spark):
+    """The ROLLUP compiles to a single Expand + hash-agg; nation joins
+    by broadcast; no fact table carries a hint (AQE decides)."""
+    df = E.queries()["tpch_rollup_sales"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert "BroadcastHashJoin" in plan
+    import inspect
+
+    src = inspect.getsource(E.queries()["tpch_rollup_sales"])
+    for ln in src.splitlines():
+        if "F.broadcast" in ln:
+            assert "nation" in ln, ln
