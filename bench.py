@@ -136,6 +136,8 @@ def main() -> dict:
         "docs_kneser_ney",
         "emb_silhouette",
         "docs_token_runs",
+        "corpus_shuffle_order",
+        "corpus_interleave_order",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -1323,3 +1323,127 @@ def lsh_s_curve(
         )
         .orderBy("bands", "rows_per_band")
     )
+
+
+def _winnowed(
+    docs: DataFrame, k: int, w: int, text_col: str
+):
+    """Shared winnowing census: distinct (doc_id, fingerprint) after
+    MOSS window-min selection over positional k-gram hashes, plus the
+    per-doc (n_grams, n_windows) frame. Gram hashes are the repo's
+    portable 48-bit md5-prefix device (the SELECTION depends on hash
+    ORDER, so unlike the count-only censuses this cannot substitute
+    xxhash64 engine-side); md5 runs per exploded ROW (whole-stage
+    codegen), only the gram-string slice/join is an interpreted
+    higher-order function."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))
+    )
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, k), " ")
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode_outer(grams).alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
+    hashed = ex.select("doc_id", "pos", h.alias("h"))
+    wn = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    mins = (
+        hashed.withColumn("mh", F.min("h").over(wn))
+        .join(per_doc, "doc_id")
+        .filter(
+            F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+        )
+    )
+    census = mins.select("doc_id", "mh").distinct()
+    return census, per_doc
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """MOSS winnowing fingerprint stats per document (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — public algorithm): hash every word
+    k-gram, slide a window of ``w`` consecutive gram hashes, keep each
+    window's minimum; the distinct kept hashes are the document's
+    fingerprint set. GUARANTEE: any shared token run of length
+    >= w + k - 1 contributes at least one shared fingerprint, while
+    storage shrinks by ~2/(w+1) density — the local-fingerprint
+    tradeoff global rolling hashes (textstats.fingerprint) and MinHash
+    signatures (fixed-size, no locality) don't give.
+
+    Scale shape: one posexplode census (rows = Σ grams, same family as
+    docs_dup_ngram_spans), per-doc window min (doc-keyed partition,
+    never global), one hash-agg. Output: ``doc_id, n_grams, n_windows,
+    n_fps, density`` (round6).
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    census, per_doc = _winnowed(docs, k, w, text_col)
+    fps = census.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    return (
+        per_doc.join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_fps"), F.lit(0)).cast("long").alias("n_fps"),
+            round6(
+                F.coalesce(F.col("n_fps"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Copy-detection candidate pairs: documents sharing >=
+    ``min_shared`` winnowed fingerprints, with the shared count — the
+    MOSS report. By the winnowing guarantee every pair with a common
+    token run >= w + k - 1 appears here, so unlike MinHash banding
+    this candidate set has NO probabilistic recall loss for long
+    verbatim overlaps.
+
+    Scale shape: the join is an inverted index on the fingerprint hash
+    — input rows Σ_fp df², driven by fingerprint document frequency
+    exactly like jaccard_pairs_exact's posting lists; boilerplate
+    fingerprints are the hot-key hazard and production pairs this with
+    a df cap routing hot fingerprints to the banded path.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    census, _ = _winnowed(docs, k, w, text_col)
+    a, b = census.alias("a"), census.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -679,3 +679,53 @@ def test_lsh_s_curve_rejects_empty_configs(spark):
 
     with pytest.raises(ValueError):
         lsh_s_curve(docs, configs=())
+
+
+def _winnow_ref(text, k, w):
+    import hashlib
+
+    ws = text.strip().lower().split()
+    n = max(len(ws) - k + 1, 1)
+    hs = [
+        int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:12], 16)
+        for i in range(n)
+    ]
+    n_win = max(n - w + 1, 1)
+    return {min(hs[i : i + w]) for i in range(n_win)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short doc"),
+        (3, "a b c d e f g h i j k l m n o p"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    from stash_log_parser_spark.operators.dedup import winnow_fingerprints
+
+    got = {r.doc_id: r for r in winnow_fingerprints(docs, k=4, w=5).collect()}
+    for doc_id, text in texts:
+        ref = _winnow_ref(text, 4, 5)
+        n_grams = max(len(text.split()) - 3, 1)
+        assert got[doc_id].n_grams == n_grams
+        assert got[doc_id].n_fps == len(ref), doc_id
+
+
+def test_winnow_guarantee_detects_long_shared_run(spark):
+    # two docs sharing a run of exactly w+k-1 = 8 tokens embedded in
+    # otherwise disjoint text MUST share at least one fingerprint
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"seven eight nine ten {run} eleven twelve"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    from stash_log_parser_spark.operators.dedup import winnow_shared_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in winnow_shared_pairs(docs, k=4, w=5, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
