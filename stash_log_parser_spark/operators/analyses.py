@@ -3572,3 +3572,80 @@ def xcorr_lead_lag(
         F.col("n").alias("n_hours"),
         round6(r).alias("pearson_r"),
     ).orderBy("lag")
+
+
+def frame_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconciliation diff between two key-unique frames — the
+    shadow-run / migration-validation tool: run the old and the new
+    implementation of a pipeline stage over the same input and get,
+    per compared column, how many keyed rows exist on both sides, how
+    many values agree (null-safe), and how many rows each side holds
+    exclusively. One full-outer shuffle join on the keys + one
+    conditional-sum aggregate; the per-column readout is a constant-
+    width explode, so cost is independent of the column count's
+    combinatorics.
+
+    Both inputs MUST be unique on ``keys`` (a duplicate key would fan
+    the outer join out and double-count); the pipeline twins this
+    guards are keyed aggregates, unique by construction. Comparisons
+    use null-safe equality: NULL==NULL counts as a match, NULL vs
+    value as a mismatch.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(left.columns) & set(right.columns)) - set(keys)
+        )
+    if not compare_cols:
+        raise ValueError("no common non-key columns to compare")
+    l = left.withColumn("_lp", F.lit(1))
+    r = right.withColumn("_rp", F.lit(1))
+    cond = None
+    for k in keys:
+        c = l[k].eqNullSafe(r[k])
+        cond = c if cond is None else (cond & c)
+    j = l.join(r, cond, "full_outer")
+    both = l["_lp"].isNotNull() & r["_rp"].isNotNull()
+    aggs = [
+        F.sum(both.cast("long")).alias("n_both"),
+        F.sum((l["_lp"].isNotNull() & r["_rp"].isNull()).cast("long")).alias(
+            "n_only_left"
+        ),
+        F.sum((l["_lp"].isNull() & r["_rp"].isNotNull()).cast("long")).alias(
+            "n_only_right"
+        ),
+    ]
+    for c in compare_cols:
+        aggs.append(
+            F.sum((both & l[c].eqNullSafe(r[c])).cast("long")).alias(f"_m_{c}")
+        )
+    agg = j.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_both").alias("n_both"),
+            F.col(f"_m_{c}").alias("n_match"),
+            (F.col("n_both") - F.col(f"_m_{c}")).alias("n_mismatch"),
+            F.col("n_only_left").alias("n_only_left"),
+            F.col("n_only_right").alias("n_only_right"),
+        )
+        for c in compare_cols
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("kv"))
+        .select(
+            F.col("kv.column").alias("column"),
+            F.col("kv.n_both").cast("long").alias("n_both"),
+            F.col("kv.n_match").cast("long").alias("n_match"),
+            F.col("kv.n_mismatch").cast("long").alias("n_mismatch"),
+            F.col("kv.n_only_left").cast("long").alias("n_only_left"),
+            F.col("kv.n_only_right").cast("long").alias("n_only_right"),
+        )
+        .orderBy("column")
+    )

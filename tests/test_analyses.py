@@ -1694,3 +1694,38 @@ def test_xcorr_perfect_lag1(spark):
     assert out[0].pearson_r is None or out[0].pearson_r < 1.0
     # spine spans 7 hours; lag-1 join leaves 6 aligned pairs
     assert out[1].n_hours == 6
+
+
+def test_frame_diff_counts_matches_mismatches_and_exclusives(spark):
+    from stash_log_parser_spark.operators.analyses import frame_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 31), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.column: r for r in frame_diff(left, right, ["k"]).collect()}
+    assert set(got) == {"s", "v"}
+    for c in ("s", "v"):
+        assert got[c].n_both == 3
+        assert got[c].n_only_left == 1 and got[c].n_only_right == 1
+    # s: k=2 differs (b vs B); k=3 NULL==NULL is a match
+    assert got["s"].n_match == 2 and got["s"].n_mismatch == 1
+    # v: k=3 differs (30 vs 31)
+    assert got["v"].n_match == 2 and got["v"].n_mismatch == 1
+
+
+def test_frame_diff_rejects_empty_keys_and_no_common_columns(spark):
+    import pytest
+
+    from stash_log_parser_spark.operators.analyses import frame_diff
+
+    a = spark.createDataFrame([(1, 2)], "k long, x long")
+    b = spark.createDataFrame([(1, 3)], "k long, y long")
+    with pytest.raises(ValueError):
+        frame_diff(a, b, [])
+    with pytest.raises(ValueError):
+        frame_diff(a, b, ["k"])
