@@ -1447,3 +1447,87 @@ def winnow_shared_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Apply duplicated-span removal — the TRANSFORMATION the
+    dup_ngram_spans census only measures (the "deduplicating training
+    data" output, Lee et al. 2022 / ExactSubstr analog at n-gram
+    granularity): every occurrence of a duplicated n-gram window other
+    than its global first occurrence is removed from the text; the
+    first occurrence (min (doc_id, pos)) survives, so exactly one copy
+    of each duplicated span remains corpus-wide, and within-doc
+    repetitions collapse to their first instance.
+
+    Devices: gram keys are the portable 48-bit md5-prefix ints of the
+    LOWERCASED n-gram (matching is case-folded; the surviving text
+    keeps original casing); the keeper is the min of the single BIGINT
+    ``doc_id * 2^21 + pos`` (pos < 2^21 — no struct comparison, engine-
+    portable ordering); dropped token indexes come from exploding each
+    redundant window's [pos, pos+n-1] and reconstruction is a
+    positional array filter against the per-doc sorted drop list (the
+    only interpreted step, O(|doc| · log drops) row-local work).
+
+    Scale shape: the census exchanges are (doc_id, pos, h) ≤ 20 B/row;
+    the keeper agg is one hash-agg on h; text is never shuffled — the
+    drop list joins BACK to the docs table by doc_id, the same
+    re-attach shape segment_dedup uses. Output: ``doc_id, n_before,
+    n_after, text_clean``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    low = F.transform(toks, lambda t: F.lower(t))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(low, i + 1, n), " "),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode_outer(grams).alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
+    census = ex.select(
+        "doc_id",
+        "pos",
+        h.alias("h"),
+        (F.col("doc_id") * F.lit(1 << 21) + F.col("pos")).alias("k"),
+    )
+    keepers = census.groupBy("h").agg(
+        F.min("k").alias("keep_k"), F.count("*").alias("cnt")
+    )
+    redundant = (
+        census.join(keepers.filter(F.col("cnt") >= 2), "h")
+        .filter(F.col("k") != F.col("keep_k"))
+        .select("doc_id", "pos")
+    )
+    dropped = (
+        redundant.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("idx")).alias("drop_idx"))
+    )
+    joined = docs.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.coalesce(F.col("drop_idx"), F.array().cast("array<int>")).alias(
+            "_drop"
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_drop"), i)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.array_join(kept, " ").alias("text_clean"),
+    ).orderBy("doc_id")

@@ -729,3 +729,39 @@ def test_winnow_guarantee_detects_long_shared_run(spark):
              for r in winnow_shared_pairs(docs, k=4, w=5, min_shared=1).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p for p in pairs)
+
+
+def test_remove_dup_spans_keeps_global_first_occurrence(spark):
+    span = "one two three four five six seven eight"  # exactly n=8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {span} outro"),
+            (2, f"other text {span.upper()} trailing bits"),  # case-folded dup
+            (3, "no duplicated content in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from stash_log_parser_spark.operators.dedup import remove_dup_spans
+
+    got = {r.doc_id: r for r in remove_dup_spans(docs, n=8).collect()}
+    # doc 1 is the first occurrence: untouched, original casing kept
+    assert got[1].text_clean == f"intro words {span} outro"
+    assert got[1].n_after == got[1].n_before == 11
+    # doc 2 loses exactly the 8 duplicated tokens
+    assert got[2].text_clean == "other text trailing bits"
+    assert got[2].n_before == 12 and got[2].n_after == 4
+    # doc 3 untouched
+    assert got[3].n_after == got[3].n_before
+
+
+def test_remove_dup_spans_collapses_within_doc_repeat(spark):
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{span} filler {span}")],
+        "doc_id long, text string",
+    )
+    from stash_log_parser_spark.operators.dedup import remove_dup_spans
+
+    got = remove_dup_spans(docs, n=8).collect()[0]
+    assert got.text_clean == f"{span} filler"
+    assert got.n_before == 17 and got.n_after == 9
