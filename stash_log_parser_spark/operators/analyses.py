@@ -3649,3 +3649,69 @@ def frame_diff(
         )
         .orderBy("column")
     )
+
+
+def session_gap_sweep(
+    events: DataFrame,
+    gaps_s: tuple = (300, 900, 1800, 3600),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Session-timeout tuning dashboard: for each candidate inactivity
+    gap, how many sessions the corpus splits into and the resulting
+    events-per-session — the sweep run BEFORE committing a session
+    window length, instead of folklore ("30 minutes"). A session
+    starts at a user's first event or whenever the gap to the previous
+    event exceeds the threshold, so ``n_sessions(g)`` is a pure count
+    over per-user lag deltas: ONE user-keyed window computes the deltas
+    and every candidate is a conditional sum in the same single
+    aggregate — the whole sweep costs one exchange regardless of grid
+    size (contrast: running sessionize per candidate = |grid| shuffles).
+
+    Deltas are exact integer microseconds (unix_micros), never float
+    seconds. Output per gap: ``gap_s, n_sessions, n_events,
+    events_per_session`` (round6).
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    if not gaps_s:
+        raise ValueError("gaps_s must be non-empty")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    delta = t_us - F.lag(t_us).over(w)
+    d = events.select(delta.alias("delta_us"))
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    for g in gaps_s:
+        aggs.append(
+            F.sum(
+                (
+                    F.col("delta_us").isNull()
+                    | (F.col("delta_us") > g * 1_000_000)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"_s_{g}")
+        )
+    agg = d.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(g).cast("long").alias("gap_s"),
+            F.col(f"_s_{g}").alias("n_sessions"),
+            F.col("n_events").alias("n_events"),
+        )
+        for g in gaps_s
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("kv"))
+        .select(
+            F.col("kv.gap_s").alias("gap_s"),
+            F.col("kv.n_sessions").cast("long").alias("n_sessions"),
+            F.col("kv.n_events").cast("long").alias("n_events"),
+            round6(
+                F.col("kv.n_events").cast("double")
+                / F.col("kv.n_sessions").cast("double")
+            ).alias("events_per_session"),
+        )
+        .orderBy("gap_s")
+    )

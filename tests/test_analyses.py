@@ -1729,3 +1729,48 @@ def test_frame_diff_rejects_empty_keys_and_no_common_columns(spark):
         frame_diff(a, b, [])
     with pytest.raises(ValueError):
         frame_diff(a, b, ["k"])
+
+
+def test_session_gap_sweep_counts_boundaries_exactly(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import session_gap_sweep
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gaps of 10 min and 40 min
+        (1, base, 1),
+        (2, base + dt.timedelta(minutes=10), 1),
+        (3, base + dt.timedelta(minutes=50), 1),
+        # user 2: one event
+        (4, base, 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    got = {r.gap_s: r for r in
+           session_gap_sweep(ev, gaps_s=(300, 900, 3600)).collect()}
+    # 5 min: both gaps split -> 3 sessions for u1 + 1 for u2
+    assert got[300].n_sessions == 4
+    # 15 min: only the 40-min gap splits -> 2 + 1
+    assert got[900].n_sessions == 3
+    # 60 min: nothing splits -> 1 + 1
+    assert got[3600].n_sessions == 2
+    assert got[3600].n_events == 4
+    assert got[3600].events_per_session == 2.0
+
+
+def test_session_gap_sweep_boundary_is_strict(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import session_gap_sweep
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 1), (2, base + dt.timedelta(seconds=300), 1)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    got = {r.gap_s: r.n_sessions
+           for r in session_gap_sweep(ev, gaps_s=(300, 299)).collect()}
+    assert got[300] == 1  # delta == gap does NOT split (strict >)
+    assert got[299] == 2
