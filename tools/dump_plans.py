@@ -15,6 +15,24 @@ sys.path.insert(0, ".")
 
 QUERIES = [
     (
+        "corpus_interleave_order",
+        "Stride interleave: the per-source rank exchange is REUSED by the"
+        " bucket histogram branch (ReusedExchange); bucket offsets arrive"
+        " as a broadcast; the only range sort is the output presentation.",
+    ),
+    (
+        "docs_dup_span_removal",
+        "Span-removal census exchanges carry (doc_id, pos, 48-bit h, k)"
+        " only; the keeper argmin is one hash-agg on h; text joins back"
+        " ONCE by doc_id and is rebuilt row-locally.",
+    ),
+    (
+        "docs_winnow_shared_pairs",
+        "Winnowing pair join is an inverted index on the fingerprint hash"
+        " (posting-list self-join), never an all-pairs product; the"
+        " window-min runs in doc-keyed partitions.",
+    ),
+    (
         "tpch_revenue_forecast",
         "Q6 filter-agg: every predicate in PushedFilters, 4-column ReadSchema,"
         " no exchange before the 1-row reduce.",
