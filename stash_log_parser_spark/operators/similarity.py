@@ -277,6 +277,7 @@ def with_ivf_cells(
     embeddings: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    with_cosines: bool = False,
 ) -> DataFrame:
     """Attach the IVF cell id: argmax cosine over ``centroids`` (n_cells × dim).
 
@@ -285,7 +286,21 @@ def with_ivf_cells(
     dot(v, c/|c|) ≡ argmax over cosine since |v| is constant per row).
     Shuffle-free, embarrassingly parallel; ties break toward the lowest
     cell id (np.argmax first-occurrence), matching the oracle's
-    ``ORDER BY cos DESC, cid ASC`` tie-break."""
+    ``ORDER BY cos DESC, cid ASC`` tie-break.
+
+    ``with_cosines=True`` additionally emits ``cos6: array<double>`` —
+    the round6-quantized cosine of the row vector to EVERY centroid,
+    computed from the same matmul (``dot / greatest(|v|·|c|, 1e-12)``
+    then ``floor(x·1e6 + 0.5)/1e6`` — the exact ``cosine_expr`` +
+    ``round6`` recipe, so downstream consumers see the same quantized
+    values the JVM expression produces up to sub-round6 summation-order
+    ulps, which the 6-decimal quantization absorbs). This exists because
+    building n_cells literal-centroid cosine expressions driver-side
+    costs seconds of py4j traffic + codegen per query while the kernel
+    already holds the full similarity matrix; at any scale it is one
+    extra ``8·n_cells`` bytes per row out of a shuffle-free stage. The
+    argmax (cell assignment) is computed from the NORMALIZED-centroid
+    matmul exactly as before — adding cosines cannot move assignments."""
     from pyspark.sql import types as T
 
     cn = centroids / np.maximum(
@@ -293,10 +308,13 @@ def with_ivf_cells(
     )
     cn_t = cn.T.copy()  # (dim, n_cells)
     dim = centroids.shape[1]
-    out_schema = T.StructType(
-        list(embeddings.schema.fields) + [T.StructField("cell", T.IntegerType())]
-    )
+    extra = [T.StructField("cell", T.IntegerType())]
+    if with_cosines:
+        extra.append(T.StructField("cos6", T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(list(embeddings.schema.fields) + extra)
     vec_name = vec_col
+    c_t = centroids.T.copy()  # (dim, n_cells), unnormalized
+    c_norm = np.linalg.norm(centroids, axis=1)  # (n_cells,)
 
     def assign(batches):
         import pyarrow as pa
@@ -306,10 +324,22 @@ def with_ivf_cells(
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             v = flat.reshape(b.num_rows, dim)
             cells = np.argmax(v @ cn_t, axis=1).astype(np.int32)
-            yield pa.RecordBatch.from_arrays(
-                [b.column(i) for i in range(b.num_columns)] + [pa.array(cells)],
-                names=[f.name for f in b.schema] + ["cell"],
-            )
+            arrays = [b.column(i) for i in range(b.num_columns)] + [pa.array(cells)]
+            names = [f.name for f in b.schema] + ["cell"]
+            if with_cosines:
+                dots = v @ c_t  # (rows, n_cells)
+                v_norm = np.sqrt(np.einsum("ij,ij->i", v, v))
+                den = np.maximum(v_norm[:, None] * c_norm[None, :], 1e-12)
+                cos6 = np.floor(dots / den * 1e6 + 0.5) / 1e6
+                n_cells = cos6.shape[1]
+                offsets = pa.array(
+                    np.arange(0, (b.num_rows + 1) * n_cells, n_cells, dtype=np.int32)
+                )
+                arrays.append(
+                    pa.ListArray.from_arrays(offsets, pa.array(cos6.ravel()))
+                )
+                names.append("cos6")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return embeddings.mapInArrow(assign, schema=out_schema)
 
@@ -348,17 +378,19 @@ def kmeans_centroids(
     C = np.array([r[0] for r in cents], dtype=np.float64)
     dim = C.shape[1]
     vec_d = F.col(vec_col).cast("array<double>")
+    # rounding happens JVM-side: F.round ↔ DuckDB round is the
+    # repo's proven cross-engine pair (np.round is banker's and
+    # scales differently at the ulp level); the Column list is
+    # identical every iteration (only the centroid matrix inside the
+    # Arrow kernel changes), so build its ~5·dim py4j expression calls
+    # once, not once per iteration
+    mean_cols = [
+        F.round(F.sum(F.get(vec_d, i)) / F.count("*"), 6).alias(f"m{i}")
+        for i in range(dim)
+    ]
     for _ in range(iters):
         e = with_ivf_cells(embeddings.select(id_col, vec_col), C, vec_col)
-        # rounding happens JVM-side: F.round ↔ DuckDB round is the
-        # repo's proven cross-engine pair (np.round is banker's and
-        # scales differently at the ulp level)
-        means = e.groupBy("cell").agg(
-            *[
-                F.round(F.sum(F.get(vec_d, i)) / F.count("*"), 6).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        ).collect()
+        means = e.groupBy("cell").agg(*mean_cols).collect()
         newC = C.copy()
         for r in means:
             newC[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
@@ -1698,27 +1730,24 @@ def silhouette_by_cell(
     as integer MICRO units (BIGINT — order-independent), so per-cell
     means are engine-exact.
 
-    Scale shape: one Arrow-matmul assignment pass (shuffle-free) + one
-    projection computing all n_cells cosines against LITERAL centroid
-    arrays inside whole-stage codegen, then a cells-sized hash agg —
-    the corpus is scanned, never shuffled; only (cell, s_micro)
-    partials move. Returns per-cell rows plus an overall cell = -1
-    row."""
+    Scale shape: ONE Arrow-matmul pass computes the assignment AND the
+    round6-quantized cosine array to every centroid (shuffle-free —
+    ``with_ivf_cells(with_cosines=True)``; the kernel already holds the
+    full similarity matrix, so re-deriving the n_cells cosines as
+    literal-centroid JVM expressions would only re-buy the same matmul
+    as seconds of py4j expression build + codegen per run), then a
+    cells-sized hash agg — the corpus is scanned, never shuffled; only
+    (cell, s_micro) partials move. Returns per-cell rows plus an
+    overall cell = -1 row."""
     from stash_log_parser_spark.operators.textstats import round6
 
     C = kmeans_centroids(
         embeddings, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    e = with_ivf_cells(embeddings.select(id_col, vec_col), C, vec_col)
-    v = F.col(vec_col).cast("array<double>")
-    cos_arr = F.array(
-        *[
-            round6(
-                cosine_expr(v, F.array(*[F.lit(float(x)) for x in C[j]]))
-            )
-            for j in range(C.shape[0])
-        ]
+    e = with_ivf_cells(
+        embeddings.select(id_col, vec_col), C, vec_col, with_cosines=True
     )
+    cos_arr = F.col("cos6")
     cell = F.col("cell")
     own = F.get(cos_arr, cell)
     oth = F.array_max(
