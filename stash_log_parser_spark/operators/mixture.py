@@ -972,3 +972,78 @@ def order_audit(
         )
         .orderBy("source")
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    k: int = 8,
+    n_salt: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb curation step that
+    stops a single mega-site from dominating the corpus: every URL
+    domain keeps at most ``k`` documents, survivors chosen by a
+    deterministic quality rank (here ``len_col`` DESC — longer docs
+    first — with ``id_col`` ASC tie-break). Docs that mention no URL
+    carry no domain and are never capped (they pass through upstream;
+    this operator returns the per-domain keep decisions).
+
+    The naive plan is one window over ``partitionBy(domain)`` — at
+    10^12 docs a hot domain (a crawl is Zipfian over sites) serializes
+    billions of rows into ONE sort task. Exact top-k is
+    salt-decomposable, so this runs the standard two-phase shape
+    instead: (1) row_number within ``(domain, salt)`` — ``n_salt``
+    bounded tasks per domain — keep each bucket's local top-k;
+    (2) row_number within ``domain`` over the survivors (≤ k·n_salt
+    rows per domain, tiny) — keep the global top-k. Any global top-k
+    row is top-k in its salt bucket, so phase 1 drops no winner and
+    the result equals the single-window form (the DuckDB oracle IS the
+    single-window form). Salt = md5 of the id — deterministic, no
+    wall-clock, uniform.
+
+    Output: the kept rows ``(domain, doc_id, cap_rank)`` plus the
+    per-domain census column ``n_docs`` (total docs mentioning the
+    domain — so ``n_docs > k`` rows are visibly capped).
+    """
+    dom = docs.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("_len"),
+        F.regexp_extract(
+            F.col(text_col), r"https?://([a-z0-9.-]+)", 1
+        ).alias("domain"),
+    ).filter(F.col("domain") != "")
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long"),
+        F.lit(n_salt),
+    )
+    order = [F.desc("_len"), F.asc(id_col)]
+    local = (
+        dom.withColumn("_salt", salt)
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("domain", "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_lr") <= k)
+    )
+    census = dom.groupBy("domain").agg(F.count("*").cast("long").alias("n_docs"))
+    kept = (
+        local.withColumn(
+            "cap_rank",
+            F.row_number().over(Window.partitionBy("domain").orderBy(*order)),
+        )
+        .filter(F.col("cap_rank") <= k)
+        .select("domain", id_col, F.col("cap_rank").cast("int").alias("cap_rank"))
+    )
+    # census is one row per distinct DOMAIN — ~10^8 on a real crawl, so
+    # no broadcast hint (the repo rule: only true dims get forced);
+    # both sides hash on the domain key and AQE picks the strategy.
+    return (
+        kept.join(census, "domain")
+        .select("domain", id_col, "cap_rank", "n_docs")
+        .orderBy("domain", "cap_rank")
+    )

@@ -2795,3 +2795,109 @@ def split_leakage(
         )
         .orderBy("split")
     )
+
+
+def conformal_bounds(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    by_col: str = "source",
+    alpha_tenths: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-conformal prediction interval per group, with its empirical
+    coverage audit — the distribution-free way to put honest error bars
+    on any per-doc predictor (here the calibration-split group mean of
+    ``value_col``) without assuming a residual distribution. This is
+    the standard pre-deployment check for learned quality/toxicity
+    scorers: "a symmetric interval of half-width q around the
+    prediction covers ≥ 1−α of held-out docs, guaranteed".
+
+    Device chain (every step engine-exact):
+    * split — :func:`train_test_split` at 0.5 (the md5 2-hex-char
+      device): 'train' half calibrates, 'test' half audits coverage.
+    * predictor — per-group calibration mean; the sum is an exact
+      integer, the division one correctly-rounded IEEE op.
+    * nonconformity — ``floor(|y − mean|·1000 + 0.5)`` integer millis.
+    * conformal rank — ``r = ceil((n_cal+1)·(1−α))`` by pure integer
+      arithmetic (α = alpha_tenths/10); the rank-r order statistic of
+      the calibration residuals is the half-width q. If r > n_cal the
+      interval is infinite (q NULL) and everything counts covered —
+      the honest small-group answer.
+    * coverage — share of TEST rows with residual ≤ q, in exact 1e-6
+      units.
+
+    Scale shape: one row_number window keyed by the group (groups are
+    the data-source dimension — bounded; a per-DOMAIN variant would
+    need domain_cap's salted two-phase), two group hash-aggs, and
+    dimension-sized broadcast joins of the per-group stats. The corpus
+    is scanned twice (calibrate, audit), shuffled only as aggregates.
+    """
+    from pyspark.sql import Window
+
+    split = train_test_split(docs, train_frac=0.5, id_col=id_col)
+    d = docs.select(
+        id_col, by_col, F.col(value_col).cast("long").alias("_y")
+    ).join(split, id_col)
+    cal = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+
+    stats = cal.groupBy(by_col).agg(
+        F.count("*").cast("long").alias("n_cal"),
+        (F.sum("_y").cast("double") / F.count("*")).alias("_mean"),
+    )
+    resid = F.floor(
+        F.abs(F.col("_y").cast("double") - F.col("_mean")) * 1000 + F.lit(0.5)
+    ).cast("long")
+    keep = 10 - alpha_tenths
+    # ceil((n_cal+1)·keep/10) with pure integer ops: (a + 9) div 10
+    rank = F.expr(f"((n_cal + 1) * {keep} + 9) div 10")
+    cal_r = (
+        cal.join(F.broadcast(stats), by_col)
+        .withColumn("_resid", resid)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(by_col).orderBy(
+                    F.asc("_resid"), F.asc(id_col)
+                )
+            ),
+        )
+    )
+    q = cal_r.filter(F.col("_r") == rank).select(
+        by_col, F.col("_resid").alias("q_milli")
+    )
+    t = (
+        test.join(F.broadcast(stats), by_col)
+        .join(F.broadcast(q), by_col, "left")
+        .withColumn("_resid", resid)
+        .groupBy(by_col)
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.max("q_milli").alias("q_milli"),
+            F.sum(
+                F.when(
+                    F.col("q_milli").isNull()
+                    | (F.col("_resid") <= F.col("q_milli")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return t.select(
+        by_col,
+        "n_cal",
+        "n_test",
+        "q_milli",
+        "n_covered",
+        F.floor(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("coverage_e6"),
+    ).orderBy(by_col)

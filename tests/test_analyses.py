@@ -1774,3 +1774,36 @@ def test_session_gap_sweep_boundary_is_strict(spark):
            for r in session_gap_sweep(ev, gaps_s=(300, 299)).collect()}
     assert got[300] == 1  # delta == gap does NOT split (strict >)
     assert got[299] == 2
+
+
+def test_wasserstein_drift_hand_computed(spark):
+    # base day 1: values {1.00 x2, 3.00 x2}; cur day 3: values {2.00 x4}
+    # support cents {100,200,300}: cb=[2,2,4] cc=[0,4,4], Nb=Nc=4
+    # W1_num = |2*4-0*4|*100 + |2*4-4*4|*100 = 800 + 800 = 1600
+    # W1 = 1600/16 = 100 cents
+    from stash_log_parser_spark.operators.analyses import wasserstein_value_drift
+
+    rows = (
+        [(i, "2024-01-01 00:00:00", 1.0) for i in range(2)]
+        + [(10 + i, "2024-01-01 01:00:00", 3.0) for i in range(2)]
+        + [(20 + i, "2024-01-03 00:00:00", 2.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = wasserstein_value_drift(df).collect()[0]
+    assert (r.n_base, r.n_cur) == (4, 4)
+    assert r.w1_num == 1600
+    assert r.w1_cents_e6 == 100_000_000  # 100 cents in 1e-6 units
+
+
+def test_wasserstein_drift_zero_for_identical_halves(spark):
+    from stash_log_parser_spark.operators.analyses import wasserstein_value_drift
+
+    rows = [(i, f"2024-01-0{1 + (i % 2) * 2} 00:00:00", float(1 + i % 3))
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = wasserstein_value_drift(df).collect()[0]
+    assert r.w1_num == 0 and r.w1_cents_e6 == 0

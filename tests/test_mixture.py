@@ -604,3 +604,39 @@ def test_order_audit_flags_unshuffled_order(spark):
         assert got[s].n_runs == 1 and got[s].max_run == 5
         assert got[s].adj_same == 4
         assert got[s].adj_same > got[s].exp_adj_same  # clumpier than random
+
+
+def test_domain_cap_equals_single_window_and_caps(spark):
+    # 1 hot domain (30 docs), 1 small domain (3 docs), 5 domain-free docs
+    rows = (
+        [(i, f"x https://hot.example.com/p{i}", 100 + i) for i in range(30)]
+        + [(100 + i, "y http://tiny.example.net/q", 50 + i) for i in range(3)]
+        + [(200 + i, "no urls here", 10) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = M.domain_cap(df, k=4, n_salt=8).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r)
+    # hot domain capped to exactly k, tiny kept whole, url-free absent
+    assert len(by_dom["hot.example.com"]) == 4
+    assert len(by_dom["tiny.example.net"]) == 3
+    assert set(by_dom) == {"hot.example.com", "tiny.example.net"}
+    # survivors = single-window reference: top-k by (n_chars DESC, id ASC)
+    assert [r.doc_id for r in sorted(by_dom["hot.example.com"],
+                                     key=lambda r: r.cap_rank)] == [29, 28, 27, 26]
+    assert all(r.n_docs == 30 for r in by_dom["hot.example.com"])
+    assert all(r.n_docs == 3 for r in by_dom["tiny.example.net"])
+
+
+def test_domain_cap_salted_phase_drops_no_winner(spark):
+    # adversarial: every doc in ONE domain, n_salt > k so winners spread
+    # across salt buckets — two-phase must still equal the global top-k
+    rows = [(i, "z https://one.example.org/", 1000 - i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = sorted(
+        (r.cap_rank, r.doc_id)
+        for r in M.domain_cap(df, k=6, n_salt=16).collect()
+    )
+    # longest docs are the LOWEST ids here (n_chars = 1000 - i)
+    assert got == [(rk, rk - 1) for rk in range(1, 7)]

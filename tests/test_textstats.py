@@ -1506,3 +1506,48 @@ def test_token_runs_arrow_equals_hof_paths(spark):
          TS.token_runs(docs, use_arrow=False).collect()}
     assert a == h
     assert a[3][1] is None  # null propagates, row not dropped
+
+
+def test_conformal_bounds_order_statistic_and_coverage(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.textstats import conformal_bounds
+
+    rows = [(i, "s", 100 + (i * 53) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = conformal_bounds(df).collect()[0]
+    # python reference of the whole chain
+    split = {
+        i: "train" if hashlib.md5(str(i).encode()).hexdigest()[:2] < "80"
+        else "test"
+        for i, _, _ in rows
+    }
+    cal = [(i, y) for i, _, y in rows if split[i] == "train"]
+    test = [(i, y) for i, _, y in rows if split[i] == "test"]
+    mean = sum(y for _, y in cal) / len(cal)
+    resid = sorted(
+        (int(abs(y - mean) * 1000 + 0.5), i) for i, y in cal
+    )
+    rank = ((len(cal) + 1) * 9 + 9) // 10
+    q = resid[rank - 1][0]
+    covered = sum(1 for _, y in test if int(abs(y - mean) * 1000 + 0.5) <= q)
+    assert (r.n_cal, r.n_test) == (len(cal), len(test))
+    assert r.q_milli == q
+    assert r.n_covered == covered
+    assert r.coverage_e6 == int(covered / len(test) * 1e6 + 0.5)
+    # split-conformal marginal guarantee holds on this fixed corpus
+    assert r.coverage_e6 >= 850_000
+
+
+def test_conformal_bounds_tiny_group_infinite_interval(spark):
+    from stash_log_parser_spark.operators.textstats import conformal_bounds
+
+    # 3 calibration docs: rank = ceil(4 * 0.9) = 4 > n_cal -> q NULL,
+    # every test row counts covered
+    rows = [(i, "t", 100 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = conformal_bounds(df).collect()[0]
+    if r.n_cal < ((r.n_cal + 1) * 9 + 9) // 10:
+        assert r.q_milli is None
+        assert r.n_covered == r.n_test
+        assert r.coverage_e6 == 1_000_000
