@@ -3793,3 +3793,66 @@ def session_gap_sweep(
         )
         .orderBy("gap_s")
     )
+
+
+def qq_shift(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Quantile-quantile shift function between the A/B arms (Doksum's
+    shift): the per-decile difference q_B(d) − q_A(d) of the value
+    distribution. Mann-Whitney (events_mann_whitney) answers "did the
+    distribution move"; the shift function answers WHERE — a treatment
+    that lifts only the p90 tail shows shift ≈ 0 at low deciles and a
+    spike at d=9. Arms use the identical md5 first-nibble device as
+    ab_lift, so all three reports partition users the same way.
+
+    Each decile quantile is the exact lower order statistic: the
+    smallest value whose cumulative count reaches rank
+    ``ceil(d·N/10)`` (pure integer arithmetic, the winsorized-stats
+    rank discipline). Quantiles come off the (arm, cents) CENSUS with
+    a support-sized cumulative window — the histogram route; no
+    row-level sort at any scale.
+
+    Output: one row per decile with both quantiles (integer cents) and
+    the shift."""
+    from pyspark.sql import Window
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    census = events.select(arm.alias("arm"), cents.alias("cents")).groupBy(
+        "arm", "cents"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("arm").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.select(
+        "arm", "cents", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("arm")).alias("N"),
+    )
+    deciles = cum.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    # support × 9 rows — the census is bounded-domain, so this join is
+    # tiny at any corpus size
+    qs = (
+        cum.join(F.broadcast(deciles))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("N"))
+        .groupBy("arm", "decile")
+        .agg(F.min("cents").alias("q_cents"))
+    )
+    a = qs.filter(F.col("arm") == "A").select(
+        "decile", F.col("q_cents").alias("q_a_cents")
+    )
+    b = qs.filter(F.col("arm") == "B").select(
+        "decile", F.col("q_cents").alias("q_b_cents")
+    )
+    return (
+        a.join(b, "decile", "full_outer")
+        .select(
+            "decile",
+            "q_a_cents",
+            "q_b_cents",
+            (F.col("q_b_cents") - F.col("q_a_cents")).alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )

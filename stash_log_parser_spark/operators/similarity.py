@@ -1781,3 +1781,67 @@ def silhouette_by_cell(
         )
         .orderBy("cell")
     )
+
+
+def rbo_overlap(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    pool_k: int = 10,
+    p: float = 0.9,
+    trunc_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al.) between the two retriever
+    legs rrf_fusion combines — the full-dim exact-cosine top-k and the
+    Matryoshka-truncated top-k. RRF *uses* both legs; RBO *measures*
+    how much they agree (1 = identical rankings, 0 = disjoint), which
+    is the eval you run BEFORE trusting a cheap leg to stand in for an
+    expensive one. Truncated form (no extrapolation — a lower bound):
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_:d ∩ B_:d| / d
+
+    Rearranged per joint candidate: an id at prefix depth
+    m = max(rank_A, rank_B) contributes W(m) = Σ_{d=m..k} p^(d−1)/d,
+    so RBO = (1−p)·Σ W(m_i). The W table is computed ONCE in Python,
+    quantized to integer 1e-9 units, and embedded as the SAME literal
+    CASE table in the Spark plan and the SQL oracle — the sum is pure
+    integer addition, so no libm pow() or float-summation-order
+    divergence can exist between engines.
+
+    Scale shape: two cosine_topk plans (corpus scans with the query set
+    broadcast), then all work happens on |queries|·pool_k rows."""
+    w_table = []
+    for m in range(1, pool_k + 1):
+        w = sum(p ** (d - 1) / d for d in range(m, pool_k + 1))
+        w_table.append(int((1 - p) * w * 1e9 + 0.5))
+
+    full = cosine_topk(
+        embeddings, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("rank_full"))
+    emb_t = embeddings.withColumn(vec_col, F.slice(F.col(vec_col), 1, trunc_dims))
+    q_t = queries.withColumn(
+        query_vec_col, F.slice(F.col(query_vec_col), 1, trunc_dims)
+    )
+    trunc = cosine_topk(
+        emb_t, q_t, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, F.col("rank").alias("rank_trunc"))
+
+    joint = full.join(trunc, [query_id_col, id_col], "inner")
+    m_col = F.greatest("rank_full", "rank_trunc")
+    contrib = F.lit(None).cast("long")
+    for m in range(pool_k, 0, -1):
+        contrib = F.when(m_col == m, F.lit(w_table[m - 1])).otherwise(contrib)
+    return (
+        joint.select(query_id_col, contrib.alias("_w_e9"))
+        .groupBy(query_id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_joint"),
+            F.sum("_w_e9").cast("long").alias("rbo_e9"),
+        )
+        .orderBy(query_id_col)
+    )

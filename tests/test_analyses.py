@@ -1807,3 +1807,31 @@ def test_wasserstein_drift_zero_for_identical_halves(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     r = wasserstein_value_drift(df).collect()[0]
     assert r.w1_num == 0 and r.w1_cents_e6 == 0
+
+
+def test_qq_shift_constant_offset_detected(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.analyses import qq_shift
+
+    # B's values are A's + 2.00 everywhere -> shift = 200 cents at every
+    # decile (we synthesize users so arms get identical value multisets
+    # before the offset)
+    a_users = [u for u in range(200)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"][:40]
+    b_users = [u for u in range(200)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] >= "8"][:40]
+    rows = []
+    eid = 0
+    for i, (ua, ub) in enumerate(zip(a_users, b_users)):
+        v = float(1 + i % 10)
+        rows.append((eid, "2024-01-01 00:00:00", ua, v)); eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", ub, v + 2.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = qq_shift(df).collect()
+    assert len(got) == 9
+    assert all(r.shift_cents == 200 for r in got)
+    # deciles of 1..10 repeated: q_A(d) = d for d=1..9
+    assert [r.q_a_cents for r in got] == [100 * d for d in range(1, 10)]

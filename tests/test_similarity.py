@@ -767,3 +767,24 @@ def test_silhouette_orthogonal_clusters_and_boundary_point(spark):
     assert got[0].mean_sil == q6(sum(micro) / (1e6 * 3))
     assert got[1].mean_sil == 1.0
     assert got[-1].n_vecs == 5
+
+
+def test_rbo_overlap_identical_and_disjoint(spark):
+    # identical legs: trunc_dims = full dim -> both rankings equal ->
+    # every joint id has m = rank, RBO = (1-p) * sum_{d<=k} p^(d-1) (X_d = d)
+    import numpy as np
+
+    rows = [(i, [float(i + 1), 0.0, 0.0, float(j % 3) * 0.1]
+             ) for i, j in zip(range(20), range(20))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.limit(1).selectExpr("vec_id as query_id", "embedding as query_vec")
+    got = S.rbo_overlap(emb, q, pool_k=5, trunc_dims=4).collect()[0]
+    p = 0.9
+    want_e9 = sum(
+        int((1 - p) * sum(p ** (d - 1) / d for d in range(m, 6)) * 1e9 + 0.5)
+        for m in range(1, 6)
+    )
+    assert got.n_joint == 5
+    assert got.rbo_e9 == want_e9
+    # sanity: identical-rankings RBO@5 is close to (1-p^5) mass
+    assert abs(got.rbo_e9 / 1e9 - (1 - p ** 5)) < 0.02

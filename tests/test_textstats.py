@@ -1551,3 +1551,16 @@ def test_conformal_bounds_tiny_group_infinite_interval(spark):
         assert r.q_milli is None
         assert r.n_covered == r.n_test
         assert r.coverage_e6 == 1_000_000
+
+
+def test_length_gini_hand_computed_and_uniform_zero(spark):
+    from stash_log_parser_spark.operators.textstats import length_gini
+
+    # group u: all equal -> Gini 0; group h: {1,3} -> MAD/(2u) = 0.25
+    rows = ([(i, "u", 50) for i in range(10)]
+            + [(100, "h", 1), (101, "h", 3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in length_gini(df).collect()}
+    assert got["u"].gini_e6 == 0
+    assert got["h"].gini_e6 == 250_000
+    assert got["h"].n_docs == 2 and got["h"].total_chars == 4
