@@ -159,6 +159,31 @@ QUERIES = [
         " (hash, two longs); leakage decided at group level — no corpus"
         " join-back.",
     ),
+    (
+        "docs_domain_cap",
+        "Per-domain cap: TWO row_number windows — (domain, salt) then"
+        " domain over the <= k*n_salt survivors — so a Zipf-hot domain"
+        " never serializes into one sort task; census joined unhinted"
+        " (domains are fact-proportional, AQE picks the strategy).",
+    ),
+    (
+        "events_wasserstein_drift",
+        "W1 drift: the census exchange carries (cents, two longs); the"
+        " cumulative window runs over the DISTINCT-cents support only;"
+        " the final fold is a 1-row agg.",
+    ),
+    (
+        "docs_length_gini",
+        "Gini via Lorenz trapezoid: one (source, n_chars) hash-agg census,"
+        " then a support-sized window — no per-source row sort at any"
+        " corpus size.",
+    ),
+    (
+        "emb_silhouette",
+        "Silhouette: ONE Arrow matmul stage emits cell + the round6"
+        " cosine array (no literal-centroid expressions); cube() folds"
+        " per-cell and overall rows from one corpus-scale hash agg.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
