@@ -711,3 +711,26 @@ def test_streaming_scd2_enrich_asof_semantics(spark, tmp_path):
         ("view", "A"): 1,
         ("view", "B"): 1,
     }
+
+
+def test_streaming_psi_equals_batch_psi(spark, tmp_path):
+    """The registry's streaming PSI monitor (second half streamed in
+    micro-batches, first half static) must equal the batch
+    psi_value_drift output exactly — count additivity across batches."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "slp_entry_psi_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["slp_entry_psi_test"] = mod
+    spec.loader.exec_module(mod)
+
+    from stash_log_parser_spark.operators.analyses import psi_value_drift
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in mod._q_events_stream_psi(spark, sf).collect()]
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    want = [tuple(r) for r in psi_value_drift(ev).collect()]
+    assert got == want and len(got) > 3
