@@ -3856,3 +3856,117 @@ def qq_shift(events: DataFrame, user_col: str = "user_id") -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def logrank_test(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Two-sample log-rank test of time-to-first-purchase between the
+    A/B arms — the standard inferential companion to the Kaplan–Meier
+    curve (:func:`survival_km`): KM shows the arms' survival curves,
+    log-rank says whether they differ beyond chance, correctly
+    crediting right-censored users ("hasn't converted YET") that a
+    naive lag t-test throws away. Arms, time origin (first view),
+    event (first later purchase), and censoring day all reuse the
+    ab_lift / survival_km definitions, so the three reports describe
+    the same experiment.
+
+    At each day offset with d > 0 total events and n > 1 at risk, arm
+    A's observed deaths d_A compare against the hypergeometric
+    expectation and variance:
+
+        E term = d·n_A/n
+        V term = d·(n_A/n)·(n_B/n)·(n−d)/(n−1)
+
+    Per-offset terms are quantized to integer 1e-6 units and SUMMED AS
+    BIGINTS (float summation order can never diverge across engines);
+    z = (O_A − E_A)/√V is one fixed IEEE chain over those exact sums.
+    z² ~ χ²(1) under H0.
+
+    Scale shape: the survival_km collapse (two user-keyed hash-aggs →
+    one row per user), then everything runs on the day-offset-sized
+    census with bounded-domain windows."""
+    from pyspark.sql import Window
+
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    ev = events.select(F.col(user_col).alias("u"), "event_type", "ts")
+    t0 = ev.groupBy("u").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    te = (
+        ev.join(t0, "u")
+        .groupBy("u", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("t_event")
+        )
+    )
+    cens = events.agg(F.max(F.to_date("ts")).alias("c_day"))
+    per_user = te.crossJoin(F.broadcast(cens)).select(
+        F.when(
+            F.substring(F.md5(F.col("u").cast("string")), 1, 1) < "8", "A"
+        ).otherwise("B").alias("arm"),
+        F.datediff(
+            F.coalesce(F.to_date("t_event"), F.col("c_day")), F.to_date("t0")
+        ).alias("d_off"),
+        F.col("t_event").isNotNull().alias("is_event"),
+    )
+    km = per_user.groupBy("d_off").agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("is_event").cast("long"))
+              .otherwise(0)).cast("long").alias("d_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("is_event").cast("long"))
+              .otherwise(0)).cast("long").alias("d_b"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long").alias("m_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long").alias("m_b"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_bef = Window.orderBy("d_off").rowsBetween(Window.unboundedPreceding, -1)
+    n_a = (
+        F.sum("m_a").over(w_all) - F.coalesce(F.sum("m_a").over(w_bef), F.lit(0))
+    ).cast("long")
+    n_b = (
+        F.sum("m_b").over(w_all) - F.coalesce(F.sum("m_b").over(w_bef), F.lit(0))
+    ).cast("long")
+    at_risk = km.select(
+        "d_off", "d_a", "d_b", n_a.alias("n_a"), n_b.alias("n_b")
+    ).withColumn("n", F.col("n_a") + F.col("n_b")).withColumn(
+        "d", F.col("d_a") + F.col("d_b")
+    )
+    terms = at_risk.filter((F.col("d") > 0) & (F.col("n") > 1)).select(
+        "d_a",
+        F.floor(
+            F.col("d") * F.col("n_a") / F.col("n") * 1_000_000 + F.lit(0.5)
+        ).cast("long").alias("e_e6"),
+        F.floor(
+            F.col("d").cast("double")
+            * (F.col("n_a") / F.col("n"))
+            * (F.col("n_b") / F.col("n"))
+            * ((F.col("n") - F.col("d")) / (F.col("n") - 1))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("v_e6"),
+    )
+    agg = terms.agg(
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum("e_e6").cast("long").alias("e_a_e6"),
+        F.sum("v_e6").cast("long").alias("v_e6"),
+    )
+    z = (F.col("o_a").cast("double") - F.col("e_a_e6") / F.lit(1e6)) / F.sqrt(
+        F.col("v_e6") / F.lit(1e6)
+    )
+    return agg.select(
+        "o_a",
+        "e_a_e6",
+        "v_e6",
+        F.when(
+            F.col("v_e6") > 0,
+            F.floor(z * 1_000_000 + F.lit(0.5)).cast("long"),
+        ).alias("z_e6"),
+    )

@@ -1835,3 +1835,55 @@ def test_qq_shift_constant_offset_detected(spark):
     assert all(r.shift_cents == 200 for r in got)
     # deciles of 1..10 repeated: q_A(d) = d for d=1..9
     assert [r.q_a_cents for r in got] == [100 * d for d in range(1, 10)]
+
+
+def _mk_survival_events(spark, pairs):
+    # pairs: list of (user_id, convert_day or None); first view on day 0
+    rows = []
+    eid = 0
+    for u, conv in pairs:
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0)); eid += 1
+        if conv is not None:
+            rows.append(
+                (eid, f"2024-01-{1 + conv:02d} 12:00:00", u, "purchase", 1.0)
+            ); eid += 1
+    # censoring horizon: one late unrelated event pins c_day = Jan 10
+    rows.append((eid, "2024-01-10 00:00:00", 999_999, "click", 1.0))
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_logrank_identical_arms_z_near_zero(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.analyses import logrank_test
+
+    a_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"][:30]
+    b_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] >= "8"][:30]
+    # identical conversion-day multisets in both arms
+    days = [1, 1, 2, 3, 3, 3, 5, None, None, 7] * 3
+    pairs = list(zip(a_users, days)) + list(zip(b_users, days))
+    r = logrank_test(_mk_survival_events(spark, pairs)).collect()[0]
+    assert r.o_a * 1_000_000 == r.e_a_e6  # O == E exactly by symmetry
+    assert r.z_e6 == 0
+
+
+def test_logrank_detects_slower_arm(spark):
+    import hashlib
+
+    from stash_log_parser_spark.operators.analyses import logrank_test
+
+    a_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"][:25]
+    b_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] >= "8"][:25]
+    # A converts on day 1, B converts on day 8 (slower): A's events come
+    # early while both arms are fully at risk -> O_A > E_A -> z > 0
+    pairs = [(u, 1) for u in a_users] + [(u, 8) for u in b_users]
+    r = logrank_test(_mk_survival_events(spark, pairs)).collect()[0]
+    assert r.o_a == 25
+    assert r.z_e6 > 3_000_000  # decisively significant (z > 3)
