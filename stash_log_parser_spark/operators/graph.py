@@ -308,3 +308,111 @@ def label_propagation(
         .select("node", "label", "community_size")
         .orderBy("node")
     )
+
+
+def hits(
+    incidence: DataFrame,
+    iters: int = 3,
+    hub_col: str = "username",
+    auth_col: str = "repo_slug",
+) -> DataFrame:
+    """Bipartite HITS (Kleinberg 1999) over the user→repo access
+    incidence: users are HUBS, repos are AUTHORITIES.  a_{t+1} = Eᵀh_t
+    and h_{t+1} = E a_{t+1}, each L1-normalized — a repo is important
+    when broad-interest users touch it, a user is a good hub when they
+    touch important repos.  Distinct from PageRank over the co-access
+    projection: HITS keeps the bipartite structure, so one mega-user
+    cannot mint edges between otherwise-unrelated repos.
+
+    Engine-exact trajectory discipline (same as pagerank/k-means): the
+    score table is re-quantized to 1e-6 after every normalization, so
+    a fixed-iteration run value-hash matches the oracle's unrolled
+    CTEs.  L1 (sum) normalization instead of the textbook L2: the
+    ranking is identical (positive scalar multiple) and the normalizer
+    is a plain SUM both engines compute the same way.
+
+    Scale shape: the incidence is hash-partitioned once on the hub key
+    and cached; each half-step is ONE co-partitioned join against a
+    score table (|U| or |R| rows — tiny next to |E|) plus one
+    hash-agg; the L1 total re-enters as a 1-row broadcast cross join
+    (broadcast by construction, never scale-growing).  Feed it the
+    CAPPED incidence (analyses.capped_incidence) so a 50k-repo bot
+    cannot dominate either side.
+
+    Returns (repo_slug, degree, authority) ordered by authority desc.
+    """
+    edges = incidence.select(
+        F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth")
+    )
+    edges = edges.repartition("hub").persist()
+    auth_deg = edges.groupBy("auth").agg(F.count("*").alias("ad"))
+    hubs = edges.select("hub").distinct().select("hub", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(iters):
+        raw_a = edges.join(hubs, "hub").groupBy("auth").agg(F.sum("h").alias("ra"))
+        tot_a = raw_a.agg(F.sum("ra").alias("ta"))
+        auths = raw_a.crossJoin(F.broadcast(tot_a)).select(
+            "auth", _q6(F.col("ra") / F.col("ta")).alias("a")
+        )
+        raw_h = edges.join(auths, "auth").groupBy("hub").agg(F.sum("a").alias("rh"))
+        tot_h = raw_h.agg(F.sum("rh").alias("th"))
+        hubs = raw_h.crossJoin(F.broadcast(tot_h)).select(
+            "hub", _q6(F.col("rh") / F.col("th")).alias("h")
+        )
+    out = auths.join(auth_deg, "auth").select(
+        F.col("auth").alias(auth_col),
+        F.col("ad").cast("long").alias("degree"),
+        F.col("a").alias("authority"),
+    )
+    return out.orderBy(F.desc("authority"), F.asc(auth_col))
+
+
+def adamic_adar(
+    incidence: DataFrame,
+    top_pairs: int = 30,
+    hub_col: str = "username",
+    auth_col: str = "repo_slug",
+) -> DataFrame:
+    """Adamic–Adar link prediction over the bipartite incidence: for
+    each repo pair sharing at least one user, AA(x, y) =
+    Σ_{u ∈ Γ(x)∩Γ(y)} 1/ln(deg(u)) — common neighbors weighted
+    inversely by how promiscuous they are (a user who touches 2 repos
+    is strong evidence those repos relate; one who touches 20 says
+    almost nothing).  The score behind "repos likely to be co-cloned
+    NEXT" — the predictive sibling of the descriptive co-access count
+    (analyses.repo_coaccess).
+
+    Every common neighbor of a pair has degree ≥ 2 by construction, so
+    ln(deg) ≥ ln 2 and the weight is always finite.  Weights are
+    summed as doubles and round6-quantized once at the end (Σ of ≤ cap
+    terms each ≤ 1/ln2 — far inside 1e-6 resolution).
+
+    Scale shape: identical to coaccess_pairs — feed the CAPPED
+    incidence so the within-user self-join is bounded at C(cap, 2)
+    pairs per user; the per-user degree join is hub-keyed (the same
+    key the self-join shuffles on, one exchange reused); global top-k
+    is TakeOrderedAndProject, never a full sort.
+    """
+    inc = incidence.select(
+        F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth")
+    )
+    deg = inc.groupBy("hub").agg(F.count("*").alias("du"))
+    weighted = inc.join(deg, "hub").select(
+        "hub", "auth", (F.lit(1.0) / F.log(F.col("du").cast("double"))).alias("w")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    pairs = (
+        a.join(b, "hub")
+        .filter(F.col("a.auth") < F.col("b.auth"))
+        .groupBy(
+            F.col("a.auth").alias("repo_a"),
+            F.col("b.auth").alias("repo_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("common_users"),
+            _q6(F.sum(F.col("a.w"))).alias("aa_score"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("aa_score"), F.asc("repo_a"), F.asc("repo_b")
+    ).limit(top_pairs)

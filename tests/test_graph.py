@@ -236,3 +236,86 @@ def test_kcore_reliable_checkpoint_dir(spark, tmp_path):
     plain = G.kcore(edges, k=2, rounds=15).collect()
     ck = G.kcore(edges, k=2, rounds=15, checkpoint_dir=str(tmp_path / "ck")).collect()
     assert [tuple(r) for r in ck] == [tuple(r) for r in plain]
+
+
+def _inc_df(spark, pairs):
+    return spark.createDataFrame(
+        [(u, r) for u, r in pairs], "username string, repo_slug string"
+    )
+
+
+class TestHits:
+    def test_uniform_bipartite_is_uniform(self, spark):
+        # 2 users × 2 repos complete bipartite: both repos tie at 0.5
+        from stash_log_parser_spark.operators.graph import hits
+
+        inc = [("u1", "r1"), ("u1", "r2"), ("u2", "r1"), ("u2", "r2")]
+        rows = {r["repo_slug"]: r for r in hits(_inc_df(spark, inc)).collect()}
+        assert set(rows) == {"r1", "r2"}
+        for r in rows.values():
+            assert r["authority"] == pytest.approx(0.5, abs=1e-9)
+            assert r["degree"] == 2
+
+    def test_matches_python_mirror_and_ranks_shared_repo_first(self, spark):
+        from stash_log_parser_spark.operators.graph import hits
+
+        # r_shared touched by all 3 users; r_solo by one narrow user
+        inc = [
+            ("u1", "r_shared"),
+            ("u2", "r_shared"),
+            ("u3", "r_shared"),
+            ("u3", "r_solo"),
+            ("u1", "r_other"),
+        ]
+        h = {u: 1.0 for u in {u for u, _ in inc}}
+        a = {}
+        for _ in range(3):
+            raw_a = {}
+            for u, r in inc:
+                raw_a[r] = raw_a.get(r, 0.0) + h[u]
+            ta = sum(raw_a.values())
+            a = {r: _q6(v / ta) for r, v in raw_a.items()}
+            raw_h = {}
+            for u, r in inc:
+                raw_h[u] = raw_h.get(u, 0.0) + a[r]
+            th = sum(raw_h.values())
+            h = {u: _q6(v / th) for u, v in raw_h.items()}
+        out = hits(_inc_df(spark, inc)).collect()
+        got = {r["repo_slug"]: r["authority"] for r in out}
+        assert got == pytest.approx(a, abs=1e-9)
+        assert out[0]["repo_slug"] == "r_shared"  # ordered by authority desc
+
+
+class TestAdamicAdar:
+    def test_weights_inverse_log_degree(self, spark):
+        from stash_log_parser_spark.operators.graph import adamic_adar
+
+        # u_narrow (deg 2) links r1-r2 strongly; u_broad (deg 3) links
+        # r1-r2, r1-r3, r2-r3 weakly.
+        inc = [
+            ("u_narrow", "r1"),
+            ("u_narrow", "r2"),
+            ("u_broad", "r1"),
+            ("u_broad", "r2"),
+            ("u_broad", "r3"),
+        ]
+        rows = {
+            (r["repo_a"], r["repo_b"]): r
+            for r in adamic_adar(_inc_df(spark, inc)).collect()
+        }
+        w2, w3 = 1.0 / math.log(2.0), 1.0 / math.log(3.0)
+        assert rows[("r1", "r2")]["aa_score"] == pytest.approx(
+            _q6(w2 + w3), abs=1e-9
+        )
+        assert rows[("r1", "r2")]["common_users"] == 2
+        assert rows[("r1", "r3")]["aa_score"] == pytest.approx(_q6(w3), abs=1e-9)
+        assert rows[("r2", "r3")]["common_users"] == 1
+        # the strongly-linked pair ranks first
+        top = adamic_adar(_inc_df(spark, inc)).collect()[0]
+        assert (top["repo_a"], top["repo_b"]) == ("r1", "r2")
+
+    def test_top_pairs_limit(self, spark):
+        from stash_log_parser_spark.operators.graph import adamic_adar
+
+        inc = [("u", f"r{i}") for i in range(6)]  # C(6,2)=15 pairs
+        assert adamic_adar(_inc_df(spark, inc), top_pairs=4).count() == 4
