@@ -3970,3 +3970,206 @@ def logrank_test(events: DataFrame, user_col: str = "user_id") -> DataFrame:
             F.floor(z * 1_000_000 + F.lit(0.5)).cast("long"),
         ).alias("z_e6"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str = "source",
+) -> DataFrame:
+    """ROC-AUC of an integer-quantized score predicting a binary label,
+    per group — the model-eval primitive behind "does this quality
+    signal actually find the duplicates/spam/toxic docs?".  AUC is
+    exactly the Mann–Whitney statistic P(score⁺ > score⁻) + ½P(=),
+    so it reuses the same BIGINT-exact doubled-rank census device as
+    ``mann_whitney_u``: with R2(v) = 2·(count below v) + count(v) + 1,
+    2·U⁺ = Σ c⁺(v)·R2(v) − n⁺(n⁺+1) and AUC = 2U⁺ / (2·n⁺·n⁻) —
+    integers until ONE final division, round6-quantized.
+
+    ``score_col`` must already be an integer (quantize upstream — the
+    census size is bounded by the score's domain, not the row count).
+    Groups with no positives or no negatives have undefined AUC → NULL.
+
+    Scale shape: one corpus-scale (group, score) hash-agg with
+    map-side partials; one cumsum window over the CENSUS partitioned
+    by group (score-domain-sized); a groups-sized final agg.  No
+    global sort, nothing corpus-scale past the first exchange."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    census = df.groupBy(group_col, score_col).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("cp"),
+        F.count("*").cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = (
+        F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+        + F.col("c")
+        + F.lit(1)
+    ).cast("long")
+    agg = (
+        census.withColumn("r2", r2)
+        .groupBy(group_col)
+        .agg(
+            F.sum("cp").cast("long").alias("n_pos"),
+            (F.sum("c") - F.sum("cp")).cast("long").alias("n_neg"),
+            F.sum(F.col("cp") * F.col("r2")).cast("long").alias("sr2p"),
+        )
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = (F.col("sr2p") - np_ * (np_ + F.lit(1))).cast("double") / (
+        F.lit(2) * np_ * nn
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when((np_ > 0) & (nn > 0), round6(auc)).alias("auc"),
+    ).orderBy(group_col)
+
+
+def _erfc_p_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) = erfc(|z|/√2) via the
+    Abramowitz–Stegun 7.1.26 rational approximation (|err| < 1.5e-7 —
+    far inside the round6 grid).  One fixed IEEE chain of literal
+    constants, mirrored verbatim in the SQL oracles, so both engines
+    produce the bit-identical double."""
+    x = F.abs(z) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    return poly * F.exp(-(x * x))
+
+
+def per_type_conversion_tests(
+    events: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Per-event-type two-proportion z-test between the A/B arms —
+    the per-metric scan an experiment readout runs BEFORE any launch
+    call, one hypothesis per event type.  Arms use the shared md5
+    device (``ab_lift``); per-type conversion is the odd-count parity
+    predicate for the same reason documented there.  The user universe
+    is GLOBAL: a user with zero type-t events is a non-converter for
+    t, so every type's test sees the same n_a/n_b denominators.
+
+    Emits the RAW double p (A&S erfc chain, see ``_erfc_p_two_sided``)
+    for downstream multiple-testing correction — quantize only at the
+    readout (``fdr_bh`` does).
+
+    Scale shape: one (type, user) hash-agg (map-side partials); the
+    global per-arm user census is a 1-row aggregate crossed back in as
+    a broadcast; output is event-type-dimension-sized."""
+    arm_a = F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8"
+    users = (
+        events.select(F.col(user_col).alias("u"), arm_a.alias("ia"))
+        .distinct()
+        .agg(
+            F.sum(F.col("ia").cast("long")).cast("long").alias("n_a"),
+            F.sum((~F.col("ia")).cast("long")).cast("long").alias("n_b"),
+        )
+    )
+    per_ut = (
+        events.groupBy(F.col("event_type"), F.col(user_col).alias("u"))
+        .agg((F.count("*") % 2).cast("long").alias("conv"))
+        .withColumn("ia", F.substring(F.md5(F.col("u").cast("string")), 1, 1) < "8")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ia"), F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("k_a"),
+            F.sum(F.when(~F.col("ia"), F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("k_b"),
+        )
+    )
+    t = per_ut.crossJoin(F.broadcast(users))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa, pb = F.col("k_a") / na, F.col("k_b") / nb
+    pool = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pb - pa) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    k = F.col("k_a") + F.col("k_b")
+    n = F.col("n_a") + F.col("n_b")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (k > 0) & (k < n)
+    return t.select(
+        "event_type",
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        # degenerate tests (empty arm, 0%/100% pooled) carry p = 1 —
+        # they can never reject, and keeping them in the table keeps
+        # the BH m honest (dropping hypotheses after seeing the data
+        # is exactly the selection bias FDR control exists to prevent)
+        F.when(ok, z).otherwise(F.lit(0.0)).alias("z"),
+        F.when(ok, _erfc_p_two_sided(z)).otherwise(F.lit(1.0)).alias("p"),
+    )
+
+
+def fdr_bh(
+    tests: DataFrame,
+    key_col: str = "event_type",
+    p_col: str = "p",
+    q: float = 0.1,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction over a (small) table
+    of hypotheses: rank p ascending (ties broken by key so the order
+    is total), p_adj(i) = min_{j ≥ i} (m·p(j)/j) capped at 1, reject
+    when p_adj ≤ q.  THE guard against the "scan 20 metrics, one is
+    'significant' at 0.05" trap every multi-metric experiment readout
+    walks into.
+
+    BH runs on the RAW doubles and quantizes only the emitted columns,
+    so the adjusted trajectory is the one both engines compute
+    bit-identically (every input p is a mirrored IEEE chain).
+
+    The two global windows here are over the HYPOTHESIS table — m
+    rows, one per metric/event-type, a dimension by construction —
+    never over event data; the single-partition sort is m·log m on
+    one executor and irrelevant at any corpus scale."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    w_rank = Window.orderBy(p_col, key_col)
+    w_rev = Window.orderBy(F.col("_i")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ranked = (
+        tests.withColumn("_i", F.row_number().over(w_rank))
+        .withColumn("_m", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "_padj",
+            F.least(
+                F.lit(1.0),
+                F.min(
+                    F.col(p_col) * F.col("_m") / F.col("_i")
+                ).over(w_rev),
+            ),
+        )
+    )
+    carried = [c for c in tests.columns if c not in (key_col, p_col, "z")]
+    stat = [round6(F.col("z")).alias("z")] if "z" in tests.columns else []
+    return ranked.select(
+        key_col,
+        *carried,
+        *stat,
+        round6(F.col(p_col)).alias("p_raw"),
+        round6(F.col("_padj")).alias("p_bh"),
+        (F.col("_padj") <= F.lit(q)).alias("rejected"),
+    ).orderBy(key_col)

@@ -1887,3 +1887,104 @@ def test_logrank_detects_slower_arm(spark):
     r = logrank_test(_mk_survival_events(spark, pairs)).collect()[0]
     assert r.o_a == 25
     assert r.z_e6 > 3_000_000  # decisively significant (z > 3)
+
+
+class TestRocAuc:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "source string, score long, label long"
+        )
+
+    def test_perfect_separation_is_one(self, spark):
+        from stash_log_parser_spark.operators.analyses import roc_auc
+
+        rows = [("s", 10, 1)] * 3 + [("s", 1, 0)] * 4
+        r = roc_auc(self._df(spark, rows)).collect()[0]
+        assert (r.n_pos, r.n_neg, r.auc) == (3, 4, 1.0)
+
+    def test_constant_score_is_half(self, spark):
+        from stash_log_parser_spark.operators.analyses import roc_auc
+
+        rows = [("s", 5, 1)] * 3 + [("s", 5, 0)] * 5
+        assert roc_auc(self._df(spark, rows)).collect()[0].auc == 0.5
+
+    def test_reversed_signal_is_zero_and_midranks_exact(self, spark):
+        from stash_log_parser_spark.operators.analyses import roc_auc
+
+        rows = [("s", 1, 1)] * 2 + [("s", 9, 0)] * 3
+        assert roc_auc(self._df(spark, rows)).collect()[0].auc == 0.0
+        # one tie straddling the classes: pos at {1, 5}, neg at {5, 9}.
+        # AUC = P(score+ > score-) + 0.5 P(=):
+        # (1>5)=0, (1>9)=0, (5=5)=0.5, (5>9)=0 -> auc = 0.5/4
+        rows = [("s", 1, 1), ("s", 5, 1), ("s", 5, 0), ("s", 9, 0)]
+        assert roc_auc(self._df(spark, rows)).collect()[0].auc == 0.125
+
+    def test_degenerate_group_is_null_and_groups_independent(self, spark):
+        from stash_log_parser_spark.operators.analyses import roc_auc
+
+        rows = [("g1", 3, 1), ("g1", 1, 0), ("g2", 7, 1), ("g2", 9, 1)]
+        got = {r.source: r for r in roc_auc(self._df(spark, rows)).collect()}
+        assert got["g1"].auc == 1.0
+        assert got["g2"].auc is None and got["g2"].n_neg == 0
+
+
+class TestFdrBh:
+    def test_textbook_step_up(self, spark):
+        from stash_log_parser_spark.operators.analyses import fdr_bh
+
+        # classic example: m=5, p = .01 .02 .03 .04 .05 -> every
+        # adjusted p is min_{j>=i} 5 p_j / j = .05
+        tests = spark.createDataFrame(
+            [(f"t{i}", 0.01 * i) for i in range(1, 6)],
+            "event_type string, p double",
+        )
+        out = fdr_bh(tests, q=0.05).collect()
+        assert [r.p_bh for r in out] == [0.05] * 5
+        assert all(r.rejected for r in out)
+
+    def test_cap_at_one_and_monotone(self, spark):
+        from stash_log_parser_spark.operators.analyses import fdr_bh
+
+        tests = spark.createDataFrame(
+            [("a", 0.001), ("b", 0.5), ("c", 0.9), ("d", 0.95)],
+            "event_type string, p double",
+        )
+        got = {r.event_type: r for r in fdr_bh(tests, q=0.05).collect()}
+        assert got["a"].p_bh == 0.004 and got["a"].rejected
+        assert got["d"].p_bh == 0.95  # 4*0.95/4, already <= 1
+        assert not got["b"].rejected and not got["c"].rejected
+        # step-up monotonicity: adjusted order follows raw order
+        ps = [got[k].p_bh for k in ("a", "b", "c", "d")]
+        assert ps == sorted(ps)
+
+
+def test_per_type_tests_symmetric_arms_p_one_ish(spark):
+    import hashlib
+    from datetime import datetime
+
+    from stash_log_parser_spark.operators.analyses import (
+        per_type_conversion_tests,
+    )
+
+    a_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"][:20]
+    b_users = [u for u in range(400)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] >= "8"][:20]
+    ts = datetime(2024, 1, 1)
+    rows = []
+    # identical per-arm behavior: half of each arm converts on 'click'
+    for us in (a_users, b_users):
+        for j, u in enumerate(us):
+            rows.append((u, ts, "click", 1.0 if j % 2 == 0 else 2.0))
+            if j % 2 == 0:
+                rows.append((u, ts, "click", 1.0))  # even count -> parity 0
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    r = per_type_conversion_tests(df).collect()[0]
+    assert (r.n_a, r.n_b) == (20, 20)
+    assert r.k_a == r.k_b == 10
+    # the A&S 7.1.26 coefficients sum to 0.999999999 at z = 0 (the
+    # approximation's documented 1.5e-7 error band) — asserted exactly
+    # because the chain is a fixed IEEE expression
+    assert r.z == 0.0 and r.p == 0.999999999
