@@ -1047,3 +1047,84 @@ def domain_cap(
         .select("domain", id_col, "cap_rank", "n_docs")
         .orderBy("domain", "cap_rank")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    n_stages: int = 4,
+    difficulty_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum training order: the corpus is staged
+    easy→hard by exact global quantiles of ``difficulty_col`` (length
+    here — the canonical zero-model difficulty proxy), and each stage
+    is internally shuffled by the same seeded-md5 device as
+    ``shuffle_order`` — "short docs first, random within stage", the
+    standard warm-up schedule, reproducible on any cluster.
+
+    Stage cuts are VALUE thresholds read off the difficulty census:
+    qᵢ = the smallest value whose cumulative count reaches ⌈i·n/S⌉
+    (the exact lower order statistic), stage(v) = #{i : qᵢ < v}.  Ties
+    share a stage (a value never straddles a cut), so membership
+    depends only on (corpus, value) — never on row order or
+    partitioning.
+
+    Scale shape: one (value) census hash-agg + a census-domain window
+    to find the S−1 cuts (re-entering as a 1-row broadcast cross
+    join); the only row-scale exchange is the (stage, shard) hash
+    repartition, and each (stage, shard) cell is one rank task —
+    ``n_shards`` is the same parallelism dial as shuffle_order, so no
+    global or per-stage sort ever happens.  Data-loader contract:
+    consume stages in order, shards round-robin within a stage.
+    """
+    from pyspark.sql import Window
+
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    census = docs.groupBy(difficulty_col).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = Window.orderBy(difficulty_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cen = census.select(
+        F.col(difficulty_col).alias("v"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    # the S-1 exact quantile cut values, one row after the agg
+    cuts = cen.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.col("n") * F.lit(i) / F.lit(n_stages)),
+                    F.col("v"),
+                )
+            ).alias(f"q{i}")
+            for i in range(1, n_stages)
+        ]
+    )
+    staged = docs.crossJoin(F.broadcast(cuts))
+    stage = sum(
+        (F.col(f"q{i}") < F.col(difficulty_col)).cast("int")
+        for i in range(1, n_stages)
+    ).cast("long")
+    pr = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    h48 = F.conv(F.substring(pr, 1, 12), 16, 10).cast("long")
+    w = Window.partitionBy("stage", "shard").orderBy("pr", id_col)
+    return (
+        staged.select(
+            F.col(id_col),
+            stage.alias("stage"),
+            (h48 % n_shards).cast("long").alias("shard"),
+            pr.alias("pr"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "stage", "shard", "pos")
+        .orderBy("stage", "shard", "pos")
+    )

@@ -2968,3 +2968,84 @@ def length_gini(
         )
         .orderBy(by_col)
     )
+
+
+def hill_tail_index(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    tail_frac: float = 0.1,
+    min_k: int = 5,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index of a positive
+    integer metric (doc length here), per group:
+    α̂ = k / Σ_{i=1..k} ln(X₍ᵢ₎ / X₍ₖ₊₁₎) over the k largest order
+    statistics — the standard heavy-tail gauge a capacity/curation
+    review runs on length, token-count, and user-volume columns
+    (α ≤ 2: infinite variance, one mega-doc can dominate a shard;
+    α large: tail decays fast, uniform sharding is safe).  Distinct
+    from ``zipf_fit``: that fits the word-FREQUENCY rank curve of the
+    vocabulary; this measures the tail of a per-row metric.
+
+    k = max(min_k, floor(tail_frac·n)), clamped to n−1; groups too
+    small to leave an (k+1)-th order statistic report NULL.
+
+    No global (or even per-group) sort of rows: the value census
+    (value-domain-sized) is cumulated FROM THE TOP, full buckets above
+    the k-cut contribute c·ln(v), the straddling bucket contributes
+    its clipped remainder, and X₍ₖ₊₁₎ is read off the bucket covering
+    position k+1.  All counts BIGINT; the ln sums are the only doubles
+    and are round6-quantized once at the end.
+
+    Scale shape: one corpus-scale (group, value) hash-agg with
+    map-side partials; one cumsum window over the census partitioned
+    by group; a groups-sized final agg."""
+    from pyspark.sql import Window
+
+    census = (
+        docs.filter(F.col(value_col) > 0)
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_above = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(value_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    cen = census.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        "c",
+        F.coalesce(F.sum("c").over(w_above), F.lit(0)).alias("cb"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    k = F.greatest(
+        F.lit(min_k), F.floor(F.col("n") * F.lit(tail_frac)).cast("long")
+    )
+    k = F.least(k, F.col("n") - 1)
+    take = F.greatest(
+        F.lit(0), F.least(F.col("c"), k - F.col("cb"))
+    ).cast("long")
+    lnv = F.log(F.col("v").cast("double"))
+    # bucket covering order-statistic position k+1 (1-indexed from top)
+    is_k1 = (F.col("cb") <= k) & (F.col("cb") + F.col("c") >= k + 1)
+    agg = cen.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max(k).cast("long").alias("k"),
+        F.sum(take.cast("double") * lnv).alias("s_ln"),
+        F.max(F.when(is_k1, F.col("v"))).cast("long").alias("x_k1"),
+    )
+    denom = F.col("s_ln") - F.col("k").cast("double") * F.log(
+        F.col("x_k1").cast("double")
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "k",
+        "x_k1",
+        F.when(
+            (F.col("k") >= 1) & (denom > 0),
+            round6(F.col("k").cast("double") / denom),
+        ).alias("hill_alpha"),
+    ).orderBy(group_col)

@@ -640,3 +640,56 @@ def test_domain_cap_salted_phase_drops_no_winner(spark):
     )
     # longest docs are the LOWEST ids here (n_chars = 1000 - i)
     assert got == [(rk, rk - 1) for rk in range(1, 7)]
+
+
+class TestCurriculumOrder:
+    def _docs(self, spark, n=16):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_id long, n_chars long"
+        )
+
+    def test_stages_are_exact_quartiles_and_monotone(self, spark):
+        from stash_log_parser_spark.operators.mixture import curriculum_order
+
+        out = curriculum_order(self._docs(spark, 16), n_shards=2).collect()
+        stage_of = {r.doc_id: r.stage for r in out}
+        # n=16: cuts at cum >= 4, 8, 12 -> values 4, 8, 12
+        # doc_id i has n_chars i+1
+        assert all(stage_of[i] == 0 for i in range(0, 4))
+        assert all(stage_of[i] == 1 for i in range(4, 8))
+        assert all(stage_of[i] == 2 for i in range(8, 12))
+        assert all(stage_of[i] == 3 for i in range(12, 16))
+
+    def test_positions_contiguous_and_deterministic(self, spark):
+        from stash_log_parser_spark.operators.mixture import curriculum_order
+
+        a = curriculum_order(self._docs(spark), n_shards=3, seed=7).collect()
+        b = curriculum_order(self._docs(spark), n_shards=3, seed=7).collect()
+        assert a == b
+        cells = {}
+        for r in a:
+            cells.setdefault((r.stage, r.shard), []).append(r.pos)
+        for ps in cells.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_ties_never_straddle_a_cut(self, spark):
+        from stash_log_parser_spark.operators.mixture import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, 5) for i in range(8)] + [(100 + i, 9) for i in range(8)],
+            "doc_id long, n_chars long",
+        )
+        out = curriculum_order(df, n_shards=2).collect()
+        stages = {r.doc_id: r.stage for r in out}
+        assert len({stages[i] for i in range(8)}) == 1
+        assert len({stages[100 + i] for i in range(8)}) == 1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from stash_log_parser_spark.operators.mixture import curriculum_order
+
+        with _pytest.raises(ValueError):
+            curriculum_order(self._docs(spark), n_stages=1)
+        with _pytest.raises(ValueError):
+            curriculum_order(self._docs(spark), n_shards=0)

@@ -1564,3 +1564,55 @@ def test_length_gini_hand_computed_and_uniform_zero(spark):
     assert got["u"].gini_e6 == 0
     assert got["h"].gini_e6 == 250_000
     assert got["h"].n_docs == 2 and got["h"].total_chars == 4
+
+
+class TestHillTail:
+    def _df(self, spark, vals, source="s"):
+        return spark.createDataFrame(
+            [(source, v) for v in vals], "source string, n_chars long"
+        )
+
+    def test_matches_python_mirror(self, spark):
+        import math
+
+        from stash_log_parser_spark.operators.textstats import hill_tail_index
+
+        vals = [1, 1, 2, 4, 8, 16, 32, 64, 100, 200, 400, 800]
+        r = hill_tail_index(self._df(spark, vals)).collect()[0]
+        n = len(vals)
+        k = max(5, int(n * 0.1))  # = 5
+        top = sorted(vals, reverse=True)
+        s_ln = sum(math.log(x) for x in top[:k])
+        x_k1 = top[k]
+        alpha = k / (s_ln - k * math.log(x_k1))
+        assert (r.n_docs, r.k, r.x_k1) == (n, k, x_k1)
+        assert r.hill_alpha == math.floor(alpha * 1e6 + 0.5) / 1e6
+
+    def test_tie_straddling_the_cut(self, spark):
+        import math
+
+        from stash_log_parser_spark.operators.textstats import hill_tail_index
+
+        # six copies of the max straddle the k=5 cut: the census bucket
+        # contributes a clipped partial take and x_k1 == the same value
+        vals = [9] * 6 + [3, 2, 1]
+        r = hill_tail_index(self._df(spark, vals)).collect()[0]
+        assert r.k == 5 and r.x_k1 == 9
+        # all top-5 equal x_k1 -> denom 0 -> undefined
+        assert r.hill_alpha is None
+
+    def test_degenerate_and_groups_independent(self, spark):
+        from stash_log_parser_spark.operators.textstats import hill_tail_index
+
+        df = self._df(spark, [7] * 10, "flat").unionByName(
+            self._df(spark, [2**i for i in range(12)], "geo")
+        )
+        got = {r.source: r for r in hill_tail_index(df).collect()}
+        assert got["flat"].hill_alpha is None  # all-equal tail
+        assert got["geo"].hill_alpha is not None
+
+    def test_nonpositive_values_excluded(self, spark):
+        from stash_log_parser_spark.operators.textstats import hill_tail_index
+
+        df = self._df(spark, [0, 0, 1, 2, 4, 8, 16, 32])
+        assert hill_tail_index(df).collect()[0].n_docs == 6
