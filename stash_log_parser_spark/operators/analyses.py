@@ -4173,3 +4173,94 @@ def fdr_bh(
         round6(F.col("_padj")).alias("p_bh"),
         (F.col("_padj") <= F.lit(q)).alias("rejected"),
     ).orderBy(key_col)
+
+
+def littles_law_audit(parsed: DataFrame) -> DataFrame:
+    """Little's law consistency gate per day: L ≟ λ·W, where L is the
+    time-weighted average of the server's concurrency gauge (the
+    ``concurrency_twa`` step integral), λ the incoming-request rate
+    over the observed span, and W the mean response duration from the
+    outgoing lines.  The law holds for ANY stationary queue, so the
+    ratio L/(λW) is a zero-config telemetry health check: ≈1 means the
+    gauge, the request stream, and the duration field tell one
+    consistent story; drift flags dropped out-lines, clock skew
+    between fields, or a load ramp inside the window.
+
+    All inputs reduce to BIGINTs (weighted_us, span_us, counts,
+    Σduration_ms); λ, W, and the ratio are one fixed double chain
+    mirrored verbatim in the oracle, round6-quantized.  Degenerate
+    days (no span, no arrivals, no completions) report NULL ratio.
+
+    Scale shape: one day-partitioned lead() window for the gauge
+    integral (the concurrency_twa plan), one conditional hash-agg for
+    arrivals/durations, joined on the day dimension — nothing
+    corpus-scale past the two scans."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    gauge = parsed.filter(
+        F.col("is_parsed") & F.col("req_concurrent").isNotNull()
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("req_counter"),
+        F.col("req_dir"),
+        F.col("req_concurrent").cast("long").alias("g"),
+    )
+    w = Window.partitionBy("day").orderBy("us", "req_counter", "req_dir")
+    l_parts = (
+        gauge.withColumn("next_us", F.lead("us").over(w))
+        .groupBy("day")
+        .agg(
+            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+            F.sum(
+                F.when(
+                    F.col("next_us").isNotNull(),
+                    F.col("g") * (F.col("next_us") - F.col("us")),
+                ).otherwise(0)
+            ).cast("long").alias("weighted_us"),
+        )
+    )
+    flow = (
+        parsed.filter(F.col("is_parsed"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("req_dir") == "i").cast("long").alias("is_in"),
+            F.when(
+                (F.col("req_dir") == "o") & F.col("duration_ms").isNotNull(),
+                F.col("duration_ms"),
+            ).alias("dur"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("is_in").cast("long").alias("n_arrivals"),
+            F.count("dur").cast("long").alias("n_completed"),
+            F.sum("dur").cast("long").alias("sum_dur_ms"),
+        )
+    )
+    j = l_parts.join(flow, "day")
+    l_twa = F.col("weighted_us").cast("double") / F.col("span_us").cast(
+        "double"
+    )
+    lam = F.col("n_arrivals") * F.lit(1000000.0) / F.col("span_us").cast(
+        "double"
+    )
+    w_s = F.col("sum_dur_ms").cast("double") / (
+        F.col("n_completed") * F.lit(1000.0)
+    )
+    ok = (
+        (F.col("span_us") > 0)
+        & (F.col("n_arrivals") > 0)
+        & (F.col("n_completed") > 0)
+        & (F.col("sum_dur_ms") > 0)
+    )
+    return j.select(
+        "day",
+        "n_arrivals",
+        "n_completed",
+        F.when(F.col("span_us") > 0, round6(l_twa)).alias("l_twa"),
+        F.when(ok, round6(lam)).alias("lambda_per_s"),
+        F.when(ok, round6(w_s)).alias("w_s"),
+        F.when(ok, round6(l_twa / (lam * w_s))).alias("littles_ratio"),
+    ).orderBy("day")

@@ -1845,3 +1845,77 @@ def rbo_overlap(
         )
         .orderBy(query_id_col)
     )
+
+
+def class_separability(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Fisher-style class-separability audit of an embedding space:
+    per label, the WITHIN variance (mean squared distance of members
+    to their own centroid) and the squared distance of the centroid to
+    the global mean; plus one overall row (label = −1) with the pooled
+    within variance, the n-weighted BETWEEN variance, and their ratio
+    — the scalar that says whether the labels are even separable in
+    this space before anyone trains a probe (ratio ≫ 0: clustered;
+    ≈ 0: labels are noise w.r.t. the geometry).
+
+    Everything derives from per-(label, dim) MOMENTS (n, Σv, Σv²):
+    within-SS = Σv² − (Σv)²/n per (label, dim) — no second pass over
+    the vectors, no centroid join back to the corpus.  Values are cast
+    to double at explode time so both engines run the identical IEEE
+    chain; sums quantize to 1e-6 at the output.
+
+    Scale shape: one posexplode → (label, dim)-keyed hash-agg —
+    DIMENSION-sized after map-side partials, the same plan as
+    label_centroids; every later step is over |labels|·dim rows.  The
+    vector column never enters an Exchange."""
+    mom = (
+        emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .groupBy(label_col, "dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+    glob = mom.groupBy("dim").agg(
+        F.sum("s1").alias("gs1"), F.sum("n").cast("long").alias("gn")
+    )
+    j = mom.join(glob, "dim")
+    c = F.col("s1") / F.col("n")
+    m = F.col("gs1") / F.col("gn")
+    per_ld = j.select(
+        F.col(label_col).alias("label"),
+        "n",
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("wss"),
+        ((c - m) * (c - m)).alias("bd"),
+    )
+    per_l = per_ld.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum("wss").alias("wss_l"),
+        F.sum("bd").alias("dist2"),
+    )
+    lab_rows = per_l.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        _q6(F.col("wss_l") / F.col("n_vecs")).alias("within_var"),
+        _q6(F.col("dist2")).alias("between_dist2"),
+        F.lit(None).cast("double").alias("fisher_ratio"),
+    )
+    tot = per_l.agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        (F.sum("wss_l") / F.sum("n_vecs")).alias("w"),
+        (
+            F.sum(F.col("n_vecs") * F.col("dist2")) / F.sum("n_vecs")
+        ).alias("b"),
+    ).select(
+        F.lit(-1).cast("long").alias("label"),
+        "n_vecs",
+        _q6(F.col("w")).alias("within_var"),
+        _q6(F.col("b")).alias("between_dist2"),
+        F.when(F.col("w") > 0, _q6(F.col("b") / F.col("w"))).alias(
+            "fisher_ratio"
+        ),
+    )
+    return lab_rows.unionByName(tot).orderBy("label")

@@ -1988,3 +1988,63 @@ def test_per_type_tests_symmetric_arms_p_one_ish(spark):
     # approximation's documented 1.5e-7 error band) — asserted exactly
     # because the chain is a fixed IEEE expression
     assert r.z == 0.0 and r.p == 0.999999999
+
+
+def test_littles_law_exact_steady_state(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import littles_law_audit
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    # one request at a time, back to back: 10 requests, each 10 s.
+    # gauge is 1 for the whole 100 s span -> L = 1; lambda = 10/100;
+    # W = 10 s -> lambda*W = 1 -> ratio exactly 1.
+    rows = []
+    counter = 0
+    for i in range(10):
+        counter += 1
+        rows.append(
+            (True, dt.date(2024, 3, 1), t0 + dt.timedelta(seconds=10 * i),
+             counter, "i", 1, None)
+        )
+        counter += 1
+        rows.append(
+            (True, dt.date(2024, 3, 1),
+             t0 + dt.timedelta(seconds=10 * i + 10), counter, "o", 1, 10_000)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "is_parsed boolean, day date, ts timestamp, req_counter long, "
+        "req_dir string, req_concurrent int, duration_ms long",
+    )
+    r = littles_law_audit(df).collect()[0]
+    assert (r.n_arrivals, r.n_completed) == (10, 10)
+    # span is 100s but arrivals happen over it; the last out at t=100
+    # shares its timestamp with nothing -> span_us = 100s exactly
+    assert r.l_twa == 1.0
+    assert r.lambda_per_s == 0.1
+    assert r.w_s == 10.0
+    assert r.littles_ratio == 1.0
+
+
+def test_littles_law_degenerate_day_null_ratio(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import littles_law_audit
+
+    t0 = dt.datetime(2024, 3, 2)
+    rows = [
+        (True, dt.date(2024, 3, 2), t0, 1, "i", 1, None),
+        (True, dt.date(2024, 3, 2), t0 + dt.timedelta(seconds=5), 2, "i",
+         2, None),
+    ]  # arrivals but zero completed requests
+    df = spark.createDataFrame(
+        rows,
+        "is_parsed boolean, day date, ts timestamp, req_counter long, "
+        "req_dir string, req_concurrent int, duration_ms long",
+    )
+    r = littles_law_audit(df).collect()[0]
+    assert r.n_completed == 0
+    assert r.littles_ratio is None and r.w_s is None
+    assert r.l_twa is not None

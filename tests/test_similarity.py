@@ -788,3 +788,41 @@ def test_rbo_overlap_identical_and_disjoint(spark):
     assert got.rbo_e9 == want_e9
     # sanity: identical-rankings RBO@5 is close to (1-p^5) mass
     assert abs(got.rbo_e9 / 1e9 - (1 - p ** 5)) < 0.02
+
+
+class TestClassSeparability:
+    def test_two_point_classes_exact(self, spark):
+        from stash_log_parser_spark.operators.similarity import (
+            class_separability,
+        )
+
+        # label 0 at x=0 and x=2 (centroid 1, within var 1);
+        # label 1 at x=10 and x=12 (centroid 11, within var 1).
+        # global mean 6 -> between dist2 = 25 each; fisher = 25.
+        rows = [
+            (1, 0, [0.0]), (2, 0, [2.0]), (3, 1, [10.0]), (4, 1, [12.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        got = {r.label: r for r in class_separability(df).collect()}
+        assert got[0].within_var == 1.0 and got[0].between_dist2 == 25.0
+        assert got[1].within_var == 1.0 and got[1].between_dist2 == 25.0
+        o = got[-1]
+        assert (o.n_vecs, o.within_var, o.between_dist2) == (4, 1.0, 25.0)
+        assert o.fisher_ratio == 25.0
+        assert got[0].fisher_ratio is None
+
+    def test_inseparable_labels_ratio_near_zero(self, spark):
+        from stash_log_parser_spark.operators.similarity import (
+            class_separability,
+        )
+
+        # identical point sets under both labels: between = 0 exactly
+        pts = [[1.0, 2.0], [3.0, 4.0], [5.0, 0.0]]
+        rows = [(i, lbl, p) for lbl in (0, 1) for i, p in enumerate(pts)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        o = {r.label: r for r in class_separability(df).collect()}[-1]
+        assert o.between_dist2 == 0.0 and o.fisher_ratio == 0.0
