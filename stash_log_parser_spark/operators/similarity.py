@@ -1919,3 +1919,37 @@ def class_separability(
         ),
     )
     return lab_rows.unionByName(tot).orderBy("label")
+
+
+def jl_sign_matrix(dim: int, k: int, seed: int = 777) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss (Achlioptas 2003) sign
+    matrix, k rows × dim cols, from a seeded RNG — shared literal
+    between the Spark projection and the SQL oracle twin (the same
+    role the seeded hyperplanes play for LSH).  Signs, not Gaussians:
+    products against ±1.0 are EXACT sign flips, so a left-associated
+    sum mirrors bit-for-bit across engines."""
+    rs = np.random.RandomState(seed)
+    return rs.choice([-1.0, 1.0], size=(k, dim)).tolist()
+
+
+def jl_project(vec_col: Column, mat: list[list[float]]) -> Column:
+    """Project an array<double> column through a literal JL sign
+    matrix: out[j] = Σ_d mat[j][d]·v[d], each output a fixed
+    left-associated Catalyst expression (element_at chains — no HOF,
+    no Python; whole-stage codegen applies).  Cosine against a scaled
+    projection is scale-free, so the 1/√k normalizer is omitted.
+
+    Scale note: this is k·dim multiply-adds per row of pure projection
+    — embarrassingly parallel, no shuffle; for k·dim beyond ~10⁴
+    switch to the Arrow matmul kernel (with_lsh_buckets' path), which
+    does the same arithmetic in BLAS."""
+    from functools import reduce
+
+    outs = []
+    for row in mat:
+        terms = [
+            F.element_at(vec_col, d + 1) * F.lit(float(s))
+            for d, s in enumerate(row)
+        ]
+        outs.append(reduce(lambda a, b: a + b, terms))
+    return F.array(*outs)

@@ -2048,3 +2048,30 @@ def test_littles_law_degenerate_day_null_ratio(spark):
     assert r.n_completed == 0
     assert r.littles_ratio is None and r.w_s is None
     assert r.l_twa is not None
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark, tmp_path):
+    import datetime as dt
+
+    import __spark_entry__ as E
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for u in range(4):  # every user strictly alternates A -> B -> A ...
+        for i in range(10):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=i), u,
+                 "A" if i % 2 == 0 else "B", 1.0, None)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = E.queries()["events_markov_entropy"](spark, str(tmp_path)).collect()[0]
+    assert r.n_transitions == 36 and r.n_states == 2
+    assert r.entropy_rate_bits == 0.0  # next state fully determined
+    assert r.normalized_entropy == 0.0

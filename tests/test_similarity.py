@@ -826,3 +826,52 @@ class TestClassSeparability:
         )
         o = {r.label: r for r in class_separability(df).collect()}[-1]
         assert o.between_dist2 == 0.0 and o.fisher_ratio == 0.0
+
+
+class TestJlProjection:
+    def test_projection_exact_and_deterministic(self, spark):
+        from stash_log_parser_spark.operators.similarity import (
+            jl_project,
+            jl_sign_matrix,
+        )
+        from pyspark.sql import functions as F
+
+        mat = [[1.0, -1.0, 1.0], [-1.0, -1.0, 1.0]]
+        df = spark.createDataFrame(
+            [(1, [2.0, 3.0, 5.0])], "vec_id long, embedding array<double>"
+        )
+        out = df.select(
+            jl_project(F.col("embedding"), mat).alias("p")
+        ).collect()[0].p
+        assert out == [2.0 - 3.0 + 5.0, -2.0 - 3.0 + 5.0]
+        assert jl_sign_matrix(8, 4, seed=7) == jl_sign_matrix(8, 4, seed=7)
+        assert jl_sign_matrix(8, 4, seed=7) != jl_sign_matrix(8, 4, seed=8)
+        assert all(
+            s in (-1.0, 1.0) for row in jl_sign_matrix(8, 4) for s in row
+        )
+
+    def test_identity_like_projection_preserves_ranking(self, spark):
+        # a full-rank +/-1 matrix on 2 dims (Hadamard) is an isometry up
+        # to scale: cosine ranking is preserved exactly
+        import math
+
+        from stash_log_parser_spark.operators.similarity import jl_project
+        from pyspark.sql import functions as F
+
+        mat = [[1.0, 1.0], [1.0, -1.0]]
+        vecs = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        rows = df.select(
+            "vec_id", jl_project(F.col("embedding"), mat).alias("p")
+        ).collect()
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / math.sqrt(
+                sum(x * x for x in a) * sum(y * y for y in b)
+            )
+
+        p = {r.vec_id: r.p for r in rows}
+        v = dict(vecs)
+        for i, j in [(1, 2), (1, 3), (2, 3)]:
+            assert cos(p[i], p[j]) == pytest.approx(cos(v[i], v[j]), abs=1e-12)
