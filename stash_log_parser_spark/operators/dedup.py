@@ -1531,3 +1531,45 @@ def remove_dup_spans(
         F.size(kept).cast("long").alias("n_after"),
         F.array_join(kept, " ").alias("text_clean"),
     ).orderBy("doc_id")
+
+
+def normalize_text_expr(col):
+    """Canonical text form for normalization-robust dedup: casefold,
+    strip everything but [a-z0-9] and whitespace, collapse whitespace
+    runs, trim.  One fixed regex chain, mirrored verbatim in SQL."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"[^a-z0-9\s]", "")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the NORMALIZED text: groups documents whose only
+    differences are case, punctuation, or whitespace — the cheap
+    canonicalization pass curation pipelines run between exact and
+    near-dup dedup (it catches scraped mirrors that re-wrap lines or
+    strip smart quotes, at hash-agg cost instead of LSH cost).
+
+    ``n_raw_variants`` counts the RAW-distinct texts inside each
+    normalized group: any group with n_raw_variants > 1 is a catch
+    exact_dedup missed — the operator's value, made auditable.
+
+    Scale shape: identical to exact_dedup — the normalize chain is a
+    per-row projection (whole-stage codegen), the group key is the
+    128-bit md5 of the normalized form, one corpus-scale hash-agg with
+    map-side partials; text never shuffles (only its two hashes do)."""
+    n = normalize_text_expr(F.col(text_col))
+    return (
+        docs.select(
+            F.md5(n).alias("norm_hash"),
+            F.md5(F.col(text_col)).alias("raw_hash"),
+            "doc_id",
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("raw_hash").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .withColumn("is_duplicated", F.col("n_copies") > 1)
+    )

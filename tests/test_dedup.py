@@ -765,3 +765,34 @@ def test_remove_dup_spans_collapses_within_doc_repeat(spark):
     got = remove_dup_spans(docs, n=8).collect()[0]
     assert got.text_clean == f"{span} filler"
     assert got.n_before == 17 and got.n_after == 9
+
+
+class TestNormalizedDedup:
+    def test_catches_case_punct_whitespace_variants(self, spark):
+        from stash_log_parser_spark.operators.dedup import normalized_dedup
+
+        rows = [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO ... world"),
+            (4, "a different doc"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = normalized_dedup(df).collect()
+        groups = {r.norm_hash: r for r in out}
+        assert len(groups) == 2
+        big = max(out, key=lambda r: r.n_copies)
+        assert (big.n_copies, big.n_raw_variants, big.keep_doc_id) == (3, 3, 1)
+        assert big.is_duplicated
+        small = min(out, key=lambda r: r.n_copies)
+        assert (small.n_copies, small.n_raw_variants) == (1, 1)
+        assert not small.is_duplicated
+
+    def test_exact_copies_counted_but_one_raw_variant(self, spark):
+        from stash_log_parser_spark.operators.dedup import normalized_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text")], "doc_id long, text string"
+        )
+        r = normalized_dedup(df).collect()[0]
+        assert (r.n_copies, r.n_raw_variants) == (2, 1)
