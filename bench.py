@@ -138,6 +138,10 @@ def main() -> dict:
         "docs_token_runs",
         "corpus_shuffle_order",
         "corpus_interleave_order",
+        "corpus_curriculum_order",
+        "docs_quality_auc",
+        "docs_hill_tail",
+        "log_repo_adamic_adar",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -136,12 +136,6 @@ QUERIES = [
         " keys on the gram string — text never re-splits per element.",
     ),
     (
-        "emb_silhouette",
-        "Centroid silhouette: one Arrow assignment pass + literal-centroid"
-        " cosines in codegen; cube('cell') emits per-cell AND overall from"
-        " ONE hash agg (no second corpus scan); no vector in any Exchange.",
-    ),
-    (
         "docs_token_runs",
         "Degenerate-repetition QC: JVM split + ONE Arrow run-length stage,"
         " shuffle-free narrow projection — no explode, no per-element"
@@ -183,6 +177,44 @@ QUERIES = [
         "Silhouette: ONE Arrow matmul stage emits cell + the round6"
         " cosine array (no literal-centroid expressions); cube() folds"
         " per-cell and overall rows from one corpus-scale hash agg.",
+    ),
+    (
+        "log_repo_hits",
+        "Bipartite HITS: the incidence is hash-partitioned ONCE and each"
+        " half-step joins it against a node-sized score table; every L1"
+        " total re-enters as a 1-row BroadcastExchange — iterations move"
+        " scores, never edges.",
+    ),
+    (
+        "log_repo_adamic_adar",
+        "Adamic-Adar: the within-user self-join and the degree join share"
+        " the hub-keyed exchange; output is TakeOrderedAndProject —"
+        " bounded at C(cap,2) pairs/user by the capped incidence.",
+    ),
+    (
+        "docs_quality_auc",
+        "ROC-AUC: one (source, score) census hash-agg; the doubled-rank"
+        " cumsum window runs over the CENSUS (score-domain-sized); AUC is"
+        " a groups-sized final agg — no corpus sort.",
+    ),
+    (
+        "docs_hill_tail",
+        "Hill tail-index: (source, n_chars) census, top-down cumsum over"
+        " the support, clipped partial take at the k-cut — the order"
+        " statistics never materialize as a row sort.",
+    ),
+    (
+        "corpus_curriculum_order",
+        "Curriculum order: quantile cuts from a census window re-enter as"
+        " a 1-ROW BroadcastNestedLoopJoin; the only row-scale exchange is"
+        " (stage, shard) — per-cell rank tasks, no global sort.",
+    ),
+    (
+        "emb_class_separability",
+        "Fisher separability: posexplode collapses to (label, dim)"
+        " moments via map-side partials; within-SS from moments — the"
+        " centroid never joins back to the corpus; vectors never enter"
+        " an Exchange.",
     ),
 ]
 
