@@ -4264,3 +4264,57 @@ def littles_law_audit(parsed: DataFrame) -> DataFrame:
         F.when(ok, round6(w_s)).alias("w_s"),
         F.when(ok, round6(l_twa / (lam * w_s))).alias("littles_ratio"),
     ).orderBy("day")
+
+
+def p_chart(
+    parsed: DataFrame,
+    slow_ms: int = 500,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Shewhart p-chart over the hourly slow-request PROPORTION — the
+    statistical-process-control alarm that ``slo_burn_rate`` is not:
+    the SLO burn compares against a fixed budget, while the p-chart
+    asks "is this hour statistically abnormal FOR THIS SYSTEM", with
+    binomial control limits p̄ ± σ·√(p̄(1−p̄)/nₜ) that widen for
+    thin-traffic hours (the property that stops 3 slow requests at
+    4 a.m. from paging anyone).
+
+    Counts are BIGINT; p̄ re-enters as a 1-row broadcast cross join;
+    the limit chain is one mirrored IEEE expression, round6-quantized.
+    The out-of-control flag compares RAW doubles (both engines compute
+    the identical chain), so membership is exact.
+
+    Scale shape: one hour-keyed hash-agg with map-side partials, a
+    1-row total, an hours-dimension projection — nothing else."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("duration_ms").isNotNull()
+    ).select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        (F.col("duration_ms") > slow_ms).cast("long").alias("slow"),
+    )
+    hourly = base.groupBy("hour").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("slow").cast("long").alias("n_slow"),
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("n_slow").cast("long").alias("ts_"),
+    )
+    j = hourly.crossJoin(F.broadcast(tot))
+    pbar = F.col("ts_").cast("double") / F.col("tn")
+    phat = F.col("n_slow").cast("double") / F.col("n")
+    half = F.lit(sigma) * F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n"))
+    ucl = pbar + half
+    lcl = F.greatest(F.lit(0.0), pbar - half)
+    return j.select(
+        "hour",
+        "n",
+        "n_slow",
+        round6(phat).alias("p_hat"),
+        round6(pbar).alias("p_bar"),
+        round6(ucl).alias("ucl"),
+        round6(lcl).alias("lcl"),
+        ((phat > ucl) | (phat < lcl)).alias("out_of_control"),
+    ).orderBy("hour")

@@ -2075,3 +2075,49 @@ def test_markov_entropy_deterministic_chain_is_zero(spark, tmp_path):
     assert r.n_transitions == 36 and r.n_states == 2
     assert r.entropy_rate_bits == 0.0  # next state fully determined
     assert r.normalized_entropy == 0.0
+
+
+def test_p_chart_flags_only_the_abnormal_hour(spark):
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators.analyses import p_chart
+
+    rows = []
+    # 5 normal hours at 10% slow (n=100), one hour at 60% slow
+    for h in range(6):
+        slow_k = 60 if h == 5 else 10
+        for i in range(100):
+            rows.append(
+                (True, dt.datetime(2024, 4, 1, h, 0, i % 60),
+                 1000 if i < slow_k else 100)
+            )
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, ts timestamp, duration_ms long"
+    )
+    out = p_chart(df, slow_ms=500, sigma=3.0).collect()
+    assert len(out) == 6
+    flagged = [r.hour for r in out if r.out_of_control]
+    assert flagged == ["2024-04-01 05"]
+    r0 = out[0]
+    pbar = 110 / 600
+    half = 3.0 * math.sqrt(pbar * (1 - pbar) / 100)
+    assert r0.p_hat == 0.1
+    assert r0.ucl == math.floor((pbar + half) * 1e6 + 0.5) / 1e6
+    assert r0.lcl == math.floor(max(0.0, pbar - half) * 1e6 + 0.5) / 1e6
+
+
+def test_p_chart_lcl_clipped_at_zero(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import p_chart
+
+    rows = [
+        (True, dt.datetime(2024, 4, 1, 0, 0, i % 60), 100) for i in range(20)
+    ]  # tiny n, tiny pbar=0 -> lcl must clip to 0, nothing flagged
+    rows[0] = (True, dt.datetime(2024, 4, 1, 0, 0, 0), 900)
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, ts timestamp, duration_ms long"
+    )
+    r = p_chart(df).collect()[0]
+    assert r.lcl == 0.0 and not r.out_of_control
