@@ -4318,3 +4318,82 @@ def p_chart(
         round6(lcl).alias("lcl"),
         ((phat > ucl) | (phat < lcl)).alias("out_of_control"),
     ).orderBy("hour")
+
+
+def cohort_ltv(
+    events: DataFrame,
+    value_type: str = "purchase",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per signup-cohort user at
+    each week of cohort age — the money twin of ``retention_cohorts``
+    (that one asks "do they come back", this one "what are they worth
+    by week k"), the curve every acquisition-spend decision reads.
+
+    Users cohort by FIRST-seen week (Monday truncation, identical in
+    both engines); revenue is ``value_type`` event value in exact
+    integer cents; the cumulative is a window over the cohort×offset
+    matrix (dimension-sized).  ltv_per_user divides the exact
+    cumulative cents by the FULL cohort size (not just spenders) —
+    one division at the end, round6.
+
+    Scale shape: one user-keyed min for the cohort assignment, one
+    (cohort, offset) hash-agg for the revenue cells, cohort sizes
+    broadcast; the cumsum window runs over the matrix, never rows."""
+    from pyspark.sql import Window
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    first = (
+        events.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    cohort_sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    rev = (
+        events.filter(
+            (F.col("event_type") == value_type) & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            wk.alias("wk"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+                "cents"
+            ),
+        )
+        .join(first, "user_id")
+        .withColumn(
+            "week_offset", (F.datediff("wk", "cohort_wk") / 7).cast("int")
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(
+            F.sum("cents").cast("long").alias("week_cents"),
+            F.count_distinct("user_id").cast("long").alias("n_spenders"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("week_cents").over(w).cast("long"))
+        .join(F.broadcast(cohort_sizes), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_cohort",
+            "n_spenders",
+            "week_cents",
+            "cum_cents",
+            round6(
+                F.col("cum_cents").cast("double")
+                / (F.col("n_cohort") * F.lit(100.0))
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -2121,3 +2121,32 @@ def test_p_chart_lcl_clipped_at_zero(spark):
     )
     r = p_chart(df).collect()[0]
     assert r.lcl == 0.0 and not r.out_of_control
+
+
+def test_cohort_ltv_exact_hand_case(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import cohort_ltv
+
+    # Monday 2024-03-04 cohort: 2 users; one buys $1.00 in week 0 and
+    # $2.50 in week 1; the other never buys (still in n_cohort).
+    mon = dt.datetime(2024, 3, 4, 12, 0)
+    rows = [
+        (1, mon, 10, "view", None, None),
+        (2, mon, 11, "view", None, None),
+        (3, mon + dt.timedelta(days=1), 10, "purchase", 1.00, None),
+        (4, mon + dt.timedelta(days=8), 10, "purchase", 2.50, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = cohort_ltv(df).collect()
+    assert [(r.week_offset, r.week_cents, r.cum_cents) for r in out] == [
+        (0, 100, 100), (1, 250, 350),
+    ]
+    assert out[0].cohort_week == "2024-03-04"
+    assert out[0].n_cohort == 2 and out[0].n_spenders == 1
+    assert out[0].ltv_per_user == 0.5    # 100 cents / 2 users / 100
+    assert out[1].ltv_per_user == 1.75
