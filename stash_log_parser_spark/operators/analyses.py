@@ -4397,3 +4397,74 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def seasonality_strength(
+    events: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Seasonality-strength score per key: the share of hourly-count
+    variance explained by the hour-of-day profile,
+    1 − SS_resid/SS_total over the DENSE hour spine (empty hours count
+    as zero — silence at 4 a.m. IS the seasonal signal).  ≈0: flat or
+    pure noise; →1: the daily cycle dominates.  The scalar that
+    decides whether ``seasonal_anomaly``'s 24h-lag adjustment is even
+    worth running on this key.
+
+    Scale shape: one (key, hour) hash-agg; the dense spine comes from
+    ``sequence`` over the observed range (never a driver loop); the
+    24-row hour-of-day profile joins back broadcast; sums of squared
+    residuals are the only doubles, round6-quantized once."""
+    from stash_log_parser_spark.operators.textstats import round6
+
+    hc = events.groupBy(
+        F.col(key_col).alias("k"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3600000000)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    span = hc.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    keys = hc.select("k").distinct()
+    spine = keys.crossJoin(F.broadcast(span)).select(
+        "k", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    dense = spine.join(hc, ["k", "h"], "left").select(
+        "k", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    hod = dense.withColumn("hod", F.pmod(F.col("h"), F.lit(24)))
+    prof = hod.groupBy("k", "hod").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count("*").cast("long").alias("m"),
+    )
+    tot = hod.groupBy("k").agg(
+        F.sum("c").cast("long").alias("st"),
+        F.count("*").cast("long").alias("n"),
+    )
+    j = (
+        hod.join(F.broadcast(prof), ["k", "hod"])
+        .join(F.broadcast(tot), "k")
+        .select(
+            "k",
+            "c",
+            (F.col("s").cast("double") / F.col("m")).alias("mu_hod"),
+            (F.col("st").cast("double") / F.col("n")).alias("mu_all"),
+        )
+    )
+    agg = j.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(
+            (F.col("c") - F.col("mu_all")) * (F.col("c") - F.col("mu_all"))
+        ).alias("sst"),
+        F.sum(
+            (F.col("c") - F.col("mu_hod")) * (F.col("c") - F.col("mu_hod"))
+        ).alias("ssr"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_hours",
+        F.when(
+            F.col("sst") > 0,
+            round6(F.lit(1.0) - F.col("ssr") / F.col("sst")),
+        ).alias("seasonality_strength"),
+    ).orderBy(key_col)

@@ -2150,3 +2150,36 @@ def test_cohort_ltv_exact_hand_case(spark):
     assert out[0].n_cohort == 2 and out[0].n_spenders == 1
     assert out[0].ltv_per_user == 0.5    # 100 cents / 2 users / 100
     assert out[1].ltv_per_user == 1.75
+
+
+def test_seasonality_strength_pure_cycle_vs_flat(spark):
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import seasonality_strength
+
+    t0 = dt.datetime(2024, 3, 4, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(3):          # 3 identical days
+        for h in range(24):
+            # 'cyc': strong daily cycle (h events at hour h);
+            # 'flat': constant 2/hour
+            for _ in range(h):
+                eid += 1
+                rows.append((eid, t0 + dt.timedelta(days=d, hours=h), 1,
+                             "cyc", 1.0, None))
+            for _ in range(2):
+                eid += 1
+                rows.append((eid, t0 + dt.timedelta(days=d, hours=h), 1,
+                             "flat", 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in seasonality_strength(df).collect()}
+    # perfectly repeating cycle: hour-of-day profile explains ALL variance
+    assert got["cyc"].seasonality_strength == 1.0
+    # constant series: zero total variance -> undefined -> NULL
+    assert got["flat"].seasonality_strength is None
+    assert got["cyc"].n_hours == 72
