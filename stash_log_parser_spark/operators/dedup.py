@@ -1573,3 +1573,82 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("is_duplicated", F.col("n_copies") > 1)
     )
+
+
+def boilerplate_census(
+    docs: DataFrame,
+    seg_words: int = 15,
+    df_ratio: float = 0.2,
+    min_df: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE boilerplate detection — the CCNet/RefinedWeb
+    within-domain line-frequency pass (reference scope: curation
+    beyond stash-log-parser; SURVEY §2 training-data suite). A segment
+    is *boilerplate inside its source* when it appears in at least
+    ``max(min_df, ceil(df_ratio * docs_in_source))`` distinct documents
+    of that source — nav bars, cookie banners, footers repeat across
+    most pages of one site but are rare globally, which is exactly the
+    signal ``segment_dedup``'s global df>1 census cannot give (global
+    dedup drops the duplicate COPIES; this MEASURES per-document
+    boilerplate load so a quality gate can drop the worst documents
+    whole).
+
+    Output: doc_id, source, n_segments, n_boiler, boiler_ratio.
+
+    Scale shape, same discipline as :func:`segment_dedup`: the census
+    shuffles only (source, xxhash64(segment), doc_id) — text never
+    leaves its origin row. Per-source doc counts are a source-dimension
+    aggregate (tiny) broadcast into the threshold filter; the boiler
+    set returns to the segment table as a (source, hash)-keyed
+    broadcastable join when small, a shuffle join otherwise — either
+    way every exchanged row is ≤ 24 bytes of keys. At 10^12 docs the
+    only corpus-scale exchanges are the two hash-keyed aggs.
+
+    Collision tradeoff: census keys on xxhash64 per source — see
+    :func:`expected_collision_drops`; a collision can only inflate a
+    segment's df (false boilerplate), never lose a document.
+    """
+    base = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    words = F.col("_ws")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    seg_at = lambda i: F.concat_ws(" ", F.slice(words, i * seg_words + 1, seg_words))
+    hashes = F.transform(F.sequence(F.lit(0), n_seg - 1), lambda i: F.xxhash64(seg_at(i)))
+    seg_tbl = base.select("doc_id", "source", F.explode(hashes).alias("h"))
+
+    src_counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("_n_docs")
+    )
+    boiler = (
+        seg_tbl.groupBy("source", "h")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .join(F.broadcast(src_counts), "source")
+        .filter(
+            F.col("_df")
+            >= F.greatest(
+                F.lit(min_df).cast("long"),
+                F.ceil(F.lit(df_ratio) * F.col("_n_docs")).cast("long"),
+            )
+        )
+        .select("source", "h", F.lit(True).alias("_boiler"))
+    )
+    per_doc = (
+        seg_tbl.join(boiler, ["source", "h"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(F.coalesce(F.col("_boiler"), F.lit(False)).cast("long")).alias(
+                "n_boiler"
+            ),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler").cast("double") / F.col("n_segments").cast("double"),
+        )
+    )
+    return per_doc

@@ -796,3 +796,50 @@ class TestNormalizedDedup:
         )
         r = normalized_dedup(df).collect()[0]
         assert (r.n_copies, r.n_raw_variants) == (2, 1)
+
+
+def test_boilerplate_census_is_per_source(spark):
+    """A banner shared by 3 of 4 docs in source A must flag ONLY in A:
+    the same segment appearing once in source B stays organic there
+    (within-domain df is the whole point vs segment_dedup's global
+    census). Thresholds: min_df=2, df_ratio=0.5 → A needs df>=2, hit;
+    B has df=1, miss."""
+    banner = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, "A", banner + " u1 u2 u3 u4 u5"),
+        (2, "A", banner + " v1 v2 v3 v4 v5"),
+        (3, "A", banner),
+        (4, "A", "w1 w2 w3 w4 w5"),
+        (5, "B", banner + " x1 x2 x3 x4 x5"),
+        (6, "B", "y1 y2 y3 y4 y5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r
+        for r in D.boilerplate_census(
+            df, seg_words=5, df_ratio=0.5, min_df=2
+        ).collect()
+    }
+    assert (got[1].n_segments, got[1].n_boiler) == (2, 1)
+    assert got[1].boiler_ratio == 0.5
+    assert (got[3].n_segments, got[3].n_boiler) == (1, 1)   # all boilerplate
+    assert got[3].boiler_ratio == 1.0
+    assert got[4].n_boiler == 0
+    # source B: the banner's within-B df is 1 → organic there
+    assert got[5].n_boiler == 0 and got[6].n_boiler == 0
+    # ratio threshold respected: df_ratio=1.0 needs ceil(1.0*4)=4 docs → no hit
+    strict = D.boilerplate_census(df, seg_words=5, df_ratio=1.0, min_df=2)
+    assert all(r.n_boiler == 0 for r in strict.collect())
+
+
+def test_boilerplate_census_never_shuffles_text(spark):
+    """Scale invariant shared with segment_dedup: no Exchange in the
+    plan carries the text column — only (source, hash, doc_id) keys."""
+    df = spark.createDataFrame(
+        [(i, "S", f"t{i} a b c d") for i in range(8)],
+        "doc_id long, source string, text string",
+    )
+    plan = D.boilerplate_census(df, seg_words=5)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
