@@ -690,6 +690,75 @@ def session_paths(
     )
 
 
+def sequence_pattern_match(
+    events: DataFrame,
+    pattern: str,
+    type_codes: dict,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching over gap
+    sessions — "how many sessions contain view→(anything but
+    purchase)*→purchase?" expressed as a REGEX over per-session
+    event-code strings (the portable core of SQL:2016 row pattern
+    recognition; Spark has no MATCH_RECOGNIZE clause, so the
+    session string + regexp_count composition is the idiomatic
+    DataFrame route).
+
+    Each event type maps to ONE character via ``type_codes`` (unmapped
+    types become '.', a code that matches no pattern literal); each
+    session's ordered events collapse to a compact code string;
+    ``pattern`` is counted per session with non-overlapping leftmost
+    semantics (regexp_count — identical semantics in the DuckDB twin).
+
+    Output (one row): n_sessions, n_matched, n_matches, match_share.
+
+    Scale shape: sessionization is the shared user-partitioned
+    prefix-sum window (one shuffle on user_id, microsecond-exact gap
+    compare); the code string is built per (user, session) via
+    sort_array(collect_list(struct(ts, event_id, code))) — the ONLY
+    per-group materialization is one char per event, so a session of
+    10k events is a 10 KB string, and the struct sort is session-local
+    (no global sort). A runaway bot session is the skew risk: cap it
+    upstream with a per-session row_number limit if sessions are
+    unbounded. Final rollup is a 4-number scalar aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (epoch(F.col("ts")) - epoch(lag_ts) > gap_s * 1_000_000),
+        1,
+    ).otherwise(0)
+    code = F.lit(".")
+    for t, c in sorted(type_codes.items()):
+        code = F.when(F.col("event_type") == t, F.lit(c)).otherwise(code)
+    sess = events.withColumn("_sid", F.sum(new_s).over(w)).withColumn("_c", code)
+    strings = (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "_c"))
+                    ),
+                    lambda s: s["_c"],
+                ),
+                "",
+            ).alias("codes")
+        )
+        .select(F.regexp_count(F.col("codes"), F.lit(pattern)).alias("_m"))
+    )
+    return strings.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum((F.col("_m") > 0).cast("long")).alias("n_matched"),
+        F.sum("_m").cast("long").alias("n_matches"),
+        (
+            F.sum((F.col("_m") > 0).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("match_share"),
+    )
+
+
 def benford_first_digit(
     df: DataFrame, value_col: str, round6=None
 ) -> DataFrame:

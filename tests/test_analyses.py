@@ -2183,3 +2183,39 @@ def test_seasonality_strength_pure_cycle_vs_flat(spark):
     # constant series: zero total variance -> undefined -> NULL
     assert got["flat"].seasonality_strength is None
     assert got["cyc"].n_hours == 72
+
+
+def test_sequence_pattern_match_counts_sessions(spark):
+    """Hand-built sessions: user 1 has V..P (match) then a gap-split
+    session with only clicks (no match); user 2 purchases before any
+    view (no match). Non-overlapping count: VPVP = 2 matches in one
+    session."""
+    from datetime import datetime, timedelta
+
+    from stash_log_parser_spark.operators.analyses import sequence_pattern_match
+
+    t0 = datetime(2024, 1, 1)
+    sec = lambda s: t0 + timedelta(seconds=s)
+    rows = [
+        # user 1, session 1: view, click, purchase, view, purchase -> VCPVP = 2 matches
+        (1, sec(0), 1, "view"), (2, sec(10), 1, "click"),
+        (3, sec(20), 1, "purchase"), (4, sec(30), 1, "view"),
+        (5, sec(40), 1, "purchase"),
+        # user 1, session 2 (gap > 1800s): clicks only -> no match
+        (6, sec(4000), 1, "click"), (7, sec(4010), 1, "click"),
+        # user 2, one session: purchase then view -> no match
+        (8, sec(0), 2, "purchase"), (9, sec(10), 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, et) for i, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = sequence_pattern_match(
+        df, "V[^P]*P",
+        {"click": "C", "view": "V", "purchase": "P"},
+        gap_s=1800,
+    ).collect()[0]
+    assert got.n_sessions == 3
+    assert got.n_matched == 1
+    assert got.n_matches == 2
+    assert abs(got.match_share - 1 / 3) < 1e-12
