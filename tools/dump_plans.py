@@ -216,6 +216,20 @@ QUERIES = [
         " centroid never joins back to the corpus; vectors never enter"
         " an Exchange.",
     ),
+    (
+        "docs_boilerplate",
+        "Per-source boilerplate census: every Exchange carries only"
+        " (source, xxhash64, doc_id) keys — text never shuffles; the"
+        " source-dimension doc counts arrive as a broadcast into the"
+        " threshold filter.",
+    ),
+    (
+        "events_pattern_match",
+        "Row-pattern regex: one user_id-keyed exchange feeds both the"
+        " session window and the (user, session) string agg — the"
+        " per-group payload is ONE char per event; final rollup is a"
+        " 1-row scalar agg.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
