@@ -843,3 +843,65 @@ def test_boilerplate_census_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_prefix_filter_equals_exact(docs):
+    """prefix_filter_pairs must return the IDENTICAL (pair, jaccard)
+    set as the full-inverted-index exact join — on the planted-dup
+    fixture AND on a graded corpus whose pair Jaccards straddle each
+    tested threshold (so a silently-short prefix would actually drop a
+    pair, not vacuously pass)."""
+    for t in (0.2, 0.5, 0.9):
+        fast = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.prefix_filter_pairs(docs, n=3, threshold=t).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.jaccard_pairs_exact(docs, n=3, threshold=t).collect()
+        }
+        assert fast == full
+
+
+def test_prefix_filter_graded_thresholds(spark):
+    # words w0..w19; doc k shares 20-k leading words with doc 0, so the
+    # pair (0, k) Jaccard sweeps smoothly from ~1 down to ~0 — every
+    # threshold below has qualifying AND non-qualifying pairs.
+    base = [f"w{i}" for i in range(20)]
+    rows = [(0, " ".join(base))]
+    for k in range(1, 12):
+        rows.append((k, " ".join(base[: 20 - k] + [f"x{k}{i}" for i in range(k)])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.15, 0.3, 0.5, 0.7, 0.85):
+        fast = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.prefix_filter_pairs(df, n=3, threshold=t).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.jaccard_pairs_exact(df, n=3, threshold=t).collect()
+        }
+        assert fast == full and len(fast) > 0
+    # the sweep must actually discriminate: higher t -> fewer pairs
+    n_lo = len(D.prefix_filter_pairs(df, n=3, threshold=0.15).collect())
+    n_hi = len(D.prefix_filter_pairs(df, n=3, threshold=0.85).collect())
+    assert n_lo > n_hi
+
+
+def test_prefix_filter_sf0001(spark):
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.prefix_filter_pairs(real, n=3, threshold=0.4).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs_exact(real, n=3, threshold=0.4).collect()
+    }
+    assert fast == full and len(fast) > 0
+
+
+def test_prefix_filter_rejects_zero_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.prefix_filter_pairs(df, threshold=0.0)
