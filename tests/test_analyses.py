@@ -2219,3 +2219,57 @@ def test_sequence_pattern_match_counts_sessions(spark):
     assert got.n_matched == 1
     assert got.n_matches == 2
     assert abs(got.match_share - 1 / 3) < 1e-12
+
+
+def test_basket_rules_known_counts(spark):
+    """Hand-computable corpus: item A in 6 baskets, B in 5, {A,B}
+    together in 3 of 10 baskets; C appears twice (below the Apriori
+    item prune) and must never reach pair generation even though
+    {A,C} co-occurs twice."""
+    rows = []
+    # baskets 0..2: {A, B, C?}; 3..5: {A}; 6,7: {B}; 8: {A? no}; fill to 10
+    baskets = {
+        0: ["A", "B", "C"],
+        1: ["A", "B"],
+        2: ["A", "B", "C"],
+        3: ["A"],
+        4: ["A"],
+        5: ["A"],
+        6: ["B"],
+        7: ["B"],
+        8: ["D", "E"],
+        9: ["D", "E"],
+    }
+    for ok, items in baskets.items():
+        for it in items:
+            rows.append((ok, it))
+            rows.append((ok, it))  # duplicate lineitems must collapse
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in A.basket_rules(df, min_item_count=3, min_pair_count=3).collect()
+    }
+    assert set(got) == {("A", "B"), ("B", "A")}  # C, D, E pruned (cnt < 3)
+    ab = got[("A", "B")]
+    assert (ab.n_both, ab.n_ante, ab.n_cons) == (3, 6, 5)
+    assert ab.support == 0.3
+    assert ab.confidence == 0.5
+    assert ab.lift == 1.0  # 3*10/(6*5)
+    ba = got[("B", "A")]
+    assert (ba.n_both, ba.n_ante, ba.n_cons) == (3, 5, 6)
+    assert ba.confidence == 0.6
+
+
+def test_basket_rules_no_self_join(spark):
+    """The plan must contain exactly ONE join over the fact table (the
+    broadcast Apriori prune) — pair generation is row-local array
+    expansion, never a transaction self-join shuffle."""
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B")],
+        "l_orderkey long, l_partkey string",
+    )
+    plan = A.basket_rules(df, 1, 1)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    # one broadcast prune join + the scalar n_orders cross join
+    assert plan.count("BroadcastHashJoin") <= 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
