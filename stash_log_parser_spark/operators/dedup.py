@@ -1763,3 +1763,79 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_split_leakage(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate train/test split contamination — the stronger
+    sibling of ``textstats.split_leakage`` (exact twins only): a held
+    -out document is compromised not just by a byte-identical twin but
+    by any training document within Jaccard ``threshold`` of it (the
+    Lee et al. 2022 / GPT-3 appendix decontamination concern).  Exact
+    duplicates are near-duplicates at J = 1 and are included.
+
+    Plan: the split rule is the engine's own deterministic md5-prefix
+    assignment (``textstats.train_test_split`` — same threshold
+    arithmetic, so this audits the REAL split, not a proxy); qualifying
+    pairs come from ``prefix_filter_pairs`` (exact, candidate-bounded —
+    never O(n²)); the corpus-sized split table joins onto the
+    OUTPUT-sized pair set twice, cross-split pairs mark both endpoint
+    docs leaked, and a 2-row rollup reports per-split counts.  The only
+    fact-scale exchanges are the ones inside the pair join itself.
+
+    Output: one row per split — split, n_docs, n_leaked (docs with a
+    cross-split near-twin at J ≥ threshold), leak_rate (round6)."""
+    from .textstats import round6
+
+    t = max(0, min(256, int(train_frac * 256)))
+    thr = "zz" if t == 256 else format(t, "02x")
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    splits = docs.select(
+        F.col(id_col).alias("_id"),
+        F.when(h2 < thr, "train").otherwise("test").alias("split"),
+    )
+
+    pairs = prefix_filter_pairs(docs, n=n, threshold=threshold, text_col=text_col)
+    sa = splits.select(
+        F.col("_id").alias("doc_a"), F.col("split").alias("_sp_a")
+    )
+    sb = splits.select(
+        F.col("_id").alias("doc_b"), F.col("split").alias("_sp_b")
+    )
+    cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("_sp_a") != F.col("_sp_b"))
+    )
+    leaked = (
+        cross.select(F.col("doc_a").alias("_id"), F.col("_sp_a").alias("split"))
+        .unionByName(
+            cross.select(
+                F.col("doc_b").alias("_id"), F.col("_sp_b").alias("split")
+            )
+        )
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    totals = splits.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        totals.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+            round6(
+                F.coalesce(F.col("n_leaked"), F.lit(0)) / F.col("n_docs")
+            ).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )

@@ -905,3 +905,39 @@ def test_prefix_filter_rejects_zero_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         D.prefix_filter_pairs(df, threshold=0.0)
+
+
+def test_near_split_leakage_planted(spark):
+    """Plant a near-dup pair straddling the split boundary and an
+    exact-dup pair inside one split; only the straddling pair leaks.
+    Split memberships below are md5-derived facts of these ids:
+    doc 1 -> test, doc 2 -> train (verified in-test, not assumed)."""
+    from stash_log_parser_spark.operators.textstats import train_test_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                      # near-twin of 2
+        (2, base + " extra"),           # near-twin of 1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine ten"),  # exact twin of 3
+        (5, "completely unrelated content mentioning spark catalyst tungsten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split_of = {
+        r.doc_id: r.split for r in train_test_split(df, 0.8).collect()
+    }
+    out = {
+        r.split: r for r in D.near_split_leakage(df, n=3, threshold=0.5).collect()
+    }
+    # the near pair (1,2) leaks iff its endpoints fall in different splits
+    expect_leak = 1 if split_of[1] != split_of[2] else 0
+    # docs 3,4: identical text = near-dup at J=1; leaks only across splits
+    expect_34 = 1 if split_of[3] != split_of[4] else 0
+    total_leaked = sum(r.n_leaked for r in out.values())
+    assert total_leaked == 2 * (expect_leak + expect_34)
+    assert sum(r.n_docs for r in out.values()) == 5
+    for r in out.values():
+        # leak_rate is round6-quantized
+        assert abs(r.leak_rate - r.n_leaked / r.n_docs) <= 5e-7
+    # the fixture must actually exercise a leak, else this test is vacuous
+    assert expect_leak + expect_34 >= 1
