@@ -1953,3 +1953,98 @@ def jl_project(vec_col: Column, mat: list[list[float]]) -> Column:
         ]
         outs.append(reduce(lambda a, b: a + b, terms))
     return F.array(*outs)
+
+
+def mutual_knn_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k_margin: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining with ratio-margin scoring —
+    the bitext/alignment-mining primitive (Artetxe & Schwenk ACL'19
+    margin criterion; public method): a pair (a, b) is emitted iff b is
+    a's single nearest neighbor in B AND a is b's single nearest in A,
+    scored by cos(a,b) relative to each side's top-k neighborhood mean.
+
+    Exactness discipline: cosines are round6-quantized FIRST, then
+    carried as BIGINT micro-units, so the top-k neighborhood sums are
+    exact integers and each margin is c6·k/S6 — one double division,
+    round6 — bit-identical across engines regardless of accumulation
+    order (a raw float mean of k cosines would be order-dependent).
+
+    Plan: ONE scored relation (A ⨝ broadcast(B), cosine in codegen —
+    vectors never shuffle) feeds BOTH argmax directions and both
+    neighborhood sums; the per-id top-k tables are id-dimension-sized.
+    Ties break by neighbor id ascending in both engines.  At corpus
+    scale both sides are large: production swaps the broadcast scored
+    relation for IVF-bucketed candidates (``ivf_assign`` cells, same
+    downstream windows) — the mutual/margin logic is unchanged; the
+    broadcast form here is the exact twin that oracles it."""
+    from pyspark.sql import Window
+
+    from .textstats import round6
+
+    a = side_a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va")
+    )
+    b = side_b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb")
+    )
+    # c6 = floor(cos·1e6 + 0.5) directly — round6(cos)·1e6 would divide
+    # then re-multiply, and (k/1e6)·1e6 can land at k−ε in IEEE, which a
+    # long cast truncates to k−1.
+    scored = a.join(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        F.floor(
+            cosine_expr(F.col("_va"), F.col("_vb")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c6"),
+    )
+    wf = Window.partitionBy("a_id").orderBy(F.desc("c6"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("c6"), F.asc("a_id"))
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "c6",
+        F.row_number().over(wf).alias("rnf"),
+        F.row_number().over(wb).alias("rnb"),
+    )
+    fwd = (
+        ranked.filter(F.col("rnf") <= k_margin)
+        .groupBy("a_id")
+        .agg(
+            F.sum("c6").alias("s6_fwd"),
+            F.count("*").cast("long").alias("k_fwd"),
+        )
+    )
+    bwd = (
+        ranked.filter(F.col("rnb") <= k_margin)
+        .groupBy("b_id")
+        .agg(
+            F.sum("c6").alias("s6_bwd"),
+            F.count("*").cast("long").alias("k_bwd"),
+        )
+    )
+    mutual = ranked.filter((F.col("rnf") == 1) & (F.col("rnb") == 1))
+    return (
+        mutual.join(fwd, "a_id")
+        .join(bwd, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            round6(F.col("c6") / F.lit(1e6)).alias("cosine"),
+            round6(
+                (F.col("c6") * F.col("k_fwd"))
+                / F.when(F.col("s6_fwd") != 0, F.col("s6_fwd"))
+            ).alias("margin_fwd"),
+            round6(
+                (F.col("c6") * F.col("k_bwd"))
+                / F.when(F.col("s6_bwd") != 0, F.col("s6_bwd"))
+            ).alias("margin_bwd"),
+        )
+        .orderBy("a_id")
+    )

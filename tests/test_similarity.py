@@ -875,3 +875,35 @@ class TestJlProjection:
         v = dict(vecs)
         for i, j in [(1, 2), (1, 3), (2, 3)]:
             assert cos(p[i], p[j]) == pytest.approx(cos(v[i], v[j]), abs=1e-12)
+
+
+def test_mutual_knn_planted(spark):
+    """Hand-built geometry: exactly one mutual pair. a1's nearest is b1
+    and vice versa; a2 also points at b1 (so (a2,b1) is one-directional
+    and must NOT appear); b2's nearest a2 is not reciprocated."""
+    A = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    B = spark.createDataFrame(
+        [(10, [1.0, 0.01]), (20, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = S.mutual_knn_pairs(A, B, k_margin=2).collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 10)]
+    r = rows[0]
+    assert r.cosine > 0.99
+    # ratio margins: best / mean(top-k) >= 1 by construction
+    assert r.margin_fwd >= 1.0 and r.margin_bwd >= 1.0
+
+
+def test_mutual_knn_symmetric_is_total(spark):
+    """When A and B are identical point sets, every vector's mutual
+    twin is its own copy: |pairs| == |A| and cosine == 1."""
+    pts = [(i, [float(i + 1), float(2 * i + 1), 0.5]) for i in range(5)]
+    A = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    B = spark.createDataFrame(
+        [(i + 100, v) for i, v in pts], "vec_id long, embedding array<double>"
+    )
+    rows = S.mutual_knn_pairs(A, B, k_margin=3).collect()
+    assert len(rows) == 5
+    assert all(r.b_id == r.a_id + 100 for r in rows)
+    assert all(r.cosine == 1.0 for r in rows)
