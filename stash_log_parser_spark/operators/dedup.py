@@ -1839,3 +1839,61 @@ def near_split_leakage(
         )
         .orderBy("split")
     )
+
+
+def jaccard_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple = (0.3, 0.4, 0.5, 0.7, 0.9),
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-aggressiveness dial: near-dup pair count AND affected-doc
+    count for a whole THRESHOLD GRID from ONE exact pair computation —
+    the "how much would each setting remove?" planning query run before
+    committing a corpus to a threshold (the sibling of
+    ``analyses.session_gap_sweep``'s one-lag-pass gap grid).
+
+    Plan: ``prefix_filter_pairs`` runs ONCE at min(grid) (its candidate
+    bound is set by the loosest threshold; every tighter threshold is a
+    subset by monotonicity of J), then each pair fans out to the grid
+    values it satisfies via one literal-array explode — |grid| shuffles
+    collapsed to one pair join plus two output-sized hash-aggs.
+    Affected docs are counted distinct per (threshold, doc) — the pair
+    table is output-sized, so the distinct is too."""
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    pairs = prefix_filter_pairs(docs, n=n, threshold=ts[0], text_col=text_col)
+    grid = F.array(*[F.lit(t) for t in ts])
+    fanned = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.filter(grid, lambda t: F.col("jaccard") >= t)).alias(
+            "threshold"
+        ),
+    )
+    n_pairs = fanned.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        fanned.select("threshold", F.col("doc_a").alias("d"))
+        .unionByName(fanned.select("threshold", F.col("doc_b").alias("d")))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("long").alias("n_docs_affected"))
+    )
+    base = docs.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    )
+    return (
+        base.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )

@@ -941,3 +941,26 @@ def test_near_split_leakage_planted(spark):
         assert abs(r.leak_rate - r.n_leaked / r.n_docs) <= 5e-7
     # the fixture must actually exercise a leak, else this test is vacuous
     assert expect_leak + expect_34 >= 1
+
+
+def test_jaccard_threshold_sweep_monotone(spark):
+    """The sweep must be computed from one pair pass and be monotone
+    non-increasing in threshold; counts must equal per-threshold
+    re-runs of the exact pair join."""
+    base = [f"w{i}" for i in range(20)]
+    rows = [(0, " ".join(base))]
+    for k in range(1, 10):
+        rows.append((k, " ".join(base[: 20 - k] + [f"x{k}{i}" for i in range(k)])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grid = (0.3, 0.5, 0.8)
+    sweep = {
+        r.threshold: (r.n_pairs, r.n_docs_affected)
+        for r in D.jaccard_threshold_sweep(df, thresholds=grid).collect()
+    }
+    assert set(sweep) == set(grid)
+    for t in grid:
+        pairs = D.jaccard_pairs_exact(df, n=3, threshold=t).collect()
+        docs_hit = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+        assert sweep[t] == (len(pairs), len(docs_hit))
+    counts = [sweep[t][0] for t in sorted(grid)]
+    assert counts == sorted(counts, reverse=True) and counts[0] > counts[-1]
