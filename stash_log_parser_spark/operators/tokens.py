@@ -345,3 +345,92 @@ def token_truncation_audit(corpus: DataFrame, max_len: int = 150) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_cdc_chunks(
+    corpus: DataFrame, window: int = 4, boundary_hex: str = "0"
+) -> DataFrame:
+    """Content-defined-chunking dedup census over the raw token stream
+    (the FastCDC/LBFS rolling-boundary idea — Muthitacharoen et al.
+    SOSP'01; public technique): a chunk boundary falls AFTER position i
+    whenever the hash of the ``window`` tokens ending at i lands in the
+    boundary class (md5 hex prefix ``boundary_hex`` — p = 16^-len,
+    mean chunk ≈ 16 tokens for one hex char).  Because boundaries
+    depend only on CONTENT, two sequences sharing a long token run
+    produce identical interior chunks regardless of alignment — the
+    dedup that fixed-width blocking misses when one token shifts the
+    frame (and what line/segment dedup misses when templates differ in
+    a field mid-line).
+
+    Per source: n_docs, n_tokens, n_chunks, n_distinct_chunks,
+    n_dup_chunks (occurrences that are not the GLOBAL first of their
+    chunk hash, ordered by (doc_id, chunk)), dup_tokens,
+    dup_token_share (round6).
+
+    Exactness: boundaries and chunk identities are md5-of-decimal-CSV
+    strings — engine-portable, no xxhash in the contract; every count
+    is a BIGINT; one division, round6.
+
+    Scale shape: the posexplode is fact×seq_len but embarrassingly
+    parallel; both windows (lag hash, boundary prefix-sum) share ONE
+    per-doc sort bounded by seq_len; the chunk census exchanges
+    (32-hex, long) pairs at ~1/16 of token volume.  The global
+    first-occurrence window partitions by chunk hash — the same
+    hash-keyed shape as segment_dedup, with the same 128-bit-md5
+    no-collision guarantee exact dedup relies on."""
+    tok = corpus.select(
+        "source", "doc_id", F.posexplode("tokens").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("t", i).over(w) for i in range(window - 1, 0, -1)]
+    bh = F.md5(F.concat_ws(",", *[c.cast("string") for c in lags],
+                           F.col("t").cast("string")))
+    flag = (
+        (F.col("pos") >= F.lit(window - 1))
+        & bh.startswith(boundary_hex)
+    ).cast("long")
+    flagged = tok.withColumn("_b", flag)
+    cum = F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    chunked = flagged.withColumn("chunk", F.coalesce(cum, F.lit(0)))
+    chunks = chunked.groupBy("source", "doc_id", "chunk").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                    lambda x: x["t"].cast("string"),
+                ),
+            )
+        ).alias("h"),
+        F.count("*").cast("long").alias("chunk_len"),
+    )
+    first = Window.partitionBy("h").orderBy("doc_id", "chunk")
+    occ = chunks.withColumn(
+        "_dup", (F.row_number().over(first) > 1).cast("long")
+    )
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("chunk_len").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
+            F.sum("_dup").cast("long").alias("n_dup_chunks"),
+            F.sum(F.col("_dup") * F.col("chunk_len"))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            "n_distinct_chunks",
+            "n_dup_chunks",
+            "dup_tokens",
+            round6(F.col("dup_tokens") / F.col("n_tokens")).alias(
+                "dup_token_share"
+            ),
+        )
+        .orderBy("source")
+    )

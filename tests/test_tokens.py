@@ -170,3 +170,48 @@ def test_token_truncation_audit_hand_case(spark):
         2, 1, 13, 2,
     )
     assert r.loss_rate == 0.153846
+
+
+def test_token_cdc_alignment_robust(spark):
+    """The CDC property fixed-width blocking lacks: prepending ONE token
+    shifts every fixed frame, but content-defined boundaries re-sync,
+    so the shifted copy still shares most interior chunks with the
+    original. An exact copy dedups in full."""
+    from stash_log_parser_spark.operators.tokens import token_cdc_chunks
+
+    import hashlib
+
+    # strictly increasing: base has no internal repeats, so every dup
+    # chunk below is attributable to the copy or the re-synced shift
+    base = list(range(10_000, 10_400))
+    shifted = [199] + base
+    rows = [
+        ("a", base, len(base), "s1"),
+        ("b", shifted, len(shifted), "s1"),   # 1-token prepend
+        ("c", base, len(base), "s1"),          # exact copy of a
+    ]
+    out = {r.source: r for r in token_cdc_chunks(_corpus(spark, rows)).collect()}
+    r = out["s1"]
+    # token conservation: every token lands in exactly one chunk
+    assert r.n_tokens == len(base) * 2 + len(shifted)
+    # the exact copy alone guarantees >= len(base) dup tokens; the
+    # shifted copy must contribute strictly more via re-synced chunks
+    assert r.dup_tokens > len(base)
+    assert r.n_dup_chunks > 0 and r.n_distinct_chunks < r.n_chunks
+    assert abs(r.dup_token_share - r.dup_tokens / r.n_tokens) <= 5e-7
+
+
+def test_token_cdc_no_dups_distinct_streams(spark):
+    """Two unrelated token streams share no chunk; census stays clean."""
+    from stash_log_parser_spark.operators.tokens import token_cdc_chunks
+
+    # strictly increasing, disjoint value ranges: no window content can
+    # ever recur, within or across docs (a modular sequence would
+    # self-repeat past its period and legitimately dedup)
+    rows = [
+        ("a", list(range(120)), 120, "s1"),
+        ("b", list(range(1000, 1120)), 120, "s1"),
+    ]
+    r = token_cdc_chunks(_corpus(spark, rows)).collect()[0]
+    assert r.n_dup_chunks == 0 and r.dup_tokens == 0 and r.dup_token_share == 0.0
+    assert r.n_tokens == 240 and r.n_distinct_chunks == r.n_chunks
