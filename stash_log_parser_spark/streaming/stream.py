@@ -686,3 +686,70 @@ def streaming_scd2_enrich(events_stream: DataFrame, dim: DataFrame) -> DataFrame
         F.col("e.event_type").alias("event_type"),
         F.col("d.state").alias("active_state"),
     ).agg(F.count("*").alias("n_events"))
+
+
+def streaming_outer_interval_join(
+    parsed_stream: DataFrame,
+    watermark: str = "10 seconds",
+    max_lag: str = "10 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    emission semantics the inner form (streaming_interval_join) cannot
+    show: an ``i`` leg with no ``o`` leg inside ``[ts_in,
+    ts_in + max_lag]`` is held in state and emitted NULL-padded only
+    when the global watermark passes its join window (i.e. the engine
+    can prove no future match exists).  Three row classes result:
+
+    * matched — emitted in the data batch, like the inner join;
+    * provably unmatched — emitted null-padded by the eviction pass
+      (availableNow's terminal no-data batch) once
+      ts_in + max_lag < final watermark;
+    * never emitted — unmatched rows inside the last
+      (watermark + max_lag) of event time, whose state outlives the
+      availableNow run.  A forever-running job emits them later; a
+      drained run does not — the oracle must model this loss mode
+      explicitly (same honesty discipline as events_stream_late_drop /
+      events_stream_window_final).
+
+    State bound: identical to the inner form — both sides watermarked,
+    range closed on both ends, so state is
+    O(arrival_rate × (watermark + max_lag)).
+    """
+    base = parsed_stream.filter(
+        F.col("is_parsed") & F.col("req_dir").isin("i", "o")
+    )
+    ins = (
+        base.filter(F.col("req_dir") == "i")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("req_counter").alias("rc"),
+            F.col("ts").alias("ts_in"),
+        )
+        .withWatermark("ts_in", watermark)
+    )
+    outs = (
+        base.filter(F.col("req_dir") == "o")
+        .select(
+            F.col("day").cast("string").alias("day_o"),
+            F.col("req_counter").alias("rc_o"),
+            F.col("ts").alias("ts_out"),
+        )
+        .withWatermark("ts_out", watermark)
+    )
+    return (
+        ins.join(
+            outs,
+            (F.col("day") == F.col("day_o"))
+            & (F.col("rc") == F.col("rc_o"))
+            & (F.col("ts_out") >= F.col("ts_in"))
+            & (F.col("ts_out") <= F.expr(f"ts_in + interval {max_lag}")),
+            "leftOuter",
+        )
+        .select(
+            "day",
+            F.col("rc").alias("req_counter"),
+            "ts_in",
+            "ts_out",
+            (F.unix_millis("ts_out") - F.unix_millis("ts_in")).alias("duration_ms"),
+        )
+    )

@@ -734,3 +734,63 @@ def test_streaming_psi_equals_batch_psi(spark, tmp_path):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     want = [tuple(r) for r in psi_value_drift(ev).collect()]
     assert got == want and len(got) > 3
+
+
+def test_outer_interval_join_emits_and_loss_mode(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics, pinned on a handmade
+    parsed stream: (1) a matched pair emits with its duration; (2) an
+    unmatched in-leg far from the stream end emits NULL-padded once the
+    watermark passes its window; (3) an unmatched in-leg inside the
+    final watermark+lag horizon is HELD in state and never emits from a
+    drained availableNow run — the documented loss mode."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_outer_interval_join,
+    )
+
+    def ts(s):
+        return f"2012-09-08 10:{s}"
+
+    rows = [
+        # matched pair (rc=1): out 3s after in
+        ("i", 1, ts("00:00")), ("o", 1, ts("00:03")),
+        # unmatched early in-leg (rc=2): must emit null-padded
+        ("i", 2, ts("00:10")),
+        # out-leg beyond the 10s lag for rc=3: in emits null-padded
+        ("i", 3, ts("00:20")), ("o", 3, ts("00:40")),
+        # unmatched in-leg near the end (rc=4): inside watermark+lag of
+        # the max event time -> state survives the drain, never emits
+        ("i", 4, ts("59:55")),
+        # watermark driver: the stream's max event time
+        ("o", 9, ts("59:59")),
+    ]
+    df = spark.createDataFrame(
+        [(d, rc, t) for d, rc, t in rows],
+        "req_dir string, req_counter long, ts_s string",
+    ).select(
+        F.lit(True).alias("is_parsed"),
+        "req_dir",
+        "req_counter",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.to_date(F.to_timestamp("ts_s")).alias("day"),
+    )
+    d = str(tmp_path / "parsed_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    name = "slp_oj_t_" + uuid.uuid4().hex[:8]
+    run_to_memory(
+        streaming_outer_interval_join(stream, watermark="10 seconds",
+                                      max_lag="10 seconds"),
+        name,
+        output_mode="append",
+    )
+    got = {r.req_counter: r for r in spark.table(name).collect()}
+    assert got[1].ts_out is not None and got[1].duration_ms == 3000
+    assert got[2].ts_out is None and got[2].duration_ms is None
+    assert got[3].ts_out is None            # out exists but beyond lag
+    assert 4 not in got                     # loss mode: held in state
+    assert set(got) == {1, 2, 3}
