@@ -2004,6 +2004,18 @@ def mutual_knn_pairs(
         .cast("long")
         .alias("c6"),
     )
+    return _mutual_from_scored(scored, k_margin)
+
+
+def _mutual_from_scored(scored: DataFrame, k_margin: int) -> DataFrame:
+    """Shared back half of the mutual-kNN family: given a scored
+    relation (a_id, b_id, c6 BIGINT micro-cosine), rank both directions,
+    build the exact integer k-neighborhood sums, and emit the mutual
+    rank-1 pairs with round6 ratio margins."""
+    from pyspark.sql import Window
+
+    from .textstats import round6
+
     wf = Window.partitionBy("a_id").orderBy(F.desc("c6"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("c6"), F.asc("a_id"))
     ranked = scored.select(
@@ -2048,3 +2060,71 @@ def mutual_knn_pairs(
         )
         .orderBy("a_id")
     )
+
+
+def mutual_knn_ivf(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    centroids: "np.ndarray",
+    nprobe: int = 4,
+    k_margin: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed mutual-kNN mining — the scale path
+    ``mutual_knn_pairs``'s docstring promises: instead of scoring every
+    A×B pair, each A row probes only its ``nprobe`` nearest IVF cells
+    and scores the B rows ASSIGNED to those cells; the mutual/margin
+    back half (``_mutual_from_scored``) is byte-identical to the exact
+    form.  Each (a, b) candidate appears at most once by construction
+    (b lives in exactly one cell), so no dedup pass is needed.
+
+    Approximation surface: a true mutual pair is found iff a probes b's
+    cell AND the relevant k-neighborhoods inside the probed cells agree
+    with the global ones — the standard IVF recall trade, audited by
+    ``test_mutual_knn_ivf_recall`` against the exact form (the registry
+    oracle mirrors this full algorithm, misses included, so the Spark
+    plumbing is value-hash-checked, not just recall-bounded).
+
+    Scale shape: cell assignment is the shuffle-free Arrow matmul
+    (``with_ivf_cells``); the candidate join here broadcasts the
+    assigned B side (exact-twin regime, same as ``cosine_topk``); at
+    corpus scale both sides co-partition by cell id instead — one
+    bounded exchange per side, never a cross product."""
+    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_v"))
+    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_v"))
+    n_cells = int(centroids.shape[0])
+    a_cells = with_ivf_cells(a, centroids, vec_col="_v", with_cosines=True)
+    # top-nprobe cells per A row: sort (−cos6, cell) ascending — cos
+    # descending, ties toward the lower cell id, matching np.argmax and
+    # the oracle's ORDER BY cos DESC, cid ASC.
+    probe_structs = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda i: F.struct(
+                (-F.get("cos6", i)).alias("nc"), i.alias("cell")
+            ),
+        )
+    )
+    a_probe = a_cells.select(
+        "a_id",
+        "_v",
+        F.explode(
+            F.transform(
+                F.slice(probe_structs, 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    b_cells = with_ivf_cells(b, centroids, vec_col="_v").select(
+        "b_id", F.col("_v").alias("_vb"), "cell"
+    )
+    scored = a_probe.join(F.broadcast(b_cells), "cell").select(
+        "a_id",
+        "b_id",
+        F.floor(
+            cosine_expr(F.col("_v"), F.col("_vb")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c6"),
+    )
+    return _mutual_from_scored(scored, k_margin)

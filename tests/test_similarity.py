@@ -907,3 +907,37 @@ def test_mutual_knn_symmetric_is_total(spark):
     assert len(rows) == 5
     assert all(r.b_id == r.a_id + 100 for r in rows)
     assert all(r.cosine == 1.0 for r in rows)
+
+
+def test_mutual_knn_ivf_recall_and_degradation(spark):
+    """IVF-bucketed mutual mining: (a) at nprobe == n_cells every cell
+    is probed, so the output must EQUAL the exact broadcast form
+    including margins; (b) at nprobe = 8/16 the found pairs are a
+    subset-quality approximation with measured recall >= 0.4 on the
+    real sf0.001 corpus (near-random embeddings are the worst case for
+    IVF; structured corpora do better)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(16).collect()]
+    )
+    A = emb.filter("label = 0")
+    B = emb.filter("label = 1")
+    exact = {
+        (r.a_id, r.b_id): (r.cosine, r.margin_fwd, r.margin_bwd)
+        for r in S.mutual_knn_pairs(A, B, k_margin=4).collect()
+    }
+    full_probe = {
+        (r.a_id, r.b_id): (r.cosine, r.margin_fwd, r.margin_bwd)
+        for r in S.mutual_knn_ivf(A, B, cents, nprobe=16, k_margin=4).collect()
+    }
+    assert full_probe == exact
+    approx = {
+        (r.a_id, r.b_id)
+        for r in S.mutual_knn_ivf(A, B, cents, nprobe=8, k_margin=4).collect()
+    }
+    recall = len(approx & set(exact)) / len(exact)
+    assert recall >= 0.4
