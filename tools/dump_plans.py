@@ -230,6 +230,36 @@ QUERIES = [
         " per-group payload is ONE char per event; final rollup is a"
         " 1-row scalar agg.",
     ),
+    (
+        "docs_prefix_filter_pairs",
+        "AllPairs prefix filtering: the df census and the candidate"
+        " self-join share the shingle-hash key; only the rarest"
+        " (1-t)-prefix postings enter the join (5.4x fewer joined rows"
+        " than the full index at t=0.4); shingle arrays re-attach for"
+        " candidate pairs only (two doc_id-keyed joins at output size).",
+    ),
+    (
+        "tpch_basket_rules",
+        "Apriori basket mining with NO transaction self-join: the item"
+        " census re-enters as a BroadcastHashJoin prune; i<j pairs are"
+        " generated row-locally from ONE orderkey-keyed collect; the"
+        " 1-row basket count crosses back as BroadcastNestedLoopJoin.",
+    ),
+    (
+        "log_token_cdc_dedup",
+        "Content-defined chunking: lag-hash and boundary prefix-sum"
+        " windows share ONE per-doc sort; the chunk census exchanges"
+        " (32-hex md5, long) at ~1/16 of token volume; the dedup window"
+        " partitions by chunk hash — tokens never shuffle as arrays.",
+    ),
+    (
+        "emb_mutual_knn_ivf",
+        "IVF mutual mining: cell assignment is the shuffle-free Arrow"
+        " matmul; the candidate join broadcasts the assigned B side"
+        " (cell co-partitioning at corpus scale); both rank directions"
+        " and both neighborhood sums reuse the scored relation — no"
+        " cross product anywhere.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
