@@ -142,6 +142,10 @@ def main() -> dict:
         "docs_quality_auc",
         "docs_hill_tail",
         "log_repo_adamic_adar",
+        "docs_prefix_filter_pairs",
+        "tpch_basket_rules",
+        "log_token_cdc_dedup",
+        "emb_mutual_knn_ivf",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 
