@@ -941,3 +941,29 @@ def test_mutual_knn_ivf_recall_and_degradation(spark):
     }
     recall = len(approx & set(exact)) / len(exact)
     assert recall >= 0.4
+
+
+def test_ivfpq_full_probe_equals_global_adc(spark):
+    """IVFADC invariants: (a) probing ALL cells must equal the global
+    ADC ranking computed with a single cell (codebooks are
+    cell-independent, so the two runs share exact integer scores);
+    (b) scores are non-negative and ranks dense ascending."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    allprobe = S.ivfpq_topk(emb, q, n_cells=16, nprobe=16, topk=5).collect()
+    global_adc = S.ivfpq_topk(emb, q, n_cells=1, nprobe=1, topk=5).collect()
+    key = lambda rows: [(r.query_id, r.vec_id, r.adc_e6, r.rank) for r in rows]
+    assert key(allprobe) == key(global_adc) and len(allprobe) == 15
+    for r in allprobe:
+        assert r.adc_e6 >= 0
+    by_q = {}
+    for r in allprobe:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_e6))
+    for rows in by_q.values():
+        ranks = [x[0] for x in sorted(rows)]
+        assert ranks == list(range(1, 6))
+        scores = [x[1] for x in sorted(rows)]
+        assert scores == sorted(scores)
