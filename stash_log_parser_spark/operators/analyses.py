@@ -2952,6 +2952,101 @@ def ab_funnel(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
+def funnel_windowed(
+    events: DataFrame,
+    user_col: str = "user_id",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Time-constrained conversion funnel view→click→purchase: each
+    step must land WITHIN ``window_s`` seconds of the previous step's
+    anchor — the product-analytics funnel proper, where a purchase a
+    week after the click no longer converts. ab_funnel answers "did the
+    chain ever complete"; this answers "did it complete promptly",
+    which is the SLA-style readout bot/abuse and UX teams page on.
+
+    Anchoring is first-touch like ab_funnel (t_k = the user's EARLIEST
+    qualifying step-k event after t_{k-1} and within the window) —
+    deterministic min-timestamp chaining, a declared contract: a user
+    whose first click misses the window is NOT re-anchored to a later
+    view. Window comparison is pure timestamp arithmetic
+    (``ts <= prev + INTERVAL w SECOND``) — no epoch-seconds truncation
+    to diverge between engines.
+
+    Returns one row per step: (step_idx, step, n_users,
+    conv_from_prev, conv_from_first) with round6 ratios.
+
+    Scale shape: three user-keyed conditional-min hash aggs (partial
+    map-side), each re-joined on the user key — the same one-exchange-
+    per-step plan as ab_funnel; the final rollup is 3 rows via a single
+    1-row aggregate unpivoted with stack().
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    ev = events.select(F.col(user_col).alias("u"), "event_type", "ts")
+    win = F.expr(f"INTERVAL {int(window_s)} SECOND")
+    t1 = ev.groupBy("u").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        ev.join(t1.filter(F.col("t1").isNotNull()), "u")
+        .groupBy("u", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + win),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        ev.join(t2.filter(F.col("t2").isNotNull()).select("u", "t2"), "u")
+        .groupBy("u", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + win),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    counts = (
+        t1.join(t2.select("u", "t2"), "u", "left")
+        .join(t3.select("u", "t3"), "u", "left")
+        .agg(
+            F.count("t1").cast("long").alias("n1"),
+            F.count("t2").cast("long").alias("n2"),
+            F.count("t3").cast("long").alias("n3"),
+        )
+    )
+    steps = counts.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, CAST(NULL AS BIGINT),"
+            " 2, 'click', n2, n1,"
+            " 3, 'purchase', n3, n2)"
+        ).alias("step_idx", "step", "n_users", "n_prev"),
+        F.col("n1").alias("n_first"),
+    )
+    return steps.select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        "n_users",
+        F.when(
+            F.col("n_prev") > 0,
+            round6(F.col("n_users").cast("double") / F.col("n_prev")),
+        ).alias("conv_from_prev"),
+        F.when(
+            F.col("n_first") > 0,
+            round6(F.col("n_users").cast("double") / F.col("n_first")),
+        ).alias("conv_from_first"),
+    ).orderBy("step_idx")
+
+
 def survival_km(events: DataFrame) -> DataFrame:
     """Discrete Kaplan–Meier survival of time-to-first-purchase from
     each user's FIRST VIEW, right-censored at the last observed day —

@@ -434,3 +434,170 @@ def token_cdc_chunks(
         )
         .orderBy("source")
     )
+
+
+def token_surprisal(corpus: DataFrame, top_k: int = 5) -> DataFrame:
+    """Top-``top_k`` most SURPRISING sequences per source under the
+    corpus-global unigram token LM — the data-selection readout a
+    training pipeline runs to mine hard/novel sequences (and, inverted,
+    to spot template spam whose every token is maximally predictable).
+
+    Per token id ``t`` with global count ``c`` over ``N`` total tokens,
+    the surprisal is ``ln(N/c)`` nats, e6-quantized to a BIGINT term
+    ``floor(ln(N/c)·1e6 + 0.5)`` so per-doc accumulation is EXACT
+    integer addition (order-independent — the same discipline as every
+    other float-adjacent census here). A doc's score is the mean term,
+    ranked by the integer ``floor(sum_e6 / n_tok)`` with doc_id
+    tie-break so both engines agree bit-for-bit.
+
+    Returns (source, rank, doc_id, n_tok, surprisal_e6, mean_surprisal)
+    — ``surprisal_e6`` the exact BIGINT sum, ``mean_surprisal`` the
+    readable nats/token (round6).
+
+    Scale shape: the vocab census is one explode + hash-agg collapsing
+    map-side to ≤ |vocab| rows (256 for a byte vocab) and re-enters as
+    a broadcast; per-doc scoring shuffles (doc_id, partial-sum) pairs —
+    the doc-count-sized exchange any per-sequence score needs — and the
+    top-k is a source-keyed window over the narrow score frame. Token
+    arrays never enter an Exchange. Ln parity: one division then one
+    IEEE ln, identical on the JVM and DuckDB (the tfidf/bigram-LM
+    oracle convention).
+    """
+    docs = corpus.filter(F.col("n_tok") > 0)
+    tok = docs.select("doc_id", F.explode("tokens").alias("t"))
+    census = tok.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    n_total = census.agg(F.sum("c").cast("long").alias("N"))
+    term = census.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        F.floor(
+            F.log(F.col("N").cast("double") / F.col("c")) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_e6"),
+    )
+    scored = (
+        tok.join(F.broadcast(term), "t")
+        .groupBy("doc_id")
+        .agg(F.sum("term_e6").cast("long").alias("surprisal_e6"))
+        .join(docs.select("doc_id", "source", "n_tok"), "doc_id")
+        .withColumn(
+            "mean_e6",
+            F.floor(
+                F.col("surprisal_e6").cast("double") / F.col("n_tok")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("mean_e6"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "surprisal_e6",
+            round6(
+                F.col("surprisal_e6").cast("double")
+                / F.col("n_tok")
+                / F.lit(1000000.0)
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+def token_pmi(
+    corpus: DataFrame, top_k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-``top_k`` token-bigram collocations per source by pointwise
+    mutual information — which token pairs co-occur far above chance in
+    each source's stream (the collocation mining that surfaces protocol
+    idioms in a byte-tokenized log corpus and multi-token units in
+    text). ``PMI(x,y) = ln( p(xy) / (p(x)·p(y)) )`` with p(xy) over
+    within-doc adjacent pairs and p(x) over unigrams, per source.
+
+    Exactness: all counts are BIGINT census sums; the PMI ratio is ONE
+    double expression ``(c_xy·N·N) / (N_bg·c_x·c_y)`` evaluated
+    left-to-right identically on both engines, then one IEEE ln,
+    e6-quantized. Low-count noise (PMI's known failure mode) is gated
+    by ``min_count``.
+
+    Scale shape: the bigram census collapses map-side to at most
+    |sources|·|vocab|² rows regardless of corpus size; the unigram
+    census and per-source totals are vocab-/source-sized broadcasts;
+    ranking is a window over the census. No token array in any
+    Exchange.
+    """
+    docs = corpus.filter(F.col("n_tok") > 0)
+    pair = F.when(
+        F.col("n_tok") >= 2,
+        F.expr(
+            "transform(sequence(1, n_tok - 1),"
+            " k -> struct(tokens[k-1] AS t1, tokens[k] AS t2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bg = (
+        docs.select("source", F.explode(pair).alias("p"))
+        .select("source", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("source", "t1", "t2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+    )
+    uni = (
+        docs.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = docs.groupBy("source").agg(
+        F.sum(F.col("n_tok").cast("long")).alias("N"),
+        F.sum(F.greatest(F.col("n_tok").cast("long") - 1, F.lit(0))).alias(
+            "N_bg"
+        ),
+    )
+    joined = (
+        bg.join(
+            F.broadcast(uni.select("source", F.col("t").alias("t1"), F.col("c").alias("c_x"))),
+            ["source", "t1"],
+        )
+        .join(
+            F.broadcast(uni.select("source", F.col("t").alias("t2"), F.col("c").alias("c_y"))),
+            ["source", "t2"],
+        )
+        .join(F.broadcast(tot), "source")
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn(
+            "pmi_e6",
+            F.floor(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("N") * F.col("N"))
+                    / (
+                        F.col("N_bg").cast("double")
+                        * F.col("c_x")
+                        * F.col("c_y")
+                    )
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("pmi_e6"), F.asc("t1"), F.asc("t2")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("t1").cast("int").alias("t1"),
+            F.col("t2").cast("int").alias("t2"),
+            F.col("c_xy").alias("pair_count"),
+            round6(F.col("pmi_e6").cast("double") / F.lit(1000000.0)).alias(
+                "pmi"
+            ),
+        )
+        .orderBy("source", "rank")
+    )

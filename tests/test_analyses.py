@@ -2273,3 +2273,50 @@ def test_basket_rules_no_self_join(spark):
     # one broadcast prune join + the scalar n_orders cross join
     assert plan.count("BroadcastHashJoin") <= 1
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_funnel_windowed_hand_case(spark):
+    """u1 converts fully inside the window; u2's click misses it; u3
+    has no view so never enters the funnel."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import funnel_windowed
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, "view", s(0)), (1, "click", s(10)), (1, "purchase", s(20)),
+        (2, "view", s(0)), (2, "click", s(7200)),
+        (3, "click", s(0)), (3, "purchase", s(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.step: r for r in funnel_windowed(ev, window_s=3600).collect()}
+    assert out["view"].n_users == 2 and out["view"].conv_from_prev is None
+    assert out["click"].n_users == 1 and out["click"].conv_from_prev == 0.5
+    assert out["purchase"].n_users == 1
+    assert out["purchase"].conv_from_prev == 1.0
+    assert out["purchase"].conv_from_first == 0.5
+
+
+def test_funnel_windowed_no_reanchor(spark):
+    """A later view that WOULD have led to an in-window click does not
+    rescue a user whose FIRST view's window was missed — the declared
+    first-touch contract."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import funnel_windowed
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, "view", s(0)),          # anchor
+        (1, "view", s(7000)),       # ignored re-anchor candidate
+        (1, "click", s(7010)),      # in-window of the 2nd view only
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r.step: r for r in funnel_windowed(ev, window_s=3600).collect()}
+    assert out["view"].n_users == 1 and out["click"].n_users == 0

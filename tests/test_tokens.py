@@ -215,3 +215,54 @@ def test_token_cdc_no_dups_distinct_streams(spark):
     r = token_cdc_chunks(_corpus(spark, rows)).collect()[0]
     assert r.n_dup_chunks == 0 and r.dup_tokens == 0 and r.dup_token_share == 0.0
     assert r.n_tokens == 240 and r.n_distinct_chunks == r.n_chunks
+
+
+def test_token_surprisal_hand_case(spark):
+    """Census N=5, c(1)=4, c(2)=1: term(1)=floor(ln(1.25)e6+.5)=223144,
+    term(2)=floor(ln(5)e6+.5)=1609438; doc b (rarer mix) outranks a."""
+    from stash_log_parser_spark.operators.tokens import token_surprisal
+
+    corpus = _corpus(
+        spark, [("a", [1, 1, 1], 3, "s"), ("b", [1, 2], 2, "s")]
+    )
+    rows = token_surprisal(corpus, top_k=5).collect()
+    assert [(r.rank, r.doc_id) for r in rows] == [(1, "b"), (2, "a")]
+    b, a = rows[0], rows[1]
+    assert a.surprisal_e6 == 3 * 223144
+    assert b.surprisal_e6 == 223144 + 1609438
+    assert b.mean_surprisal == 0.916291
+    assert a.n_tok == 3
+
+
+def test_token_surprisal_topk_and_empty_docs(spark):
+    from stash_log_parser_spark.operators.tokens import token_surprisal
+
+    corpus = _corpus(
+        spark,
+        [("a", [1], 1, "s"), ("b", [2], 1, "s"), ("e", [], 0, "s")],
+    )
+    rows = token_surprisal(corpus, top_k=1).collect()
+    assert len(rows) == 1  # top-1 only; the 0-token doc never scores
+
+
+def test_token_pmi_hand_case(spark):
+    """[5,6,5,6,7]: PMI(5,6)=PMI(6,7)=ln(3.125) tie broken by t1 asc;
+    PMI(6,5)=ln(25/16)."""
+    from stash_log_parser_spark.operators.tokens import token_pmi
+
+    corpus = _corpus(spark, [("d", [5, 6, 5, 6, 7], 5, "s")])
+    rows = token_pmi(corpus, top_k=20, min_count=1).collect()
+    got = [(r.rank, r.t1, r.t2, r.pair_count, r.pmi) for r in rows]
+    assert got == [
+        (1, 5, 6, 2, 1.139434),
+        (2, 6, 7, 1, 1.139434),
+        (3, 6, 5, 1, 0.446287),
+    ]
+
+
+def test_token_pmi_min_count_gate(spark):
+    from stash_log_parser_spark.operators.tokens import token_pmi
+
+    corpus = _corpus(spark, [("d", [5, 6, 5, 6, 7], 5, "s")])
+    rows = token_pmi(corpus, min_count=2).collect()
+    assert [(r.t1, r.t2) for r in rows] == [(5, 6)]
