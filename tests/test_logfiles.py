@@ -135,3 +135,57 @@ def test_doc_id_exchange_never_keyed_on_line(spark, tmp_path):
         assert not re.search(r"\bline\b", m.group(1)), m.group(0)
     # sanity: the hash column IS the exchange key
     assert re.search(r"Exchange hashpartitioning\([^\n]*_lh", plan), plan
+
+
+# --- JSONL ingest front door (sources/jsonl.py) ---
+
+
+def _mini_corpus(spark):
+    rows = [
+        ("d1", '1.2.3.4 | ssh | o1x2x1 | alice | 2012-09-08 10:00:00,123 | '
+               "git-upload-pack '/PROJ/repo.git' | - | clone | 42 | s1",
+         "f1.log", "2012-09-08"),
+        ("d2", "GARBAGE not a log line", "f1.log", "2012-09-08"),
+        ("d3", '"quoted \\"agent\\"" edge | case', "f2.log", "2012-09-09"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, line string, source string, day string"
+    )
+
+
+def test_jsonl_round_trip_counts_both_failure_layers(spark, tmp_path):
+    """Valid envelopes parse exactly like the plain-text door; garbage
+    LINES and broken ENVELOPES are both counted, never dropped."""
+    from stash_log_parser_spark.sources.jsonl import (
+        parse_jsonl_logs,
+        write_jsonl_logs,
+    )
+
+    out = str(tmp_path / "jsonl")
+    write_jsonl_logs(_mini_corpus(spark), out, corrupt_per_day=2)
+    parsed = parse_jsonl_logs(spark, out)
+    rows = parsed.collect()
+    # 3 corpus lines + 2 planted corrupt envelopes per day x 2 days
+    assert len(rows) == 3 + 4
+    ok = [r for r in rows if r.is_parsed]
+    assert len(ok) == 1 and ok[0].protocol == "ssh"
+    assert ok[0].username == "alice" and ok[0].duration_ms == 42
+    # the quoted line survives JSON escaping bit-for-bit
+    quoted = [r for r in rows if r.line.startswith('"quoted')]
+    assert quoted and quoted[0].line == '"quoted \\"agent\\"" edge | case'
+
+
+def test_jsonl_corrupt_envelope_keeps_raw_text(spark, tmp_path):
+    from stash_log_parser_spark.sources.jsonl import read_jsonl_lines
+
+    p = tmp_path / "x.jsonl"
+    p.write_text(
+        '{"line": "ok | line", "source": "f.log"}\n'
+        "{this is not json\n"
+        '{"source": "f.log"}\n'  # valid JSON, line key missing
+    )
+    got = read_jsonl_lines(spark, str(p)).collect()
+    by_corrupt = sorted(got, key=lambda r: (r.env_corrupt, r.line))
+    assert [r.env_corrupt for r in by_corrupt] == [False, True, True]
+    assert by_corrupt[0].line == "ok | line"
+    assert by_corrupt[1].line in ('{"source": "f.log"}', "{this is not json")
