@@ -2952,6 +2952,56 @@ def ab_funnel(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
+def hourly_densified(
+    events: DataFrame, trailing_hours: int = 3
+) -> DataFrame:
+    """Calendar-densified hourly count series per event type: every
+    (type, hour) cell of the min→max hour span gets a row, empty hours
+    ZERO-FILLED, plus a trailing-``trailing_hours`` moving sum computed
+    over the DENSE axis. The gap-fill is the point, not a nicety: a
+    ROWS-frame moving window over the sparse series silently spans
+    calendar gaps (3 "rows" can cover 3 days), so every trailing-window
+    metric on telemetry must densify first — this is that reusable
+    surface (xcorr_lead_lag and seasonality_strength build the same
+    spine privately; here it IS the product).
+
+    Returns (event_type, hour, n, trailing_sum) — all exact BIGINTs.
+
+    Scale shape: one corpus-scale (type, hour) hash-agg (map-side
+    partials), then everything is dimension-sized: the spine is
+    ``sequence(min,max)`` exploded (never a driver loop), the type list
+    rides a distinct on the tiny census, the zero-fill left join and
+    the per-type window all run on |types|·|hours| rows.
+    """
+    hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    hc = (
+        events.select(F.col("event_type").alias("t"), hour.alias("h"))
+        .groupBy("t", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    ).cache()
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = hc.select("t").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hc, ["t", "h"], "left")
+        .select("t", "h", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(-(trailing_hours - 1), 0)
+    )
+    return dense.select(
+        F.col("t").alias("event_type"),
+        F.from_unixtime(F.col("h") * 3600, "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        F.sum("n").over(w).cast("long").alias("trailing_sum"),
+    ).orderBy("event_type", "hour")
+
+
 def funnel_windowed(
     events: DataFrame,
     user_col: str = "user_id",

@@ -2320,3 +2320,31 @@ def test_funnel_windowed_no_reanchor(spark):
     )
     out = {r.step: r for r in funnel_windowed(ev, window_s=3600).collect()}
     assert out["view"].n_users == 1 and out["click"].n_users == 0
+
+
+def test_hourly_densified_zero_fills_and_windows_dense_axis(spark):
+    """A 3-hour gap gets zero rows, and the trailing sum never spans
+    the gap silently — the whole reason to densify."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import hourly_densified
+
+    h = lambda k: dt.datetime(2024, 1, 1, k, 30)
+    rows = [
+        (1, "view", h(0)), (2, "view", h(0)),   # hour 0: 2
+        (3, "view", h(4)),                       # hours 1-3 empty
+        (4, "click", h(2)),                      # other type, hour 2
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = hourly_densified(ev, trailing_hours=3).collect()
+    views = [r for r in out if r.event_type == "view"]
+    # dense span hour 0..4 for BOTH types (shared spine)
+    assert len(views) == 5
+    assert [r.n for r in views] == [2, 0, 0, 0, 1]
+    # trailing-3h sum at hour 2 still sees hour 0; at hour 4 it does NOT
+    assert [r.trailing_sum for r in views] == [2, 2, 2, 0, 1]
+    clicks = [r for r in out if r.event_type == "click"]
+    assert [r.n for r in clicks] == [0, 0, 1, 0, 0]
+    assert views[0].hour == "2024-01-01 00:00"
