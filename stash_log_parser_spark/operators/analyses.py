@@ -2952,6 +2952,31 @@ def ab_funnel(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
+def _dense_hourly(events: DataFrame) -> DataFrame:
+    """Shared calendar spine: the zero-filled (t, h, n) hourly census
+    every dense-axis time-series operator starts from. One corpus-scale
+    (type, hour) hash-agg with map-side partials; the spine is
+    ``sequence(min,max)`` exploded (never a driver loop), the type list
+    is a distinct on the tiny census, and the zero-fill left join runs
+    on |types|·|hours| rows."""
+    hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    hc = (
+        events.select(F.col("event_type").alias("t"), hour.alias("h"))
+        .groupBy("t", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    ).cache()
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = hc.select("t").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hc, ["t", "h"], "left")
+        .select("t", "h", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+
+
 def hourly_densified(
     events: DataFrame, trailing_hours: int = 3
 ) -> DataFrame:
@@ -2973,22 +2998,7 @@ def hourly_densified(
     rides a distinct on the tiny census, the zero-fill left join and
     the per-type window all run on |types|·|hours| rows.
     """
-    hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
-    hc = (
-        events.select(F.col("event_type").alias("t"), hour.alias("h"))
-        .groupBy("t", "h")
-        .agg(F.count("*").cast("long").alias("n"))
-    ).cache()
-    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-    )
-    types = hc.select("t").distinct()
-    dense = (
-        spine.crossJoin(F.broadcast(types))
-        .join(hc, ["t", "h"], "left")
-        .select("t", "h", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-    )
+    dense = _dense_hourly(events)
     w = (
         Window.partitionBy("t")
         .orderBy("h")
@@ -3000,6 +3010,292 @@ def hourly_densified(
         "n",
         F.sum("n").over(w).cast("long").alias("trailing_sum"),
     ).orderBy("event_type", "hour")
+
+
+def holt_forecast(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the
+    calendar-densified hourly series: level + trend state, multi-step
+    forecast, and in-sample one-step MAE. Completes the smoothing
+    ladder (ewma_smooth = level only, seasonal_naive = season only):
+    Holt is the simplest model that extrapolates a TREND, which is what
+    capacity planning off telemetry actually needs.
+
+    Recurrence (t >= 1, l0 = y0, b0 = y1 - y0):
+        l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    forecast_k = l_T + k·b_T.
+
+    Returns one row per event_type: (event_type, n_hours, level, trend,
+    mae, fc_1..fc_{horizon}), floats round6.
+
+    Determinism: the loop runs on Python floats in EXACTLY the IEEE op
+    order the DuckDB recursive-CTE oracle uses (b's update re-derives
+    l_t from the same expression); counts are integers so y_t is exact
+    in double; α/β literals parse to the same double in both engines.
+
+    Scale shape: the corpus-scale work is _dense_hourly's (type, hour)
+    hash-agg; the recurrence is inherently sequential (each state
+    depends on the previous), so it runs per-type via applyInPandas on
+    the DIMENSION-sized dense series (|hours| rows per type) — same
+    documented exact-recurrence exception as corpus_pack_greedy, never
+    applied to row-scale data.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    dense = _dense_hourly(events)
+    out_schema = T.StructType(
+        [T.StructField("event_type", T.StringType())]
+        + [
+            T.StructField(c, T.DoubleType())
+            for c in ["level", "trend", "sae"]
+        ]
+        + [T.StructField("n_hours", T.LongType())]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h", kind="mergesort").reset_index(drop=True)
+        ys = [float(v) for v in pdf["n"]]
+        l = ys[0]
+        b = ys[1] - ys[0] if len(ys) > 1 else 0.0
+        sae = 0.0
+        for y in ys[1:]:
+            pred = l + b
+            sae = sae + abs(y - pred)
+            l_prev = l
+            l = alpha * y + (1.0 - alpha) * (l_prev + b)
+            b = beta * (l - l_prev) + (1.0 - beta) * b
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["t"].iloc[0]],
+                "level": [l],
+                "trend": [b],
+                "sae": [sae],
+                "n_hours": [len(ys)],
+            }
+        )
+
+    fitted = dense.groupBy("t").applyInPandas(fit, schema=out_schema)
+    fc = [
+        round6(F.col("level") + F.lit(float(k)) * F.col("trend")).alias(
+            f"fc_{k}"
+        )
+        for k in range(1, horizon + 1)
+    ]
+    return fitted.select(
+        "event_type",
+        "n_hours",
+        round6(F.col("level")).alias("level"),
+        round6(F.col("trend")).alias("trend"),
+        round6(F.col("sae") / (F.col("n_hours") - 1).cast("double")).alias(
+            "mae"
+        ),
+        *fc,
+    ).orderBy("event_type")
+
+
+#: ipw_ate's stratum boundaries (pre-period event count) and the
+#: md5-hex-digit treatment threshold per stratum — higher-activity
+#: strata are assigned treatment more often, which is exactly the
+#: confounding IPW exists to undo. Boundaries are centered on the
+#: testdata's SF-INVARIANT per-user activity (~33 pre-period events at
+#: every SF: events/user is constant by construction) so all five
+#: strata are populated at sf0.001 through sf0.1.
+_IPW_STRATA = [(25, "3"), (30, "6"), (34, "9"), (39, "c"), (None, "e")]
+
+
+def ipw_ate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Observational (non-randomized) treatment-effect estimation via
+    stratified inverse-propensity weighting — the estimator family the
+    randomized-experiment suite (ab_lift, cuped, did) cannot replace:
+    when exposure probability varies with user behavior, the naive
+    treated-vs-control difference is confounded and IPW reweights each
+    stratum by 1/ê(s) to recover the population effect.
+
+    The scenario is self-contained and deterministic: strata are fixed
+    pre-period activity buckets (_IPW_STRATA boundaries on the user's
+    pre-midpoint event count), treatment is the stable md5-bucket coin
+    with a stratum-DEPENDENT threshold (3/16 … 14/16) so heavier users
+    — who also have higher post-period outcomes — are treated more
+    often. True effect is 0 by construction (the coin never touches
+    the outcome), so naive_diff exhibits the confounding bias while
+    ipw_ate (Horvitz-Thompson) and hajek_ate (self-normalized) shrink
+    toward 0. With ê(s) = the observed treated share, the HT weights
+    already normalize exactly (Σ Tᵢ/ê = Σ n_s = n), so the two columns
+    coincide BY CONSTRUCTION here — both are kept because they diverge
+    the moment ê comes from a model instead of the stratum share, and
+    the contract pins that coincidence as a correctness invariant.
+
+    Strata missing either arm are excluded from ALL reported
+    estimators (n_degenerate_strata audits how many); ê(s) is the
+    observed treated share of the stratum.
+
+    Returns one row: (n_users, n_strata_valid, n_degenerate_strata,
+    naive_diff, ipw_ate, hajek_ate) — diffs in post-period cents/user,
+    round6.
+
+    Determinism discipline: everything up to the last step is exact
+    integers (cents, counts, per-stratum conditional sums collapsed to
+    ONE row so no float ever aggregates in engine-dependent order);
+    the final estimators are a FIXED left-to-right sum of ≤5 per-
+    stratum double terms, written identically in the DuckDB mirror.
+    Products that could pass 2^63 at 10^12-row scale ride
+    decimal(38,0) (HUGEINT in the mirror).
+
+    Scale shape: one corpus-scale per-user hash-agg (map-side
+    partials), then a single-row conditional-sum collapse — no window,
+    no join, nothing keyed by more than |users|.
+    """
+    dec = "decimal(38,0)"
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = events.agg(
+        F.min(us).alias("lo_us"), F.max(us).alias("hi_us")
+    ).select(F.expr("(lo_us + hi_us) div 2").alias("mid_us"))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    per_user = (
+        events.crossJoin(F.broadcast(span))
+        .select(
+            F.col(user_col).alias("u"),
+            F.when(us <= F.col("mid_us"), 1).otherwise(0).alias("pre"),
+            F.when(us > F.col("mid_us"), cents).otherwise(0).alias("yc"),
+        )
+        .groupBy("u")
+        .agg(
+            F.sum("pre").cast("long").alias("npre"),
+            F.sum("yc").cast("long").alias("y"),
+        )
+    )
+    stratum = F.lit(None).cast("int")
+    for i, (bound, _) in reversed(list(enumerate(_IPW_STRATA))):
+        cond = (
+            F.lit(True) if bound is None else F.col("npre") < F.lit(bound)
+        )
+        stratum = F.when(cond, F.lit(i)).otherwise(stratum)
+    treat = F.lit(None).cast("int")
+    for i, (_, thr) in enumerate(_IPW_STRATA):
+        treat = F.when(
+            F.col("s") == i,
+            (
+                F.substring(F.md5(F.col("u").cast("string")), 1, 1)
+                < F.lit(thr)
+            ).cast("int"),
+        ).otherwise(treat)
+    tagged = per_user.select(
+        "u", "y", stratum.alias("s")
+    ).select("y", "s", treat.alias("t"))
+    # Collapse to ONE row of exact ints: per-stratum user counts, arm
+    # counts and arm outcome sums as conditional aggregates.
+    aggs = []
+    for i in range(len(_IPW_STRATA)):
+        in_s = F.col("s") == i
+        aggs += [
+            F.sum(F.when(in_s, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(in_s & (F.col("t") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nt{i}"),
+            F.sum(F.when(in_s & (F.col("t") == 1), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"yt{i}"),
+            F.sum(F.when(in_s & (F.col("t") == 0), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"yc{i}"),
+        ]
+    one = tagged.agg(*aggs)
+
+    def _valid(i):
+        nc = F.col(f"n{i}") - F.col(f"nt{i}")
+        return (F.col(f"nt{i}") > 0) & (nc > 0)
+
+    def _sum_terms(terms):
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr
+
+    k = len(_IPW_STRATA)
+    n_valid = _sum_terms(
+        [F.when(_valid(i), F.col(f"n{i}")).otherwise(0) for i in range(k)]
+    ).cast("long")
+    nt_tot = _sum_terms(
+        [F.when(_valid(i), F.col(f"nt{i}")).otherwise(0) for i in range(k)]
+    ).cast("long")
+    nc_tot = (n_valid - nt_tot).cast("long")
+    yt_tot = _sum_terms(
+        [F.when(_valid(i), F.col(f"yt{i}")).otherwise(0) for i in range(k)]
+    ).cast("long")
+    yc_tot = _sum_terms(
+        [F.when(_valid(i), F.col(f"yc{i}")).otherwise(0) for i in range(k)]
+    ).cast("long")
+    n_strata_valid = _sum_terms(
+        [F.when(_valid(i), 1).otherwise(0) for i in range(k)]
+    ).cast("long")
+
+    def _mu(sum_col, cnt_col):
+        return sum_col.cast("double") / cnt_col.cast("double")
+
+    def _ht_term(i, arm_sum, arm_cnt):
+        # n_s * S_arm_s / n_arm_s as one double term; decimal product
+        # so the int64 ceiling is never the scale limit.
+        return F.when(
+            _valid(i),
+            (F.col(f"n{i}").cast(dec) * arm_sum.cast(dec)).cast("double")
+            / arm_cnt.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    y1_ht = _sum_terms(
+        [_ht_term(i, F.col(f"yt{i}"), F.col(f"nt{i}")) for i in range(k)]
+    ) / n_valid.cast("double")
+    y0_ht = _sum_terms(
+        [
+            _ht_term(
+                i, F.col(f"yc{i}"), F.col(f"n{i}") - F.col(f"nt{i}")
+            )
+            for i in range(k)
+        ]
+    ) / n_valid.cast("double")
+    hajek = _sum_terms(
+        [
+            F.when(
+                _valid(i),
+                F.col(f"n{i}").cast("double")
+                / n_valid.cast("double")
+                * (
+                    _mu(F.col(f"yt{i}"), F.col(f"nt{i}"))
+                    - _mu(
+                        F.col(f"yc{i}"),
+                        F.col(f"n{i}") - F.col(f"nt{i}"),
+                    )
+                ),
+            ).otherwise(F.lit(0.0))
+            for i in range(k)
+        ]
+    )
+    from stash_log_parser_spark.operators.textstats import round6
+
+    return one.select(
+        n_valid.alias("n_users"),
+        n_strata_valid.alias("n_strata_valid"),
+        (F.lit(k) - n_strata_valid).cast("long").alias(
+            "n_degenerate_strata"
+        ),
+        round6(_mu(yt_tot, nt_tot) - _mu(yc_tot, nc_tot)).alias(
+            "naive_diff"
+        ),
+        round6(y1_ht - y0_ht).alias("ipw_ate"),
+        round6(hajek).alias("hajek_ate"),
+    )
 
 
 def funnel_windowed(

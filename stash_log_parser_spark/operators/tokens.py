@@ -601,3 +601,72 @@ def token_pmi(
         )
         .orderBy("source", "rank")
     )
+
+
+def token_coverage_curve(
+    corpus: DataFrame,
+    targets_permille: tuple[int, ...] = (500, 900, 990, 999),
+) -> DataFrame:
+    """Vocab-SIZING curve over the corpus-global token-id distribution:
+    for each coverage target, the minimal vocabulary size (token ids
+    kept, most-frequent first) whose cumulative frequency mass reaches
+    the target. The inverse question of token_vocab_census's fixed
+    top-k coverage — this is the number a tokenizer designer actually
+    reads off ("99 % of the stream is N ids") when trading vocab size
+    against OOV/byte-fallback rate.
+
+    Returns one row per target: (target_permille, vocab_size,
+    cum_count, total_tokens, coverage) — coverage = cum/total round6;
+    ranking ties break by smaller id so the curve is deterministic.
+
+    Exactness: the threshold test is pure int64 — cum·1000 ≥ p·total —
+    so no float ever decides a rank; the reported coverage is one
+    int/int IEEE division.
+
+    Scale shape: the only corpus-scale stage is the token census
+    (map-side partials bound the exchange by |vocab| per partition);
+    the ranked cumsum window runs on the VOCAB-sized census (the same
+    documented dimension-sized global window as word_rarity), and the
+    target join broadcasts a literal ≤4-row frame.
+    """
+    census = (
+        corpus.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.orderBy(F.desc("c"), F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = census.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("t")))
+        .cast("long")
+        .alias("rk"),
+        F.sum("c").over(w).cast("long").alias("cum"),
+    )
+    total = ranked.agg(F.max("cum").cast("long").alias("total"))
+    targets = corpus.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(targets_permille)], "p long"
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") * 1000 >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("rk").cast("long").alias("vocab_size"))
+    )
+    return (
+        hit.join(ranked, hit["vocab_size"] == ranked["rk"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("p").alias("target_permille"),
+            "vocab_size",
+            F.col("cum").alias("cum_count"),
+            F.col("total").alias("total_tokens"),
+            round6(F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("target_permille")
+    )

@@ -2348,3 +2348,77 @@ def test_hourly_densified_zero_fills_and_windows_dense_axis(spark):
     clicks = [r for r in out if r.event_type == "click"]
     assert [r.n for r in clicks] == [0, 0, 1, 0, 0]
     assert views[0].hour == "2024-01-01 00:00"
+
+
+def test_holt_forecast_matches_hand_recurrence(spark):
+    """Tiny dense series; expected values from running the SAME
+    recurrence on Python floats, so this pins the state math and the
+    forecast/MAE wiring rather than re-deriving them."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import holt_forecast
+
+    # one event in hour 0, three in hour 1, five in hour 2 -> rising
+    rows = []
+    eid = 0
+    for hour, cnt in [(0, 1), (1, 3), (2, 5)]:
+        for _ in range(cnt):
+            rows.append((eid, "view", dt.datetime(2024, 1, 1, hour, 15)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    out = holt_forecast(ev, alpha=0.5, beta=0.3).collect()
+    assert len(out) == 1
+    r = out[0]
+    ys, alpha, beta = [1.0, 3.0, 5.0], 0.5, 0.3
+    l, b, sae = ys[0], ys[1] - ys[0], 0.0
+    for y in ys[1:]:
+        sae += abs(y - (l + b))
+        l_prev = l
+        l = alpha * y + (1.0 - alpha) * (l_prev + b)
+        b = beta * (l - l_prev) + (1.0 - beta) * b
+    import math
+
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert r.n_hours == 3
+    assert r.level == r6(l) and r.trend == r6(b)
+    assert r.mae == r6(sae / 2.0)
+    assert r.fc_1 == r6(l + 1.0 * b)
+    assert r.fc_3 == r6(l + 3.0 * b)
+    assert r.trend > 0 and r.fc_3 > r.fc_1
+
+
+def test_ipw_ate_zero_effect_confounded_assignment(spark):
+    """Outcome depends only on the stratum (true effect 0), treatment
+    probability rises with stratum: naive diff shows the confounding
+    bias, the stratified IPW estimators are EXACTLY zero (within-
+    stratum outcomes are constant, so mu1_s == mu0_s)."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import ipw_ate
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+
+    def add_user(u, npre, ycents):
+        for i in range(npre):
+            rows.append((u, base + dt.timedelta(minutes=i), 0.0))
+        rows.append((u, base + dt.timedelta(days=2), ycents / 100.0))
+
+    # stratum 0 (npre=1 < 25, threshold '3'): 32 light users, y = 100
+    for u in range(32):
+        add_user(u, 1, 100)
+    # stratum 4 (npre=40 >= 39, threshold 'e'): 32 heavy users, y = 10000
+    for u in range(100, 132):
+        add_user(u, 40, 10000)
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = ipw_ate(ev).collect()[0]
+    assert r.n_users == 64
+    assert r.n_strata_valid == 2 and r.n_degenerate_strata == 3
+    # heavy users are treated far more often AND have 100x the outcome:
+    # the naive comparison is badly biased upward
+    assert r.naive_diff > 1000
+    # true effect is 0 and within-stratum outcomes are constant ->
+    # both IPW forms recover it exactly
+    assert r.ipw_ate == 0.0 and r.hajek_ate == 0.0

@@ -266,3 +266,22 @@ def test_token_pmi_min_count_gate(spark):
     corpus = _corpus(spark, [("d", [5, 6, 5, 6, 7], 5, "s")])
     rows = token_pmi(corpus, min_count=2).collect()
     assert [(r.t1, r.t2) for r in rows] == [(5, 6)]
+
+
+def test_token_coverage_curve_exact_thresholds(spark):
+    """90/9/1 distribution: the permille targets cross at vocab sizes
+    1, 1, 2, 3 with exact integer threshold tests."""
+    from stash_log_parser_spark.operators.tokens import token_coverage_curve
+
+    tokens = [1] * 90 + [2] * 9 + [3] * 1
+    df = spark.createDataFrame(
+        [(0, "s", tokens[:50]), (1, "s", tokens[50:])],
+        "doc_id long, source string, tokens array<int>",
+    )
+    out = {r.target_permille: r for r in token_coverage_curve(df).collect()}
+    assert out[500].vocab_size == 1 and out[500].cum_count == 90
+    assert out[900].vocab_size == 1
+    assert out[990].vocab_size == 2 and out[990].cum_count == 99
+    assert out[999].vocab_size == 3 and out[999].cum_count == 100
+    assert out[999].coverage == 1.0
+    assert all(r.total_tokens == 100 for r in out.values())
