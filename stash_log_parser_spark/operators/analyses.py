@@ -3298,6 +3298,228 @@ def ipw_ate(
     )
 
 
+def erlang_capacity(parsed: DataFrame, servers: int = 8) -> DataFrame:
+    """Per-hour M/M/c capacity scorecard off the completed-request
+    stream: offered load a = λ·S̄ (arrival rate × mean service time),
+    utilization a/c, and the Erlang-C delay probability for a fleet of
+    ``servers`` workers — the closed-form queueing readout capacity
+    planning actually uses, one step past Little's-law consistency
+    (log_littles_law checks the telemetry; this turns it into a
+    provisioning decision).
+
+        P(wait) = T_c / (Σ_{k<c} a^k/k! + T_c),  T_c = a^c/c! · c/(c−a)
+
+    Hours with a ≥ c are reported saturated with P(wait) = 1.
+
+    Returns one row per hour: (hour, n_req, offered_erlangs,
+    utilization, p_wait, saturated, headroom_erlangs) — doubles round6.
+
+    Determinism: a^k is a CHAIN OF MULTIPLICATIONS (never pow(), whose
+    last-ulp behavior is libm-specific), factorials are integer-valued
+    double literals, and the partial-sum order is fixed left-to-right —
+    the DuckDB mirror is generated from _erlang_c_sql so the two
+    expression trees are structurally identical.
+
+    Scale shape: one corpus-scale (hour) hash-agg with map-side
+    partials; the Erlang expression is a pure projection on the
+    hours-sized census.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("duration_ms").isNotNull()
+    )
+    hourly = base.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+    )
+    c_d = float(servers)
+    lam = F.col("n").cast("double") / F.lit(3600.0)
+    s_mean = (
+        F.col("sum_ms").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(1000.0)
+    )
+    a = (lam * s_mean).alias("a")
+    hourly = hourly.select("hour", "n", a)
+    av = F.col("a")
+    # a^k by chained multiplication; k! as exact double literals.
+    fact = [1.0]
+    for k in range(1, servers + 1):
+        fact.append(fact[-1] * k)
+    pow_k = F.lit(1.0)
+    partial = F.lit(1.0)  # k = 0 term
+    for k in range(1, servers):
+        pow_k = (av if k == 1 else pow_k * av)
+        partial = partial + pow_k / F.lit(fact[k])
+    pow_c = pow_k * av if servers > 1 else av
+    t_c = (pow_c / F.lit(fact[servers])) * (
+        F.lit(c_d) / (F.lit(c_d) - av)
+    )
+    p_wait = F.when(av < F.lit(c_d), t_c / (partial + t_c)).otherwise(
+        F.lit(1.0)
+    )
+    return hourly.select(
+        "hour",
+        F.col("n").alias("n_req"),
+        round6(av).alias("offered_erlangs"),
+        round6(av / F.lit(c_d)).alias("utilization"),
+        round6(p_wait).alias("p_wait"),
+        (av >= F.lit(c_d)).alias("saturated"),
+        round6(F.lit(c_d) - av).alias("headroom_erlangs"),
+    ).orderBy("hour")
+
+
+def _erlang_c_sql(servers: int) -> dict[str, str]:
+    """SQL fragments for erlang_capacity's DuckDB mirror, generated
+    from the same factorial/chain structure the Spark side builds so
+    the two expression trees cannot drift. ``a`` must be a column named
+    a in scope."""
+    fact = [1.0]
+    for k in range(1, servers + 1):
+        fact.append(fact[-1] * k)
+    chain = lambda k: " * ".join(["a"] * k)
+    partial = " + ".join(
+        ["1.0"]
+        + [f"({chain(k)}) / {fact[k]!r}" for k in range(1, servers)]
+    )
+    t_c = (
+        f"(({chain(servers)}) / {fact[servers]!r})"
+        f" * ({float(servers)!r} / ({float(servers)!r} - a))"
+    )
+    return {
+        "partial": partial,
+        "t_c": t_c,
+        "c_d": repr(float(servers)),
+    }
+
+
+def group_sequential_obf(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    looks: int = 5,
+    crit: float = 2.0401,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries:
+    the experiment is examined at ``looks`` equally spaced interim
+    analyses over event time; at look k the cumulative Welch z of the
+    arm difference is compared to the OBF threshold crit·√(K/k) —
+    strict early, relaxing to ~crit at the final look, which is what
+    lets a real experimentation program peek without inflating false
+    positives. Completes the sequential family: sprt is the
+    every-observation boundary, this is the committee-schedule one.
+    ``crit`` defaults to the classical K=5, two-sided α=0.05 OBF
+    critical value (2.0401, Pocock/OBF tables).
+
+    Arms are the stable md5 coin (ab_lift's device). Returns one row
+    per look: (look, n_a, n_b, z, boundary, crossed) — z and boundary
+    round6.
+
+    Determinism: per-(window, arm) moment sums are exact integers
+    (cents; squares ride decimal(38,0) / HUGEINT), the cumulative
+    prefix over the ≤``looks``-row census is an integer window sum,
+    and z is a FIXED handful of IEEE ops; √ is correctly rounded in
+    both engines.
+
+    Scale shape: one corpus-scale (window, arm) hash-agg with map-side
+    partials; everything after runs on a ``looks``-row frame.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = events.agg(
+        F.min(us).alias("lo_us"), F.max(us).alias("hi_us")
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    dec19 = "decimal(19,0)"
+    tagged = (
+        events.crossJoin(F.broadcast(span))
+        .select(us.alias("us"), "lo_us", "hi_us", arm.alias("arm"), cents.alias("y"))
+        .select(
+            F.expr(
+                f"((us - lo_us) * {int(looks)}) div (hi_us - lo_us + 1)"
+            )
+            .cast("long")
+            .alias("w"),
+            "arm",
+            "y",
+        )
+    )
+    per_w = (
+        tagged.groupBy("w")
+        .agg(
+            *[
+                agg
+                for a_ in ("A", "B")
+                for agg in (
+                    F.sum(F.when(F.col("arm") == a_, 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"n_{a_}"),
+                    F.sum(F.when(F.col("arm") == a_, F.col("y")).otherwise(0))
+                    .cast("long")
+                    .alias(f"s_{a_}"),
+                    F.sum(
+                        F.when(
+                            F.col("arm") == a_,
+                            F.col("y").cast(dec19) * F.col("y").cast(dec19),
+                        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                    ).alias(f"q_{a_}"),
+                )
+            ]
+        )
+    )
+    win = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_w.select(
+        (F.col("w") + 1).cast("long").alias("look"),
+        *[
+            F.sum(f"{m}_{a_}").over(win).alias(f"c{m}_{a_}")
+            for a_ in ("A", "B")
+            for m in ("n", "s", "q")
+        ],
+    )
+
+    def _var(a_):
+        n = F.col(f"cn_{a_}")
+        num = (
+            n.cast("decimal(38,0)") * F.col(f"cq_{a_}")
+            - F.col(f"cs_{a_}").cast("decimal(38,0)")
+            * F.col(f"cs_{a_}").cast("decimal(38,0)")
+        ).cast("double")
+        den = n.cast("double") * (n - 1).cast("double")
+        return num / den
+
+    def _mu(a_):
+        return F.col(f"cs_{a_}").cast("double") / F.col(
+            f"cn_{a_}"
+        ).cast("double")
+
+    se = F.sqrt(
+        _var("A") / F.col("cn_A").cast("double")
+        + _var("B") / F.col("cn_B").cast("double")
+    )
+    z = (_mu("B") - _mu("A")) / se
+    boundary = F.lit(crit) * F.sqrt(
+        F.lit(float(looks)) / F.col("look").cast("double")
+    )
+    return cum.select(
+        "look",
+        F.col("cn_A").cast("long").alias("n_a"),
+        F.col("cn_B").cast("long").alias("n_b"),
+        round6(z).alias("z"),
+        round6(boundary).alias("boundary"),
+        (F.abs(z) > boundary).alias("crossed"),
+    ).orderBy("look")
+
+
 def funnel_windowed(
     events: DataFrame,
     user_col: str = "user_id",

@@ -2422,3 +2422,67 @@ def test_ipw_ate_zero_effect_confounded_assignment(spark):
     # true effect is 0 and within-stratum outcomes are constant ->
     # both IPW forms recover it exactly
     assert r.ipw_ate == 0.0 and r.hajek_ate == 0.0
+
+
+def test_erlang_capacity_closed_form_and_saturation(spark):
+    """One busy hour with a=2 erlangs on c=8 checks the closed form
+    term by term; a 10-erlang hour must report saturated with
+    P(wait)=1."""
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators.analyses import erlang_capacity
+
+    rows = []
+    # hour 0: 3600 completed requests of 2000 ms -> lambda=1/s, S=2s, a=2
+    for i in range(3600):
+        rows.append((True, dt.datetime(2024, 1, 1, 0, 0, i % 60), 2000))
+    # hour 1: 7200 requests of 5000 ms -> lambda=2/s, S=5s, a=10 >= c
+    for i in range(7200):
+        rows.append((True, dt.datetime(2024, 1, 1, 1, 0, i % 60), 5000))
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, ts timestamp, duration_ms long"
+    )
+    out = {r.hour: r for r in erlang_capacity(df, servers=8).collect()}
+    r0 = out["2024-01-01 00:00"]
+    a, c = 2.0, 8
+    fact = [math.factorial(k) for k in range(c + 1)]
+    partial = sum(a**k / fact[k] for k in range(c))
+    t_c = a**c / fact[c] * (c / (c - a))
+    exp_pw = t_c / (partial + t_c)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert r0.offered_erlangs == 2.0 and r0.utilization == 0.25
+    # p_wait is round6-quantized; the ** in the expected value may
+    # also differ from the chained-mult engine path in the last ulp
+    assert abs(r0.p_wait - r6(exp_pw)) <= 1e-6 and not r0.saturated
+    assert r0.headroom_erlangs == 6.0
+    r1 = out["2024-01-01 01:00"]
+    assert r1.saturated and r1.p_wait == 1.0
+    assert r1.offered_erlangs == 10.0 and r1.headroom_erlangs == -2.0
+
+
+def test_obf_boundaries_and_cumulative_looks(spark):
+    """Boundary schedule is crit*sqrt(K/k) exactly; looks accumulate
+    monotonically to the full sample; crossing agrees with |z| vs the
+    unrounded boundary."""
+    import datetime as dt
+    import math
+
+    from stash_log_parser_spark.operators.analyses import (
+        group_sequential_obf,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(2000):
+        rows.append((i % 97, base + dt.timedelta(minutes=i), 10.0 + (i % 7)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = group_sequential_obf(ev, looks=5).collect()
+    assert [r.look for r in out] == [1, 2, 3, 4, 5]
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    for r in out:
+        assert r.boundary == r6(2.0401 * math.sqrt(5.0 / r.look))
+    ns = [(r.n_a + r.n_b) for r in out]
+    assert ns == sorted(ns) and ns[-1] == 2000
+    # early boundary is the strictest
+    assert out[0].boundary > out[-1].boundary

@@ -198,3 +198,17 @@ def test_rollup_is_one_expand_with_broadcast_nation(spark):
     for ln in src.splitlines():
         if "F.broadcast" in ln:
             assert "nation" in ln, ln
+
+
+def test_dpp_prunes_fact_day_partitions(spark):
+    """The weekday dim filter must reach the day-partitioned fact scan
+    as a runtime dynamic-pruning PartitionFilter — the mechanism that
+    keeps a dim-filtered scan from opening every day directory of a
+    100 TB lake."""
+    df = E.dpp_prune_counts(spark, iso_dow=1)
+    rows = df.collect()
+    # 2012-09-10 is the corpus's only Monday
+    assert rows and all(r.day == "2012-09-10" for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "dynamicpruning" in final.lower(), final[:3000]
