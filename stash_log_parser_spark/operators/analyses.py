@@ -3520,6 +3520,200 @@ def group_sequential_obf(
     ).orderBy("look")
 
 
+def burn_multiwindow(
+    parsed: DataFrame,
+    threshold_ms: int = 1000,
+    slo: float = 0.99,
+    fast_min: int = 5,
+    slow_min: int = 60,
+    burn_thr: int = 10,
+) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the SRE-workbook
+    rule): per minute, the error-budget burn rate over a FAST trailing
+    window and a SLOW trailing window; a page fires only when BOTH
+    exceed ``burn_thr`` — fast for reaction time, slow so a transient
+    blip can't page. log_slo_burn is the single-window series; this is
+    the alert policy actually deployed on it.
+
+    The minute axis is calendar-DENSIFIED first (the hourly_densified
+    lesson: a ROWS window over sparse minutes silently spans gaps), so
+    trailing windows are true wall-clock windows. Errors are requests
+    over ``threshold_ms``. The page decision is PURE INTEGER: with
+    budget 1−slo, burn > thr ⇔ err·thr_scale > n·(1−slo)·thr_scale —
+    evaluated as err·10⁶ > n·round((1−slo)·burn_thr·10⁶) with the
+    scaled budget precomputed exactly from the rational slo; the
+    reported burn rates are one int/int division × the budget inverse,
+    round6.
+
+    Returns one row per minute: (minute, n_fast, err_fast, burn_fast,
+    n_slow, err_slow, burn_slow, page). Minutes with an empty slow
+    window report null burns and page=false.
+
+    Scale shape: one corpus-scale (minute) hash-agg; the spine,
+    zero-fill and both trailing windows run on the minutes-sized
+    series (a single global window, dimension-sized by construction —
+    the word_rarity precedent).
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    # exact scaled budget: (1-slo)*burn_thr in e6 units, from the
+    # rational slo literal (0.99 -> 10000*burn_thr per 1e6 requests)
+    budget_e6 = int(round((1.0 - slo) * 1_000_000))
+    page_rhs = budget_e6 * burn_thr
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("duration_ms").isNotNull()
+    )
+    minute = F.expr("unix_micros(ts) div 60000000")
+    mc = base.groupBy(minute.alias("m")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("duration_ms") > threshold_ms, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("err"),
+    )
+    bounds = mc.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("m0"), F.col("m1"))).alias("m")
+    )
+    dense = spine.join(mc, ["m"], "left").select(
+        "m",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("err", F.lit(0)).cast("long").alias("err"),
+    )
+
+    def _win(k):
+        return Window.orderBy("m").rowsBetween(-(k - 1), 0)
+
+    agg = dense.select(
+        "m",
+        F.sum("n").over(_win(fast_min)).cast("long").alias("n_fast"),
+        F.sum("err").over(_win(fast_min)).cast("long").alias("err_fast"),
+        F.sum("n").over(_win(slow_min)).cast("long").alias("n_slow"),
+        F.sum("err").over(_win(slow_min)).cast("long").alias("err_slow"),
+    )
+
+    def _burn(err, n):
+        return F.when(
+            n > 0,
+            round6(
+                err.cast("double")
+                / n.cast("double")
+                / F.lit(budget_e6 / 1_000_000.0)
+            ),
+        )
+
+    def _over(err, n):
+        return (err * F.lit(1_000_000) > n * F.lit(page_rhs)) & (n > 0)
+
+    return agg.select(
+        F.from_unixtime(F.col("m") * 60, "yyyy-MM-dd HH:mm").alias(
+            "minute"
+        ),
+        "n_fast",
+        "err_fast",
+        _burn(F.col("err_fast"), F.col("n_fast")).alias("burn_fast"),
+        "n_slow",
+        "err_slow",
+        _burn(F.col("err_slow"), F.col("n_slow")).alias("burn_slow"),
+        (
+            _over(F.col("err_fast"), F.col("n_fast"))
+            & _over(F.col("err_slow"), F.col("n_slow"))
+        ).alias("page"),
+    ).orderBy("minute")
+
+
+def winsorized_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    cap_permille: int = 990,
+) -> DataFrame:
+    """Capped-metric A/B lift: the arm difference after winsorizing the
+    outcome at the pooled ``cap_permille`` order statistic — the
+    standard experimentation defense against a handful of whale values
+    deciding the readout (ab_lift is the raw diff; this is the robust
+    twin real metric platforms ship alongside it).
+
+    The cap is EXACT: the smallest cents value whose cumulative count
+    reaches ⌈p·n⌉, found on the value CENSUS (cents domain, dimension-
+    sized) with an integer threshold test (cum·1000 ≥ p‰·n) — never a
+    float percentile. Pooled across arms so both arms are capped
+    identically (capping per arm would bias the diff).
+
+    Returns one row: (n_a, n_b, cap_cents, n_capped, naive_diff,
+    winsorized_diff) — diffs in cents/event, round6.
+
+    Scale shape: two corpus-scale passes (value census; capped
+    conditional sums), both map-side-combining hash-aggs; the census
+    cumsum window is value-domain-sized; the 1-row cap broadcasts.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    tagged = events.select(arm.alias("arm"), cents.alias("y"))
+    census = tagged.groupBy("y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = census.select(
+        "y", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    total = census.agg(F.sum("c").cast("long").alias("n"))
+    cap = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * 1000 >= F.lit(cap_permille) * F.col("n"))
+        .agg(F.min("y").cast("long").alias("cap"))
+    )
+    capped = tagged.crossJoin(F.broadcast(cap)).select(
+        "arm",
+        "y",
+        F.least(F.col("y"), F.col("cap")).alias("yw"),
+        F.col("cap"),
+    )
+    one = capped.agg(
+        F.max("cap").cast("long").alias("cap_cents"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("yw")).otherwise(0))
+        .cast("long")
+        .alias("swa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("yw")).otherwise(0))
+        .cast("long")
+        .alias("swb"),
+        F.sum(F.when(F.col("y") > F.col("cap"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+    )
+
+    def _d(sb, sa):
+        return sb.cast("double") / F.col("n_b").cast("double") - sa.cast(
+            "double"
+        ) / F.col("n_a").cast("double")
+
+    return one.select(
+        "n_a",
+        "n_b",
+        "cap_cents",
+        "n_capped",
+        round6(_d(F.col("sb"), F.col("sa"))).alias("naive_diff"),
+        round6(_d(F.col("swb"), F.col("swa"))).alias("winsorized_diff"),
+    )
+
+
 def funnel_windowed(
     events: DataFrame,
     user_col: str = "user_id",

@@ -349,6 +349,98 @@ def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text") -> Dat
     )
 
 
+def streaming_ewma_anomaly(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> DataFrame:
+    """EWMA control chart maintained ACROSS micro-batches with keyed
+    GroupState (T3): per key the state carries (batch_seq, ewma_e6) of
+    the per-batch arrival count; each batch emits one control row —
+    the batch's count, the EWMA it was judged against, the updated
+    EWMA, and the alarm flag. This is the streaming shape of a volume
+    anomaly monitor (traffic drop / spike per event type): the cusum
+    twin is per-key BATCH scan, the stream PSI twin re-aggregates
+    distributions — this one owns a RECURRENCE whose state must
+    survive the micro-batch boundary, which only GroupState expresses.
+
+    All-integer recurrence (the cusum e6 discipline, so the DuckDB
+    recursive-CTE oracle is bit-exact):
+
+        first batch:  ewma_e6 = n·10⁶, no alarm
+        later:        alarm  ⇔ |n·10⁶ − ewma_e6| · thr_den
+                                 > ewma_e6 · thr_num
+                      ewma_e6' = (alpha_num·n·10⁶
+                                  + (alpha_den−alpha_num)·ewma_e6)
+                                 // alpha_den
+
+    Emits (key, batch_seq, n, ewma_before_e6, ewma_after_e6, alarm).
+
+    Scale: state is two longs per key, hash-partitioned; the emitted
+    control stream is keys × batches, never row-scale. NoTimeout: the
+    availableNow replay is finite; a forever-run wants a processing-
+    time timeout emitting n=0 rows for silent keys (documented, not
+    needed for the oracle harness). Exception-free by design."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("batch_seq", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("ewma_before_e6", T.LongType()),
+            T.StructField("ewma_after_e6", T.LongType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("ewma_e6", T.LongType()),
+        ]
+    )
+
+    def step(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        ne6 = n * 1_000_000
+        if state.exists:
+            seq, prev = state.get
+            alarm = abs(ne6 - prev) * thr_den > prev * thr_num
+            after = (alpha_num * ne6 + (alpha_den - alpha_num) * prev) // alpha_den
+            before = prev
+        else:
+            seq, before, after, alarm = 0, ne6, ne6, False
+        state.update((seq + 1, after))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "batch_seq": [seq + 1],
+                        "n": [n],
+                        "ewma_before_e6": [before],
+                        "ewma_after_e6": [after],
+                        "alarm": [alarm],
+                    }
+                )
+            ]
+        )
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest: the pipeline's streaming front door
 # ---------------------------------------------------------------------------

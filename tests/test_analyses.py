@@ -2486,3 +2486,65 @@ def test_obf_boundaries_and_cumulative_looks(spark):
     assert ns == sorted(ns) and ns[-1] == 2000
     # early boundary is the strictest
     assert out[0].boundary > out[-1].boundary
+
+
+def test_burn_multiwindow_pages_only_when_both_windows_burn(spark):
+    """A 2-minute error burst trips the fast window but not the slow
+    one (no page); a sustained hour of errors trips both. Empty
+    minutes are zero-filled so the windows are wall-clock."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import burn_multiwindow
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+
+    def minute(k, n_ok, n_err):
+        t = base + dt.timedelta(minutes=k)
+        for _ in range(n_ok):
+            rows.append((True, t, 10))
+        for _ in range(n_err):
+            rows.append((True, t, 5000))
+
+    # minutes 0..59 healthy, 60-61 a full-error burst, 62..69 healthy
+    for k in range(60):
+        minute(k, 10, 0)
+    minute(60, 0, 10)
+    minute(61, 0, 10)
+    for k in range(62, 70):
+        minute(k, 10, 0)
+    # minutes 120..179: sustained 100% errors for a full hour
+    for k in range(120, 180):
+        minute(k, 0, 10)
+    df = spark.createDataFrame(
+        rows, "is_parsed boolean, ts timestamp, duration_ms long"
+    )
+    out = {r.minute: r for r in burn_multiwindow(df).collect()}
+    m = lambda k: (base + dt.timedelta(minutes=k)).strftime("%Y-%m-%d %H:%M")
+    # dense axis: the silent gap minutes exist with zero traffic
+    assert m(100) in out and out[m(100)].n_fast == 0
+    # burst: fast window burns (>=10x) but the slow window stays calm
+    burst = out[m(61)]
+    assert burst.burn_fast > 10 and not burst.page
+    # sustained: both windows over 10x budget -> page
+    late = out[m(179)]
+    assert late.burn_fast == 100.0 and late.burn_slow > 10 and late.page
+
+
+def test_winsorized_lift_caps_the_whale(spark):
+    """One whale value in arm B dominates the naive diff; the exact
+    p99 cap brings the winsorized diff back to the bulk."""
+    from stash_log_parser_spark.operators.analyses import winsorized_lift
+
+    # 'user 1' hashes to some arm; build 200 users with y=100 cents and
+    # give ONE known-arm user a 1,000,000-cent whale event
+    rows = [(u, 1.0) for u in range(200)]
+    rows += [(9, 10000.0)]  # md5('9') starts with '0' -> arm A
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    r = winsorized_lift(ev, cap_permille=990).collect()[0]
+    assert r.n_a + r.n_b == 201
+    assert r.n_capped >= 1 and r.cap_cents < 1000000
+    # whale is in arm A: naive diff (B-A) is hugely negative; the cap
+    # pulls it toward the bulk difference of ~0
+    assert r.naive_diff < -1000
+    assert abs(r.winsorized_diff) < abs(r.naive_diff) / 10

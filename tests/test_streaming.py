@@ -794,3 +794,62 @@ def test_outer_interval_join_emits_and_loss_mode(spark, tmp_path):
     assert got[3].ts_out is None            # out exists but beyond lag
     assert 4 not in got                     # loss mode: held in state
     assert set(got) == {1, 2, 3}
+
+
+def test_streaming_ewma_state_crosses_batches(spark, tmp_path):
+    """The EWMA judged against in batch k must be the state carried
+    from batch k-1 (only GroupState can express that), with the
+    all-integer recurrence and the relative alarm rule exact."""
+    import datetime as dt
+    import os
+
+    from stash_log_parser_spark.streaming.stream import (
+        run_to_memory,
+        streaming_ewma_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda n, off: [
+        (base + dt.timedelta(seconds=off + i), "view") for i in range(n)
+    ]
+    # batch counts 8, 8, 20 (spike), 4
+    counts = [8, 8, 20, 4]
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    for i, n in enumerate(counts, 1):
+        c = spark.createDataFrame(
+            mk(n, i * 1000), "ts timestamp, event_type string"
+        )
+        stage = str(tmp_path / f"stage{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"chunk-{i}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        os.utime(dst, (1_600_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_to_memory(
+        streaming_ewma_anomaly(stream), "ewma_test", output_mode="append"
+    )
+    rows = sorted(spark.table("ewma_test").collect(), key=lambda r: r.batch_seq)
+    assert [r.n for r in rows] == counts
+    # replicate the integer recurrence (alpha=1/4, thr=1/2)
+    ewma, exp = None, []
+    for n in counts:
+        ne6 = n * 1_000_000
+        if ewma is None:
+            exp.append((ne6, ne6, False))
+            ewma = ne6
+        else:
+            alarm = abs(ne6 - ewma) * 2 > ewma
+            after = (ne6 + 3 * ewma) // 4
+            exp.append((ewma, after, alarm))
+            ewma = after
+    got = [(r.ewma_before_e6, r.ewma_after_e6, r.alarm) for r in rows]
+    assert got == exp
+    # the spike (20 vs ewma 8) alarms; the recovery (4 vs 11) does too;
+    # the steady batch 2 does not
+    assert [r.alarm for r in rows] == [False, False, True, True]
