@@ -146,6 +146,10 @@ def main() -> dict:
         "tpch_basket_rules",
         "log_token_cdc_dedup",
         "emb_mutual_knn_ivf",
+        "events_hourly_densified",
+        "log_burn_multiwindow",
+        "log_erlang_capacity",
+        "events_winsorized_lift",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

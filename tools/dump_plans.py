@@ -260,6 +260,42 @@ QUERIES = [
         " and both neighborhood sums reuse the scored relation — no"
         " cross product anywhere.",
     ),
+    (
+        "log_dpp_prune",
+        "Dynamic partition pruning: the weekday dim filter reaches the"
+        " day-partitioned fact scan as a runtime"
+        " dynamicpruningexpression PartitionFilter — only the matching"
+        " day directories are read; the dim broadcasts.",
+    ),
+    (
+        "events_hourly_densified",
+        "Calendar densify: ONE corpus-scale (type, hour) hash-agg; the"
+        " spine is sequence-explode off a 1-row bounds aggregate, the"
+        " type list broadcasts, and the trailing window runs on the"
+        " |types|x|hours| dense frame — nothing row-scale after the"
+        " census.",
+    ),
+    (
+        "log_burn_multiwindow",
+        "Multi-window burn: one corpus-scale (minute) hash-agg; the"
+        " dense spine zero-fill joins minute-keyed; BOTH trailing"
+        " windows (5m, 60m) evaluate in a single Window node over the"
+        " minutes-sized series — one sort, two frames.",
+    ),
+    (
+        "events_obrien_fleming",
+        "Group-sequential looks: the only corpus-scale stage is the"
+        " (window, arm) hash-agg with map-side partials; cumulative"
+        " moments and the z/boundary algebra run on the 5-row look"
+        " census.",
+    ),
+    (
+        "events_ipw_ate",
+        "Stratified IPW: per-user hash-agg (map-side partials), then a"
+        " SINGLE-ROW conditional-sum collapse — every per-stratum"
+        " integer rides one aggregate; no join, no window, no float"
+        " ever aggregates.",
+    ),
 ]
 
 INVARIANT_RE = re.compile(
