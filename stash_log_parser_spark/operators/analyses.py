@@ -3101,6 +3101,363 @@ def holt_forecast(
     ).orderBy("event_type")
 
 
+def holt_winters(
+    events: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.1,
+    gamma: float = 0.25,
+    period: int = 24,
+    horizon: int = 3,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per event
+    type over the calendar-densified hourly series: level + trend +
+    a ``period``-slot seasonal profile — the model that actually fits
+    telemetry, whose dominant structure is the daily cycle
+    (holt_forecast extrapolates trend but mistakes the cycle for
+    noise; seasonal_naive has the cycle but no trend).
+
+    Init from the first season (l₀ = season-1 mean, b₀ = per-step
+    season-over-season drift, s = first-season residuals), then for
+    t ≥ period:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l+b)
+        b_t = β·(l_t − l) + (1−β)·b
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    forecast_k = l_T + k·b_T + s_{T−m+((k−1) mod m)}. Requires at
+    least 2·period points (raises otherwise). Returns one row per
+    type: (event_type, n_hours, level, trend, mae, fc_1..fc_h) — mae
+    is the in-sample one-step error over the recurrence span, round6.
+
+    Determinism: the Python loop keeps the seasonal state as the SAME
+    rolling queue the DuckDB recursive CTE carries as a LIST column
+    (head = s_{t−m}, append s_t), so every IEEE op matches in order
+    and the 696-step recurrence is bit-identical; counts are ints so
+    y_t is exact in double.
+
+    Scale shape: identical to holt_forecast — the corpus-scale work is
+    _dense_hourly's hash-agg; the inherently sequential recurrence
+    runs per type via applyInPandas on the dimension-sized dense
+    series (documented exact-recurrence exception).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    m = period
+    dense = _dense_hourly(events)
+    out_schema = T.StructType(
+        [T.StructField("event_type", T.StringType())]
+        + [
+            T.StructField(c, T.DoubleType())
+            for c in ["level", "trend", "sae"]
+        ]
+        + [
+            T.StructField(f"s{k}", T.DoubleType())
+            for k in range(1, horizon + 1)
+        ]
+        + [T.StructField("n_hours", T.LongType())]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h", kind="mergesort").reset_index(drop=True)
+        ys = [int(v) for v in pdf["n"]]
+        if len(ys) < 2 * m:
+            raise ValueError(
+                f"holt_winters needs >= {2 * m} points, got {len(ys)}"
+            )
+        l = float(sum(ys[:m])) / float(m)
+        b = (float(sum(ys[m : 2 * m])) - float(sum(ys[:m]))) / float(m * m)
+        season = [float(y) - l for y in ys[:m]]
+        sae = 0.0
+        for t in range(m, len(ys)):
+            y = float(ys[t])
+            s0 = season[0]
+            sae = sae + abs(y - (l + b + s0))
+            l_new = alpha * (y - s0) + (1.0 - alpha) * (l + b)
+            b_new = beta * (l_new - l) + (1.0 - beta) * b
+            s_new = gamma * (y - l_new) + (1.0 - gamma) * s0
+            season = season[1:] + [s_new]
+            l, b = l_new, b_new
+        row = {
+            "event_type": [pdf["t"].iloc[0]],
+            "level": [l],
+            "trend": [b],
+            "sae": [sae],
+            "n_hours": [len(ys)],
+        }
+        for k in range(1, horizon + 1):
+            row[f"s{k}"] = [season[(k - 1) % m]]
+        return pd.DataFrame(row)
+
+    fitted = dense.groupBy("t").applyInPandas(fit, schema=out_schema)
+    fc = [
+        round6(
+            F.col("level")
+            + F.lit(float(k)) * F.col("trend")
+            + F.col(f"s{k}")
+        ).alias(f"fc_{k}")
+        for k in range(1, horizon + 1)
+    ]
+    return fitted.select(
+        "event_type",
+        "n_hours",
+        round6(F.col("level")).alias("level"),
+        round6(F.col("trend")).alias("trend"),
+        round6(
+            F.col("sae") / (F.col("n_hours") - m).cast("double")
+        ).alias("mae"),
+        *fc,
+    ).orderBy("event_type")
+
+
+#: Shapley attribution channels: (event_type, bit). Purchases are the
+#: conversion, errors are not a touchpoint. Shared by the Spark side
+#: and the generated oracle SQL so the two cannot drift.
+_SHAPLEY_CHANNELS = [("view", 1), ("click", 2), ("signup", 4)]
+
+
+def _shapley_subsets(bit: int) -> list[tuple[int, int, int]]:
+    """(subset_mask_without_channel, numerator, denominator) triples
+    for one channel's Shapley sum, subsets in ascending mask order.
+    Weights are |S|!·(n−1−|S|)!/n! kept as exact integer fractions."""
+    import itertools
+    import math
+
+    others = [b for _, b in _SHAPLEY_CHANNELS if b != bit]
+    n = len(_SHAPLEY_CHANNELS)
+    out = []
+    for r in range(len(others) + 1):
+        for combo in itertools.combinations(others, r):
+            mask = sum(combo)
+            num = math.factorial(r) * math.factorial(n - 1 - r)
+            out.append((mask, num, math.factorial(n)))
+    return sorted(out)
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shapley-value channel attribution over pre-conversion touchpoint
+    SETS: each user contributes their exact set of channels touched
+    strictly before their first purchase (their whole history if they
+    never convert); the coalition value v(S) is the conversion rate of
+    users with EXACTLY that set, and each channel's credit is the
+    Shapley average marginal contribution — the order-fair attribution
+    last_touch and linear_attribution bracket from either side.
+
+    φ_i = Σ_{S ⊆ C∖{i}} |S|!·(n−1−|S|)!/n! · (v(S∪{i}) − v(S)),
+    v(unobserved set) = 0 (documented convention of the exact-set
+    estimator).
+
+    Returns one row per channel: (channel, n_exposed, shapley) —
+    n_exposed = users whose pre-conversion set contains the channel;
+    shapley round6.
+
+    Determinism: the 8-mask census collapses to ONE all-integer row;
+    each φ is a fixed ascending-mask sum of ≤4 double terms with the
+    exact-fraction weights applied as integer numerators over one
+    final /6.0 — the oracle SQL is GENERATED from the same
+    _SHAPLEY_CHANNELS/_shapley_subsets tables.
+
+    Scale shape: one user-keyed window + hash-agg (single exchange —
+    the window and the groupBy share the user partitioning), then the
+    8-row mask census collapses to one row; nothing row-scale after.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("u"), us.alias("us"), "event_type"
+    )
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(Window.partitionBy("u"))
+    bit = F.lit(None).cast("long")
+    for name, b in _SHAPLEY_CHANNELS:
+        bit = F.when(F.col("event_type") == name, F.lit(b)).otherwise(bit)
+    tagged = base.select(
+        "u",
+        fp.alias("fp"),
+        bit.alias("bit"),
+        "us",
+    )
+    per_user = (
+        tagged.filter(
+            F.col("bit").isNotNull()
+            & (F.col("fp").isNull() | (F.col("us") < F.col("fp")))
+        )
+        .groupBy("u")
+        .agg(
+            F.bit_or("bit").cast("long").alias("mask"),
+            F.max((F.col("fp").isNotNull()).cast("long")).alias("conv"),
+        )
+    )
+    # users whose ONLY pre-conversion events are non-channel types (or
+    # who have no pre-conversion events) belong to the empty set; keep
+    # them via a full user list anti-pattern-free union: derive every
+    # user's conv flag once, left-join the mask.
+    all_users = tagged.groupBy("u").agg(
+        F.max((F.col("fp").isNotNull()).cast("long")).alias("conv_all")
+    )
+    census_rows = (
+        all_users.join(per_user, "u", "left")
+        .select(
+            F.coalesce("mask", F.lit(0)).cast("long").alias("mask"),
+            F.coalesce("conv", F.col("conv_all")).cast("long").alias("conv"),
+        )
+        .groupBy("mask")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+    )
+    n_masks = 1 << len(_SHAPLEY_CHANNELS)
+    one = census_rows.agg(
+        *[
+            agg
+            for msk in range(n_masks)
+            for agg in (
+                F.sum(F.when(F.col("mask") == msk, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias(f"n{msk}"),
+                F.sum(F.when(F.col("mask") == msk, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"c{msk}"),
+            )
+        ]
+    )
+
+    def _v(msk):
+        return F.when(
+            F.col(f"n{msk}") > 0,
+            F.col(f"c{msk}").cast("double")
+            / F.col(f"n{msk}").cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    outs = []
+    for name, b in _SHAPLEY_CHANNELS:
+        terms = None
+        den = None
+        for mask, num, d in _shapley_subsets(b):
+            den = d
+            t = F.lit(float(num)) * (_v(mask | b) - _v(mask))
+            terms = t if terms is None else terms + t
+        exposed = None
+        for msk in range(n_masks):
+            if msk & b:
+                e = F.col(f"n{msk}")
+                exposed = e if exposed is None else exposed + e
+        outs.append(
+            one.select(
+                F.lit(name).alias("channel"),
+                exposed.cast("long").alias("n_exposed"),
+                round6(terms / F.lit(float(den))).alias("shapley"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("channel")
+
+
+def rate_limit_audit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    rate_per_hour: int = 1,
+    burst: int = 2,
+) -> DataFrame:
+    """Token-bucket rate-limit POLICY SIMULATION per user: replay each
+    user's event stream through a bucket of ``burst`` tokens refilling
+    at ``rate_per_hour`` and report what the policy would have
+    rejected — the capacity/abuse dry-run an operator does before
+    turning a limiter on (bot_rate_flags detects outliers; this
+    quantifies a concrete policy's blast radius).
+
+    Two-sided-reflected integer recurrence in micro-tokens (the bucket
+    clips at ``burst`` above and the spend clips at allowance below,
+    so no prefix-sum closed form exists — unlike CUSUM's one-sided
+    reflection):
+
+        avail = min(burst·10⁶, bal + Δus·rate // 3600)
+        allowed ⇔ avail ≥ 10⁶;  bal' = avail − 10⁶ if allowed else avail
+
+    Returns one row per user: (user_id, n_req, n_rejected, reject_rate,
+    first_reject_seq) — rate round6, seq 1-based and null when nothing
+    was rejected.
+
+    Determinism: pure int64 arithmetic (floor div both engines,
+    nonnegative operands); the DuckDB oracle replays the identical
+    recurrence as a recursive CTE over per-user row_number — depth is
+    the per-user event count, which the testdata holds SF-invariant
+    (~70).
+
+    Scale shape: one user-keyed applyInPandas scan (the cusum per-key
+    exception: inherently sequential per key, bounded by per-user
+    activity); output is users-sized.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from stash_log_parser_spark.operators.textstats import round6
+
+    cap = burst * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", events.schema[user_col].dataType),
+            T.StructField("n_req", T.LongType()),
+            T.StructField("n_rejected", T.LongType()),
+            T.StructField("first_reject_seq", T.LongType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("us", kind="mergesort").reset_index(drop=True)
+        uss = [int(v) for v in pdf["us"]]
+        bal = cap - 1_000_000  # first request always allowed (burst >= 1)
+        n_rej, first = 0, None
+        prev = uss[0]
+        for seq, us_ in enumerate(uss[1:], start=2):
+            avail = min(cap, bal + (us_ - prev) * rate_per_hour // 3600)
+            if avail >= 1_000_000:
+                bal = avail - 1_000_000
+            else:
+                bal = avail
+                n_rej += 1
+                if first is None:
+                    first = seq
+            prev = us_
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["u"].iloc[0]],
+                "n_req": [len(uss)],
+                "n_rejected": [n_rej],
+                "first_reject_seq": [first],
+            }
+        )
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keyed = events.select(F.col(user_col).alias("u"), us.alias("us"))
+    out = keyed.groupBy("u").applyInPandas(scan, schema=out_schema)
+    return out.select(
+        "user_id",
+        "n_req",
+        "n_rejected",
+        F.when(
+            F.col("n_req") > 0,
+            round6(
+                F.col("n_rejected").cast("double")
+                / F.col("n_req").cast("double")
+            ),
+        ).alias("reject_rate"),
+        "first_reject_seq",
+    ).orderBy("user_id")
+
+
 #: ipw_ate's stratum boundaries (pre-period event count) and the
 #: md5-hex-digit treatment threshold per stratum — higher-activity
 #: strata are assigned treatment more often, which is exactly the
