@@ -3458,6 +3458,247 @@ def rate_limit_audit(
     ).orderBy("user_id")
 
 
+def did_pretrends(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Parallel-trends diagnostic for difference-in-differences: the
+    per-arm OLS slope of the PRE-period daily mean outcome, and their
+    gap — the validity check a DiD readout (events_did) is worthless
+    without: if the arms were already trending apart before treatment,
+    the DiD estimate absorbs that divergence as fake effect.
+
+    Daily means are e6-quantized to integers (floor(s·10⁶/n + 0.5) —
+    one deterministic division per day) so every regression moment
+    (Σx, Σy, Σxy, Σx²) is an exact BIGINT sum over the days census,
+    order-independent; the two slopes and their gap are then a fixed
+    handful of IEEE ops. Days are indexed 0..D−1 from the pre-period
+    start.
+
+    Returns one row: (n_days_pre, slope_a_e6, slope_b_e6, slope_gap_e6)
+    — slopes in e6-quantized cents/day, round6.
+
+    Scale shape: one corpus-scale (arm, day) hash-agg; the regression
+    runs on the ≤2·D-row census collapsed to one row of integer
+    moments.
+    """
+    from stash_log_parser_spark.operators.textstats import round6
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = events.agg(
+        F.min(us).alias("lo_us"), F.max(us).alias("hi_us")
+    ).select(
+        F.col("lo_us"),
+        F.expr("(lo_us + hi_us) div 2").alias("mid_us"),
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    arm = F.when(
+        F.substring(F.md5(F.col(user_col).cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    pre = (
+        events.crossJoin(F.broadcast(span))
+        .filter(us <= F.col("mid_us"))
+        .select(
+            arm.alias("arm"),
+            F.expr("(unix_micros(cast(ts as timestamp)) - lo_us)"
+                   " div 86400000000").alias("x"),
+            cents.alias("y"),
+        )
+    )
+    daily = pre.groupBy("arm", "x").agg(
+        F.floor(
+            F.sum("y") * F.lit(1_000_000) / F.count("*") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ym")
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        *[
+            agg
+            for a_ in ("A", "B")
+            for agg in (
+                F.sum(F.when(F.col("arm") == a_, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{a_}"),
+                F.sum(F.when(F.col("arm") == a_, F.col("x")).otherwise(0))
+                .cast("long")
+                .alias(f"sx_{a_}"),
+                F.sum(
+                    F.when(F.col("arm") == a_, F.col("ym")).otherwise(0)
+                )
+                .cast(dec)
+                .alias(f"sy_{a_}"),
+                F.sum(
+                    F.when(
+                        F.col("arm") == a_,
+                        F.col("x").cast("decimal(19,0)")
+                        * F.col("ym").cast("decimal(19,0)"),
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"sxy_{a_}"),
+                F.sum(
+                    F.when(F.col("arm") == a_, F.col("x") * F.col("x"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"sx2_{a_}"),
+            )
+        ]
+    )
+
+    def _slope(a_):
+        n = F.col(f"n_{a_}").cast(dec)
+        num = (n * F.col(f"sxy_{a_}")
+               - F.col(f"sx_{a_}").cast(dec) * F.col(f"sy_{a_}")).cast(
+            "double"
+        )
+        den = (
+            n * F.col(f"sx2_{a_}").cast(dec)
+            - F.col(f"sx_{a_}").cast(dec) * F.col(f"sx_{a_}").cast(dec)
+        ).cast("double")
+        return num / den
+
+    sa, sb = _slope("A"), _slope("B")
+    return mom.select(
+        F.greatest(F.col("n_A"), F.col("n_B")).cast("long").alias(
+            "n_days_pre"
+        ),
+        round6(sa).alias("slope_a_e6"),
+        round6(sb).alias("slope_b_e6"),
+        round6(sb - sa).alias("slope_gap_e6"),
+    )
+
+
+def autoscale_sim(
+    parsed: DataFrame,
+    hi_permille: int = 700,
+    lo_permille: int = 300,
+    k_up: int = 3,
+    k_down: int = 10,
+    cooldown: int = 5,
+    r_start: int = 4,
+    r_min: int = 1,
+    r_max: int = 20,
+) -> DataFrame:
+    """HPA-style autoscaler POLICY SIMULATION over the densified minute
+    load series: replicas scale up after ``k_up`` consecutive minutes
+    over ``hi_permille`` utilization, down after ``k_down`` under
+    ``lo_permille``, with a ``cooldown`` freeze after every action —
+    the dry-run that answers "how many replicas would this policy have
+    run, and how often would we still have been over-utilized?"
+    (erlang_capacity sizes a FIXED fleet; this simulates the moving
+    one).
+
+    Load is offered micro-erlangs per minute a_e6 = busy-ms·50//3
+    (pure integers); utilization compares are integer
+    cross-multiplications (a_e6 > hi·r·1000). The whole state
+    (replicas, streaks, cooldown) is integer, so the DuckDB
+    recursive-CTE oracle replays it bit-for-bit over the same dense
+    spine.
+
+    Returns one row per minute: (minute, n_req, a_e6, replicas,
+    action, over_util) — replicas AFTER the minute's action, action ∈
+    {−1, 0, +1}, over_util judged at the pre-action replica count.
+
+    Scale shape: one corpus-scale (minute) hash-agg; the simulation is
+    inherently sequential over the GLOBAL minute series, so it runs as
+    a single applyInPandas task on the dimension-sized dense frame
+    (~1.4k minutes/day — the exact-recurrence exception at its
+    smallest).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = parsed.filter(
+        F.col("is_parsed") & F.col("duration_ms").isNotNull()
+    )
+    minute = F.expr("unix_micros(ts) div 60000000")
+    mc = base.groupBy(minute.alias("m")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+    )
+    bounds = mc.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("m0"), F.col("m1"))).alias("m")
+    )
+    dense = spine.join(mc, ["m"], "left").select(
+        "m",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        (F.coalesce("sum_ms", F.lit(0)) * 50)
+        .cast("long")
+        .alias("busy50"),
+    ).withColumn("a_e6", F.expr("busy50 div 3").cast("long"))
+    out_schema = T.StructType(
+        [
+            T.StructField("m", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("a_e6", T.LongType()),
+            T.StructField("replicas", T.LongType()),
+            T.StructField("action", T.LongType()),
+            T.StructField("over_util", T.BooleanType()),
+        ]
+    )
+
+    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m", kind="mergesort").reset_index(drop=True)
+        r, up, down, cool = r_start, 0, 0, 0
+        reps, acts, overs = [], [], []
+        for a in (int(v) for v in pdf["a_e6"]):
+            over = a > hi_permille * r * 1000
+            under = a < lo_permille * r * 1000
+            act = 0
+            if cool > 0:
+                cool -= 1
+                up = down = 0
+            else:
+                up = up + 1 if over else 0
+                down = down + 1 if under else 0
+                if up >= k_up and r < r_max:
+                    r += 1
+                    act = 1
+                    cool = cooldown
+                    up = down = 0
+                elif down >= k_down and r > r_min:
+                    r -= 1
+                    act = -1
+                    cool = cooldown
+                    up = down = 0
+            reps.append(r)
+            acts.append(act)
+            overs.append(over)
+        return pd.DataFrame(
+            {
+                "m": pdf["m"],
+                "n": pdf["n"],
+                "a_e6": pdf["a_e6"],
+                "replicas": reps,
+                "action": acts,
+                "over_util": overs,
+            }
+        )
+
+    out = (
+        dense.select("m", "n", "a_e6")
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda pdf: sim(pdf.drop(columns=["_g"], errors="ignore")),
+            schema=out_schema,
+        )
+    )
+    return out.select(
+        F.from_unixtime(F.col("m") * 60, "yyyy-MM-dd HH:mm").alias(
+            "minute"
+        ),
+        F.col("n").alias("n_req"),
+        "a_e6",
+        "replicas",
+        "action",
+        "over_util",
+    ).orderBy("minute")
+
+
 #: ipw_ate's stratum boundaries (pre-period event count) and the
 #: md5-hex-digit treatment threshold per stratum — higher-activity
 #: strata are assigned treatment more often, which is exactly the

@@ -2662,3 +2662,76 @@ def test_rate_limit_audit_token_bucket_exact(spark):
     assert r.n_rejected == 1
     assert r.first_reject_seq == 3
     assert r.reject_rate == 0.25
+
+
+def test_did_pretrends_exact_slopes(spark):
+    """Arm A's daily mean rises 100 cents/day, arm B's 300 — slopes and
+    gap come out exactly (daily means are integer cents here, so the
+    e6 quantization is lossless). Post-period events must not leak in."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import did_pretrends
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # pre-period: days 0..3; user 6 -> arm A, user 7 -> arm B
+    for d in range(4):
+        rows.append((6, base + dt.timedelta(days=d), (100 + 100 * d) / 100.0))
+        rows.append((7, base + dt.timedelta(days=d), (500 + 300 * d) / 100.0))
+    # post-period filler so the midpoint lands after day 3: two events
+    # far in the future (day 8), values that would WRECK the slopes if
+    # they leaked into the pre-period
+    rows.append((6, base + dt.timedelta(days=8), 999.0))
+    rows.append((7, base + dt.timedelta(days=8), 999.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = did_pretrends(ev).collect()[0]
+    assert r.n_days_pre == 4
+    # slope in e6-quantized cents/day: 100 cents -> 100e6
+    assert r.slope_a_e6 == 100000000.0
+    assert r.slope_b_e6 == 300000000.0
+    assert r.slope_gap_e6 == 200000000.0
+
+
+def test_autoscale_sim_scales_up_after_streak_and_respects_cooldown(spark):
+    """3 consecutive over-70% minutes trigger +1 replica; during the
+    5-minute cooldown no further action fires even though load stays
+    high; sustained idle eventually scales down to r_min."""
+    import datetime as dt
+
+    from stash_log_parser_spark.operators.analyses import autoscale_sim
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+
+    def minute(k, busy_ms):
+        # one request carrying the whole minute's busy time
+        rows.append((True, base + dt.timedelta(minutes=k), busy_ms))
+
+    # r starts at 4 => hi threshold is a_e6 > 700*4*1000 = 2.8e6
+    # busy 3.0 erlangs = 180000 ms/min -> a_e6 = 3e6 > 2.8e6 (over)
+    for k in range(12):
+        minute(k, 180_000)
+    # minutes 12..59: near-zero load -> scale down every (10 + 5) min
+    for k in range(12, 60):
+        minute(k, 1)
+    out = autoscale_sim(spark.createDataFrame(
+        rows, "is_parsed boolean, ts timestamp, duration_ms long"
+    )).collect()
+    by_k = {i: r for i, r in enumerate(out)}
+    # minutes 0,1 build the streak at r=4; minute 2 fires +1
+    assert [by_k[k].action for k in range(3)] == [0, 0, 1]
+    assert by_k[2].replicas == 5
+    # cooldown: minutes 3..7 take no action even though load is high
+    # relative to 5 replicas? a_e6=3e6 < 700*5*1000=3.5e6 -> not over
+    assert all(by_k[k].action == 0 for k in range(3, 12))
+    assert by_k[11].replicas == 5
+    # idle tail: first scale-down needs 10 under-minutes after the
+    # streak reset; replicas step down toward r_min with 5' cooldowns
+    assert out[-1].replicas < 5
+    downs = [r for r in out if r.action == -1]
+    assert downs, "expected at least one scale-down"
+    # every over_util flag matches the integer rule at pre-action r
+    prev_r = 4
+    for r in out:
+        assert r.over_util == (r.a_e6 > 700 * prev_r * 1000)
+        prev_r = r.replicas
