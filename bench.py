@@ -150,6 +150,9 @@ def main() -> dict:
         "log_burn_multiwindow",
         "log_erlang_capacity",
         "events_winsorized_lift",
+        "events_holt_winters",
+        "events_shapley_attribution",
+        "log_autoscale_sim",
     ]:
         bench(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -290,6 +290,20 @@ QUERIES = [
         " census.",
     ),
     (
+        "events_shapley_attribution",
+        "Shapley attribution: the user window and the per-user groupBy"
+        " share ONE user-keyed exchange; the 8-mask census collapses to"
+        " a single row and the three channel rows are unions of 1-row"
+        " projections.",
+    ),
+    (
+        "events_winsorized_lift",
+        "Winsorized lift: value census (map-side partials), cumsum on"
+        " the value-DOMAIN-sized table, the exact-p99 cap re-enters as"
+        " a 1-row broadcast; capped sums are a second scan, never a"
+        " sort.",
+    ),
+    (
         "events_ipw_ate",
         "Stratified IPW: per-user hash-agg (map-side partials), then a"
         " SINGLE-ROW conditional-sum collapse — every per-stratum"
