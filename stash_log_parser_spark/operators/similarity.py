@@ -1981,70 +1981,213 @@ def mutual_knn_pairs(
     scale both sides are large: production swaps the broadcast scored
     relation for IVF-bucketed candidates (``ivf_assign`` cells, same
     downstream windows) — the mutual/margin logic is unchanged; the
-    broadcast form here is the exact twin that oracles it."""
-    from pyspark.sql import Window
+    broadcast form here is the exact twin that oracles it.
 
-    from .textstats import round6
-
-    a = side_a.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va")
-    )
-    b = side_b.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb")
-    )
-    # c6 = floor(cos·1e6 + 0.5) directly — round6(cos)·1e6 would divide
-    # then re-multiply, and (k/1e6)·1e6 can land at k−ε in IEEE, which a
-    # long cast truncates to k−1.
-    scored = a.join(F.broadcast(b)).select(
-        "a_id",
-        "b_id",
-        F.floor(
-            cosine_expr(F.col("_va"), F.col("_vb")) * F.lit(1e6) + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("c6"),
-    )
+    r6 perf (guide §4.2): the scored relation is built by
+    ``_scored_pairs_arrow`` — one Arrow stage whose BLAS matmul replaces
+    the per-pair interpreted HOF cosine of the old
+    ``A ⨝ broadcast(B)`` + ``cosine_expr`` form (the same swap
+    ``with_lsh_buckets`` made after the same measurement; ~50 µs/pair
+    interpreted vs one dgemm per batch).  c6 = floor(cos·1e6 + 0.5) as
+    before; sub-round6 summation-order ulps are absorbed by the e6
+    quantization exactly as in ``with_ivf_cells``' cos6 (the oracle
+    computes its own ``list_cosine_similarity``, so cross-engine
+    agreement has always rested on the quantization, not on a shared
+    fold order)."""
+    scored = _scored_pairs_arrow(side_a, side_b, id_col, vec_col)
     return _mutual_from_scored(scored, k_margin)
+
+
+def _scored_pairs_arrow(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray | None" = None,
+    nprobe: int = 0,
+) -> DataFrame:
+    """(a_id, b_id, c6) candidate scoring in ONE shuffle-free Arrow
+    stage: the B side is collected to the driver and shipped inside the
+    kernel closure — the exact memory shape of the ``F.broadcast(B)``
+    join it replaces (a broadcast relation is driver-collected and
+    shipped to every executor too); at corpus scale both sides
+    co-partition by cell id instead, as the callers' docstrings state.
+
+    With ``centroids`` given, each A row probes its ``nprobe``
+    highest-cos6 cells (ties toward the lower cell id — stable argsort
+    on the NEGATED quantized cosines, the same order as the JVM
+    ``array_sort(struct(-cos6, cell))`` it replaces) and is scored only
+    against the B rows argmax-assigned there — the identical assignment
+    arithmetic as ``with_ivf_cells``.  c6 = floor(cos·1e6 + 0.5) with
+    cos = dot / max(|a|·|b|, 1e-12), all IEEE doubles."""
+    from pyspark.sql import types as T
+
+    spark = side_a.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", side_a.schema[id_col].dataType),
+            T.StructField("b_id", side_b.schema[id_col].dataType),
+            T.StructField("c6", T.LongType()),
+        ]
+    )
+    b_rows = side_b.select(id_col, vec_col).collect()
+    if not b_rows:
+        return spark.createDataFrame([], out_schema)
+    VB = np.array([list(r[1]) for r in b_rows], dtype=np.float64)
+    b_ids = np.array([r[0] for r in b_rows])
+    nb_norm = np.sqrt(np.einsum("ij,ij->i", VB, VB))
+    dim = VB.shape[1]
+    groups = None
+    c_t = c_norm = None
+    n_cells = 0
+    if centroids is not None:
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        b_cell = np.argmax(VB @ cn.T, axis=1)
+        c_t = centroids.T.copy()
+        c_norm = np.linalg.norm(centroids, axis=1)
+        n_cells = int(centroids.shape[0])
+        groups = []
+        for c in range(n_cells):
+            idx = np.nonzero(b_cell == c)[0]
+            groups.append((b_ids[idx], VB[idx], nb_norm[idx]))
+
+    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_v"))
+    # bound rows per emitted RecordBatch so one wide A-batch times a
+    # large B side cannot balloon worker memory
+    max_out = 2_000_000
+
+    def score(batches):
+        import pyarrow as pa
+
+        def emit(a_part, b_part, c_part):
+            return pa.RecordBatch.from_arrays(
+                [pa.array(a_part), pa.array(b_part), pa.array(c_part)],
+                names=["a_id", "b_id", "c6"],
+            )
+
+        for bt in batches:
+            m = bt.num_rows
+            if m == 0:
+                continue
+            col = bt.column(bt.schema.get_field_index("_v"))
+            va = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(m, dim)
+            )
+            a_np = bt.column(bt.schema.get_field_index("a_id")).to_numpy(
+                zero_copy_only=False
+            )
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            if groups is None:
+                n_b = VB.shape[0]
+                step = max(1, max_out // max(n_b, 1))
+                for lo in range(0, m, step):
+                    hi = min(m, lo + step)
+                    sub, sna = va[lo:hi], na[lo:hi]
+                    den = np.maximum(sna[:, None] * nb_norm[None, :], 1e-12)
+                    c6 = np.floor((sub @ VB.T) / den * 1e6 + 0.5).astype(
+                        np.int64
+                    )
+                    yield emit(
+                        np.repeat(a_np[lo:hi], n_b),
+                        np.tile(b_ids, hi - lo),
+                        c6.ravel(),
+                    )
+                continue
+            dots = va @ c_t
+            den = np.maximum(na[:, None] * c_norm[None, :], 1e-12)
+            cos6 = np.floor(dots / den * 1e6 + 0.5) / 1e6
+            order = np.argsort(-cos6, axis=1, kind="stable")[:, :nprobe]
+            for c in range(n_cells):
+                gids, gmat, gnorm = groups[c]
+                if gids.size == 0:
+                    continue
+                mask = (order == c).any(axis=1)
+                if not mask.any():
+                    continue
+                sub, sna, sa = va[mask], na[mask], a_np[mask]
+                step = max(1, max_out // max(gids.size, 1))
+                for lo in range(0, sub.shape[0], step):
+                    hi = min(sub.shape[0], lo + step)
+                    d2 = np.maximum(
+                        sna[lo:hi, None] * gnorm[None, :], 1e-12
+                    )
+                    c6m = np.floor(
+                        (sub[lo:hi] @ gmat.T) / d2 * 1e6 + 0.5
+                    ).astype(np.int64)
+                    yield emit(
+                        np.repeat(sa[lo:hi], gids.size),
+                        np.tile(gids, hi - lo),
+                        c6m.ravel(),
+                    )
+
+    return a.mapInArrow(score, schema=out_schema)
 
 
 def _mutual_from_scored(scored: DataFrame, k_margin: int) -> DataFrame:
     """Shared back half of the mutual-kNN family: given a scored
     relation (a_id, b_id, c6 BIGINT micro-cosine), rank both directions,
     build the exact integer k-neighborhood sums, and emit the mutual
-    rank-1 pairs with round6 ratio margins."""
+    rank-1 pairs with round6 ratio margins.
+
+    r6 plan rewrite (guide §2.3/§2.4): the previous form branched the
+    scored relation into THREE consumers (mutual filter + two filtered
+    groupBys re-joined back), each of which recomputed the entire
+    quadratic scoring (no ReusedExchange across the branches — measured
+    3× the candidate-scoring cost of emb_mutual_knn_ivf at sf1.0) and
+    shuffled the FULL candidate relation.  New shape: each direction is
+    one rank window whose ``row_number() <= k_margin`` filter triggers
+    Spark's map-side WindowGroupLimit, so the exchange carries at most
+    k_margin rows per id instead of every candidate (50M → ~40k rows at
+    sf1.0); the k-neighborhood sum/count then run as window aggregates
+    over the SAME partitioning (no further exchange), and the two
+    dimension-sized rank-1 tables join on (a_id, b_id) pair equality —
+    a pair is mutual iff each side is the other's rank 1, so the inner
+    join IS the mutual filter.  The scored relation is recomputed once
+    per direction — it is one cheap shuffle-free Arrow/BLAS stage
+    (``_scored_pairs_arrow``), embarrassingly parallel; trading that
+    recompute for the two full-relation shuffles is guide §2.3 "shuffle
+    fewer bytes" verbatim.  Sums/counts/ranks are bit-identical: the
+    group-limit prunes exactly the rows the old filtered groupBy
+    discarded."""
     from pyspark.sql import Window
 
     from .textstats import round6
 
     wf = Window.partitionBy("a_id").orderBy(F.desc("c6"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("c6"), F.asc("a_id"))
-    ranked = scored.select(
-        "a_id",
-        "b_id",
-        "c6",
-        F.row_number().over(wf).alias("rnf"),
-        F.row_number().over(wb).alias("rnb"),
-    )
+    wfa = Window.partitionBy("a_id")
+    wba = Window.partitionBy("b_id")
     fwd = (
-        ranked.filter(F.col("rnf") <= k_margin)
-        .groupBy("a_id")
-        .agg(
-            F.sum("c6").alias("s6_fwd"),
-            F.count("*").cast("long").alias("k_fwd"),
-        )
+        scored.withColumn("rnf", F.row_number().over(wf))
+        .filter(F.col("rnf") <= k_margin)
+        .withColumn("s6_fwd", F.sum("c6").over(wfa))
+        .withColumn("k_fwd", F.count(F.lit(1)).over(wfa))
+        .filter(F.col("rnf") == 1)
+        .select("a_id", "b_id", "c6", "s6_fwd", "k_fwd")
     )
     bwd = (
-        ranked.filter(F.col("rnb") <= k_margin)
-        .groupBy("b_id")
-        .agg(
-            F.sum("c6").alias("s6_bwd"),
-            F.count("*").cast("long").alias("k_bwd"),
+        scored.withColumn("rnb", F.row_number().over(wb))
+        .filter(F.col("rnb") <= k_margin)
+        .withColumn("s6_bwd", F.sum("c6").over(wba))
+        .withColumn("k_bwd", F.count(F.lit(1)).over(wba))
+        .filter(F.col("rnb") == 1)
+        .select(
+            F.col("a_id").alias("_a2"),
+            F.col("b_id").alias("_b2"),
+            "s6_bwd",
+            "k_bwd",
         )
     )
-    mutual = ranked.filter((F.col("rnf") == 1) & (F.col("rnb") == 1))
     return (
-        mutual.join(fwd, "a_id")
-        .join(bwd, "b_id")
+        fwd.join(
+            bwd,
+            (F.col("a_id") == F.col("_a2")) & (F.col("b_id") == F.col("_b2")),
+        )
         .select(
             "a_id",
             "b_id",
@@ -2086,46 +2229,18 @@ def mutual_knn_ivf(
     oracle mirrors this full algorithm, misses included, so the Spark
     plumbing is value-hash-checked, not just recall-bounded).
 
-    Scale shape: cell assignment is the shuffle-free Arrow matmul
-    (``with_ivf_cells``); the candidate join here broadcasts the
-    assigned B side (exact-twin regime, same as ``cosine_topk``); at
-    corpus scale both sides co-partition by cell id instead — one
-    bounded exchange per side, never a cross product."""
-    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_v"))
-    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_v"))
-    n_cells = int(centroids.shape[0])
-    a_cells = with_ivf_cells(a, centroids, vec_col="_v", with_cosines=True)
-    # top-nprobe cells per A row: sort (−cos6, cell) ascending — cos
-    # descending, ties toward the lower cell id, matching np.argmax and
-    # the oracle's ORDER BY cos DESC, cid ASC.
-    probe_structs = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-            lambda i: F.struct(
-                (-F.get("cos6", i)).alias("nc"), i.alias("cell")
-            ),
-        )
-    )
-    a_probe = a_cells.select(
-        "a_id",
-        "_v",
-        F.explode(
-            F.transform(
-                F.slice(probe_structs, 1, nprobe), lambda s: s["cell"]
-            )
-        ).alias("cell"),
-    )
-    b_cells = with_ivf_cells(b, centroids, vec_col="_v").select(
-        "b_id", F.col("_v").alias("_vb"), "cell"
-    )
-    scored = a_probe.join(F.broadcast(b_cells), "cell").select(
-        "a_id",
-        "b_id",
-        F.floor(
-            cosine_expr(F.col("_v"), F.col("_vb")) * F.lit(1e6) + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("c6"),
+    Scale shape (r6, guide §4.2): candidate generation + scoring is ONE
+    shuffle-free Arrow stage (``_scored_pairs_arrow``): probe ranking
+    uses the same quantized-cos6 order as the old
+    ``with_ivf_cells(with_cosines=True)`` + ``array_sort(struct(-cos6,
+    cell))`` pipeline, the B side rides the kernel closure exactly as it
+    previously rode a broadcast relation (both are driver-collected and
+    shipped per executor), and the per-candidate cosine is a BLAS
+    matmul instead of an interpreted per-pair HOF (measured 30.3 s →
+    ~3 s at sf1.0).  At corpus scale both sides co-partition by cell id
+    instead — one bounded exchange per side, never a cross product."""
+    scored = _scored_pairs_arrow(
+        side_a, side_b, id_col, vec_col, centroids=centroids, nprobe=nprobe
     )
     return _mutual_from_scored(scored, k_margin)
 
