@@ -2960,11 +2960,18 @@ def _dense_hourly(events: DataFrame) -> DataFrame:
     is a distinct on the tiny census, and the zero-fill left join runs
     on |types|·|hours| rows."""
     hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    # No .cache() (r6, ADVICE item): a DataFrame cache is keyed in the
+    # CacheManager for the whole session, so every hourly/Holt/Holt-
+    # Winters query in a long sweep leaked one cached census RDD.  The
+    # three consumers (bounds, types, zero-fill join) share the census's
+    # (t, h) Exchange subtree verbatim, so runtime ReusedExchange gives
+    # them one corpus pass without pinning anything (verified: same
+    # bench time, one Exchange computed, zero storage growth).
     hc = (
         events.select(F.col("event_type").alias("t"), hour.alias("h"))
         .groupBy("t", "h")
         .agg(F.count("*").cast("long").alias("n"))
-    ).cache()
+    )
     bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
@@ -6030,9 +6037,21 @@ def basket_rules(
     scalar, not scale-growing."""
     from .textstats import round6
 
+    # r6 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): hash-repartition the (order, item) projection by okey
+    # ONCE — the distinct then needs no exchange of its own (okey ⊆
+    # (okey, item) clustering), and the later basket groupBy(okey)
+    # reuses the same partitioning, removing one of the two fact-scale
+    # exchanges; the explicit repartition also lifts the map-side
+    # parallelism above the input's row-group count (the driver's
+    # lineitem is 6 row groups for 6M rows).  The three consumers of
+    # ``t`` share the repartition exchange via ReusedExchange.
     t = (
         lineitem.select(
             F.col(order_col).alias("okey"), F.col(item_col).alias("item")
+        )
+        .repartition(
+            lineitem.sparkSession.sparkContext.defaultParallelism, "okey"
         )
         .distinct()
     )
