@@ -2960,23 +2960,28 @@ def _dense_hourly(events: DataFrame) -> DataFrame:
     is a distinct on the tiny census, and the zero-fill left join runs
     on |types|·|hours| rows."""
     hour = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
-    # No .cache() (r6, ADVICE item): a DataFrame cache is keyed in the
-    # CacheManager for the whole session, so every hourly/Holt/Holt-
-    # Winters query in a long sweep leaked one cached census RDD.  The
-    # three consumers (bounds, types, zero-fill join) share the census's
-    # (t, h) Exchange subtree verbatim, so runtime ReusedExchange gives
-    # them one corpus pass without pinning anything (verified: same
-    # bench time, one Exchange computed, zero storage growth).
+    # r6 (ADVICE item): the census used to be .cache()d for its three
+    # consumers — which both leaked a CacheManager entry per query for
+    # the rest of the session AND silently served repeat executions of
+    # the same query from the cache (a measurement hazard under this
+    # round's no-result-caching rule).  Instead the census is consumed
+    # exactly ONCE (the zero-fill join); bounds and types are computed
+    # directly from the events table with column-pruned scans — min/max
+    # of the hour expression over events equals min/max of the census
+    # hours, and distinct event_type equals the census's distinct t, so
+    # nothing needs sharing at all.
     hc = (
         events.select(F.col("event_type").alias("t"), hour.alias("h"))
         .groupBy("t", "h")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    bounds = events.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
     spine = bounds.select(
         F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
     )
-    types = hc.select("t").distinct()
+    types = events.select(F.col("event_type").alias("t")).distinct()
     return (
         spine.crossJoin(F.broadcast(types))
         .join(hc, ["t", "h"], "left")
