@@ -2260,19 +2260,31 @@ def test_basket_rules_known_counts(spark):
     assert ba.confidence == 0.6
 
 
-def test_basket_rules_no_self_join(spark):
-    """The plan must contain exactly ONE join over the fact table (the
-    broadcast Apriori prune) — pair generation is row-local array
-    expansion, never a transaction self-join shuffle."""
+def test_basket_rules_no_extra_fact_exchange(spark):
+    """Pair generation must not add a fact-table shuffle.  Since r6 the
+    i<j pairs come from a SAME-okey self join whose two sides both
+    reuse the single okey repartition exchange (AQE materializes it
+    once; every other consumer reads it as ReusedExchange) — the join
+    is co-partitioned, never a cartesian/broadcast-NLJ over
+    transactions.  Also pins the tiny-frame result: A and B co-occur
+    in all 3 baskets, so exactly the two directed rules survive with
+    n_both = n_ante = n_cons = n_orders = 3."""
     df = spark.createDataFrame(
         [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B")],
         "l_orderkey long, l_partkey string",
     )
-    plan = A.basket_rules(df, 1, 1)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("SortMergeJoin") == 0
-    # one broadcast prune join + the scalar n_orders cross join
-    assert plan.count("BroadcastHashJoin") <= 1
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    q = A.basket_rules(df, 1, 1)
+    rows = {(r["antecedent"], r["consequent"]): r for r in q.collect()}
+    assert set(rows) == {("A", "B"), ("B", "A")}
+    assert all(
+        (r["n_both"], r["n_ante"], r["n_cons"]) == (3, 3, 3)
+        for r in rows.values()
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the AQE-final plan must serve the pair join's second side (and the
+    # census/prune consumers) from the one materialized fact exchange
+    assert plan.count("ReusedExchange") >= 1
 
 
 def test_funnel_windowed_hand_case(spark):
